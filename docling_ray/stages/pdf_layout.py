@@ -1,0 +1,303 @@
+"""PDF page-cells → span extractor (layout parse + reading order core).
+
+A from-scratch geometric rebuild of the reference's PDF page-stage chain
+(SURVEY.md §2.3): preprocessing parse-quality scoring
+(``docling/models/stages/page_preprocessing/page_preprocessing_model.py:25-151``),
+layout-region classification (``layout_object_detection_model.py`` +
+``docling/utils/layout_postprocessor.py`` — rebuilt as a deterministic
+geometric classifier, no NN), page assembly with hyphen-merge/ligature
+sanitation (``page_assemble_model.py:33-157``) and a column-aware XY-cut
+reading order (``readingorder_model.py:44-649``).
+
+Input payload: one JSON document per page (the stand-in for docling-core's
+``SegmentedPdfPage``, reference ``docling/backend/pdf_backend.py:18-56``):
+
+    {"page_no": int, "width": f, "height": f,
+     "cells":  [{"text": str, "l": f, "t": f, "r": f, "b": f, "font_size": f}],
+     "tables": [{"l": f, "t": f, "r": f, "b": f}],          # ruling-derived regions
+     "images": [{"l": f, "t": f, "r": f, "b": f, "media_ref": str}]}
+
+``tables``/``images`` regions are the analogue of what the reference gets
+from ruling lines / ``get_bitmap_rects`` (pdf_backend.py:41) + the layout
+model; cells are classified against them geometrically.
+
+Layout rules (deterministic, shared with the fixture generator):
+  * margin bands: a cell fully above ``HEADER_BAND`` → ``page_header``;
+    fully below ``height - FOOTER_BAND`` → ``page_footer`` (furniture split,
+    page_assemble_model.py splits headers vs body).
+  * heading detection by font size: ``>= TITLE_FONT`` → ``title``,
+    ``>= HEADING_FONT`` → ``section_header`` (stand-in for the reference's
+    bookmark/numbering/font-size precedence, heading_hierarchy_model.py:1-26).
+  * body cells cluster into columns by x-position (gap > ``COL_GAP``);
+    reading order = left column fully before right (XY-cut).
+  * within a column, consecutive cells with top-gap <= ``PARA_GAP`` and the
+    same font size form one paragraph; lines join via
+    ``sanitize_cell_text`` (hyphen merge + ligature expansion).
+  * cells inside a table region → row/col clustering → one ``table`` span
+    with the canonical expanded-grid media_ref (the TableFormer stand-in,
+    table_structure_model.py:32 — rebuilt as x/y clustering per SURVEY §7.1).
+  * a paragraph starting within ``CAPTION_GAP`` below a table/image region
+    and horizontally overlapping it is its caption, emitted right after the
+    region's span (caption mapping, readingorder_model.py:631-639).
+  * page parse quality = 10th percentile of per-cell text quality
+    (page_preprocessing_model.py:126-151); a page scoring below
+    ``MIN_PARSE_SCORE`` is dropped and the document degrades to
+    ``partial_success`` (standard_pdf_pipeline.py:1007-1026).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from docling_ray.functions.normalize import sanitize_cell_text, text_quality_score
+from docling_ray.stages.html_extract import grid_media_ref
+
+Span = tuple[str, str, str]
+
+HEADER_BAND = 50.0
+FOOTER_BAND = 50.0
+TITLE_FONT = 18.0
+HEADING_FONT = 14.0
+COL_GAP = 20.0
+PARA_GAP = 18.0
+CAPTION_GAP = 26.0
+MIN_PARSE_SCORE = 0.5
+
+
+def parse_page_payload(payload: str) -> dict:
+    """Parse and minimally validate a page JSON payload. Raises ValueError."""
+    page = json.loads(payload)
+    if not isinstance(page, dict) or "cells" not in page:
+        raise ValueError("pdf_cells payload missing 'cells'")
+    page.setdefault("page_no", 0)
+    page.setdefault("width", 612.0)
+    page.setdefault("height", 792.0)
+    page.setdefault("tables", [])
+    page.setdefault("images", [])
+    return page
+
+
+def page_parse_score(cells: list[dict]) -> float:
+    """10th-percentile per-cell text quality (page_preprocessing parity)."""
+    if not cells:
+        return 1.0
+    scores = [text_quality_score(c.get("text", "")) for c in cells]
+    return float(np.percentile(np.array(scores), 10))
+
+
+def _center(c: dict) -> tuple[float, float]:
+    return (0.5 * (c["l"] + c["r"]), 0.5 * (c["t"] + c["b"]))
+
+
+def _in_region(c: dict, reg: dict) -> bool:
+    x, y = _center(c)
+    return reg["l"] <= x <= reg["r"] and reg["t"] <= y <= reg["b"]
+
+
+def _cluster_positions(vals: list[float], tol: float) -> list[float]:
+    """1-D cluster centers for sorted positions (columns/rows of a grid)."""
+    out: list[list[float]] = []
+    for v in sorted(vals):
+        if out and v - out[-1][-1] <= tol:
+            out[-1].append(v)
+        else:
+            out.append([v])
+    return [sum(g) / len(g) for g in out]
+
+
+def table_grid_from_cells(cells: list[dict]) -> list[list[str]]:
+    """Row/col clustering of region cells into a canonical text grid."""
+    if not cells:
+        return []
+    col_pos = _cluster_positions([c["l"] for c in cells], tol=4.0)
+    row_pos = _cluster_positions([c["t"] for c in cells], tol=4.0)
+    grid = [["" for _ in col_pos] for _ in row_pos]
+    for c in cells:
+        ci = int(np.argmin([abs(c["l"] - p) for p in col_pos]))
+        ri = int(np.argmin([abs(c["t"] - p) for p in row_pos]))
+        txt = sanitize_cell_text([c.get("text", "")])
+        if grid[ri][ci]:
+            grid[ri][ci] += " " + txt
+        else:
+            grid[ri][ci] = txt
+    return grid
+
+
+def _split_columns(cells: list[dict]) -> list[list[dict]]:
+    """Split body cells into columns: sort by left edge, cut where the next
+    cell starts right of the running max right edge + COL_GAP."""
+    if not cells:
+        return []
+    ordered = sorted(cells, key=lambda c: (c["l"], c["t"]))
+    cols: list[list[dict]] = [[ordered[0]]]
+    max_r = ordered[0]["r"]
+    for c in ordered[1:]:
+        if c["l"] > max_r + COL_GAP:
+            cols.append([c])
+            max_r = c["r"]
+        else:
+            cols[-1].append(c)
+            max_r = max(max_r, c["r"])
+    return cols
+
+
+def _paragraphs(col_cells: list[dict]) -> list[dict]:
+    """Group a column's cells into paragraph/heading items by vertical gap
+    and font-size change. Returns items: {top, l, r, b, font, lines}."""
+    items: list[dict] = []
+    cur: dict | None = None
+    for c in sorted(col_cells, key=lambda c: (c["t"], c["l"])):
+        font = float(c.get("font_size", 10.0))
+        if (
+            cur is not None
+            and font == cur["font"]
+            and c["t"] - cur["last_t"] <= PARA_GAP
+            and font < HEADING_FONT  # headings never merge lines
+        ):
+            cur["lines"].append(c.get("text", ""))
+            cur["last_t"] = c["t"]
+            cur["b"] = max(cur["b"], c["b"])
+            cur["l"] = min(cur["l"], c["l"])
+            cur["r"] = max(cur["r"], c["r"])
+        else:
+            cur = {
+                "top": c["t"],
+                "last_t": c["t"],
+                "l": c["l"],
+                "r": c["r"],
+                "b": c["b"],
+                "font": font,
+                "lines": [c.get("text", "")],
+            }
+            items.append(cur)
+    return items
+
+
+def _h_overlap(a_l: float, a_r: float, b_l: float, b_r: float) -> float:
+    return max(0.0, min(a_r, b_r) - max(a_l, b_l))
+
+
+def extract_page(page: dict) -> tuple[list[Span], float]:
+    """One page → (spans in reading order, parse_score). A page scoring below
+    MIN_PARSE_SCORE returns no spans (caller degrades doc status)."""
+    cells = page["cells"]
+    score = page_parse_score(cells)
+    if score < MIN_PARSE_SCORE:
+        return [], score
+    height = float(page["height"])
+
+    headers: list[dict] = []
+    footers: list[dict] = []
+    mid: list[dict] = []
+    for c in cells:
+        if c["b"] <= HEADER_BAND:
+            headers.append(c)
+        elif c["t"] >= height - FOOTER_BAND:
+            footers.append(c)
+        else:
+            mid.append(c)
+
+    regions: list[dict] = []
+    for reg in page.get("tables", []):
+        regions.append({**reg, "kind": "table", "cells": []})
+    for reg in page.get("images", []):
+        regions.append({**reg, "kind": "picture", "cells": []})
+
+    body: list[dict] = []
+    for c in mid:
+        for reg in regions:
+            if _in_region(c, reg):
+                reg["cells"].append(c)
+                break
+        else:
+            body.append(c)
+
+    spans: list[Span] = []
+    for c in sorted(headers, key=lambda c: (c["t"], c["l"])):
+        txt = sanitize_cell_text([c.get("text", "")])
+        if txt:
+            spans.append(("page_header", txt, ""))
+
+    # column-aware flow: columns are detected over body cells AND region
+    # boxes together (a column may contain only a figure), then each
+    # column's cells become paragraph items and its regions become
+    # table/picture items, ordered by top y.
+    for reg in regions:
+        reg["_is_region"] = True
+    cols = _split_columns(body + regions)
+    col_items: list[list[dict]] = []
+    for cc in cols:
+        cell_part = [c for c in cc if not c.get("_is_region")]
+        reg_part = [c for c in cc if c.get("_is_region")]
+        items = _paragraphs(cell_part)
+        for reg in reg_part:
+            items.append(
+                {"top": reg["t"], "l": reg["l"], "r": reg["r"], "b": reg["b"],
+                 "font": 0.0, "region": reg}
+            )
+        col_items.append(items)
+
+    for items in col_items:
+        items.sort(key=lambda it: (it["top"], it["l"]))
+        # caption matching: paragraph starting just below a region, overlapping it
+        consumed: set[int] = set()
+        caption_of: dict[int, int] = {}  # region item idx -> caption item idx
+        for ri, it in enumerate(items):
+            if "region" not in it:
+                continue
+            for pi, cand in enumerate(items):
+                if pi in consumed or "region" in cand:
+                    continue
+                if (
+                    0.0 <= cand["top"] - it["b"] <= CAPTION_GAP
+                    and _h_overlap(it["l"], it["r"], cand["l"], cand["r"]) > 0.0
+                ):
+                    caption_of[ri] = pi
+                    consumed.add(pi)
+                    break
+        for idx, it in enumerate(items):
+            if idx in consumed:
+                continue
+            if "region" in it:
+                reg = it["region"]
+                if reg["kind"] == "table":
+                    grid = table_grid_from_cells(reg["cells"])
+                    spans.append(("table", "", grid_media_ref(grid)))
+                else:
+                    spans.append(("picture", "", reg.get("media_ref", "")))
+                if idx in caption_of:
+                    cap = items[caption_of[idx]]
+                    txt = sanitize_cell_text(cap["lines"])
+                    if txt:
+                        spans.append(("caption", txt, ""))
+            else:
+                txt = sanitize_cell_text(it["lines"])
+                if not txt:
+                    continue
+                if it["font"] >= TITLE_FONT:
+                    spans.append(("title", txt, ""))
+                elif it["font"] >= HEADING_FONT:
+                    spans.append(("section_header", txt, ""))
+                else:
+                    spans.append(("text", txt, ""))
+
+    for c in sorted(footers, key=lambda c: (c["t"], c["l"])):
+        txt = sanitize_cell_text([c.get("text", "")])
+        if txt:
+            spans.append(("page_footer", txt, ""))
+    return spans, score
+
+
+def extract_pdf_unit(payload: str) -> tuple[list[Span], int, float, str | None]:
+    """One pdf_cells input span (= one page) → (spans, page_no, score, error)."""
+    try:
+        page = parse_page_payload(payload)
+    except (ValueError, json.JSONDecodeError) as e:
+        return [], -1, 0.0, f"pdf_cells parse error: {e}"
+    spans, score = extract_page(page)
+    err = None
+    if not spans and score < MIN_PARSE_SCORE:
+        err = f"page {page['page_no']} dropped: parse_score={score:.3f}"
+    return spans, int(page["page_no"]), score, err

@@ -1,0 +1,597 @@
+"""Deterministic synthetic interleaved-corpus generator (FIXTURES.md).
+
+Produces pairs of tables:
+
+  * ``input``    — ``(doc_id, spans)`` rows of raw interleaved content
+    (html markup / markdown-ish text / pdf_cells page JSON / media refs),
+    the shape fixed by ``BASELINE.json.input_hint``;
+  * ``expected`` — ``(doc_id, spans, status)`` ground-truth extraction
+    output, the analogue of the reference's golden fixtures
+    (``tests/data/<fmt>/groundtruth`` — SURVEY.md §5).
+
+Every primitive below renders raw content *and* hand-computes the spans the
+extractor must produce, so the generator and the engine are independent
+implementations of the same specification (the generator never calls the
+extractor). The only shared code is the character-level sanitation in
+``docling_ray.functions.normalize``, which has its own hand-written unit
+tests (tests/test_normalize.py) — sharing it here keeps the geometric layout
+logic, the DOM logic and the ordering logic independently verified.
+
+Corpus mix (FIXTURES.md §1): ~60% html docs, ~25% pdf_cells docs (1-50
+pages, heavy tail for skew tests), ~15% mixed text+media. All draws come
+from ``random.Random(stable_hash64(f"{seed}:{doc_id}"))`` so any document is
+reproducible in isolation — generation parallelizes embarrassingly
+(``map_batches`` over a seed table, see :func:`render_docs_batch`).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pyarrow as pa
+
+from docling_ray import schema as S
+from docling_ray.functions.hashing import stable_hash64
+from docling_ray.functions.normalize import sanitize_cell_text
+from docling_ray.stages.html_extract import grid_media_ref
+
+Span = tuple[str, str, str]
+
+VOCAB = (
+    "data engine ray arrow span table layout column page text media stream "
+    "block batch shuffle actor pool parse extract document corpus heading "
+    "list figure caption code cell grid row order reading model stage task "
+    "pipeline lineage metric partition skew checkpoint resume throughput "
+    "scale node cluster worker driver object store memory disk parquet "
+    "lance schema struct offset kind value result status error quality"
+).split()
+
+PAGE_W, PAGE_H = 612.0, 792.0
+
+
+def _words(rng: random.Random, pool: list[str], n: int) -> list[str]:
+    return [pool[rng.randrange(len(pool))] for _ in range(n)]
+
+
+def _sentence(rng: random.Random, pool: list[str]) -> str:
+    ws = _words(rng, pool, rng.randint(4, 10))
+    return ws[0].capitalize() + " " + " ".join(ws[1:]) + "."
+
+
+def _para_text(rng: random.Random, pool: list[str], n_sent: int | None = None) -> str:
+    n = n_sent or rng.randint(1, 4)
+    return " ".join(_sentence(rng, pool) for _ in range(n))
+
+
+# ======================================================================
+# HTML document
+# ======================================================================
+
+def build_html_doc(
+    rng: random.Random, pool: list[str], doc_id: str
+) -> tuple[str, list[Span]]:
+    """Render one HTML document + its expected span sequence."""
+    frags: list[str] = ["<html><head><title>Ignored head title</title>",
+                       "<style>body{color:#000}</style></head><body>"]
+    exp: list[Span] = []
+    media_n = 0
+    has_headings = rng.random() < 0.9
+
+    def para(target: list[str], emit: bool) -> None:
+        t = _para_text(rng, pool)
+        target.append(f"<p>{t}</p>")
+        if emit:
+            exp.append(("text", t, ""))
+
+    # junk that must be stripped
+    if rng.random() < 0.7:
+        frags.append("<script>var x = 'never extract this';</script>")
+    if rng.random() < 0.4:
+        frags.append("<div hidden><p>hidden content</p></div>")
+    if rng.random() < 0.4:
+        frags.append("<noscript>enable js</noscript>")
+    # nav link farm → boilerplate-stripped (link density)
+    if rng.random() < 0.6:
+        links = "".join(
+            f'<a href="/{w}">{w}</a> ' for w in _words(rng, pool, rng.randint(4, 8))
+        )
+        frags.append(f"<nav>{links}</nav>")
+        frags.append(f'<div class="menu"><ul>'
+                     + "".join(f'<li><a href="/{w}">{w}</a></li>'
+                               for w in _words(rng, pool, 5))
+                     + "</ul></div>")
+
+    if has_headings:
+        # pre-heading furniture: excluded from body spans
+        if rng.random() < 0.5:
+            para(frags, emit=False)
+        title = _sentence(rng, pool)[:-1]
+        frags.append(f"<h1>{title}</h1>")
+        exp.append(("title", title, ""))
+    # body blocks
+    for _ in range(rng.randint(2, 8)):
+        r = rng.random()
+        if r < 0.30:
+            para(frags, emit=True)
+        elif r < 0.42 and has_headings:
+            h = _sentence(rng, pool)[:-1]
+            lvl = rng.choice(["h2", "h3"])
+            frags.append(f"<{lvl}>{h}</{lvl}>")
+            exp.append(("section_header", h, ""))
+        elif r < 0.54:
+            items = [_sentence(rng, pool) for _ in range(rng.randint(2, 5))]
+            tag = rng.choice(["ul", "ol"])
+            start = ' start="42"' if tag == "ol" and rng.random() < 0.3 else ""
+            nested = rng.random() < 0.3
+            html_items = []
+            for i, it in enumerate(items):
+                if nested and i == 1:
+                    sub = [_sentence(rng, pool) for _ in range(2)]
+                    html_items.append(
+                        f"<li>{it}<ul>" + "".join(f"<li>{s}</li>" for s in sub)
+                        + "</ul></li>"
+                    )
+                    exp.append(("list_item", it, ""))
+                    exp.extend(("list_item", s, "") for s in sub)
+                else:
+                    html_items.append(f"<li>{it}</li>")
+                    exp.append(("list_item", it, ""))
+            frags.append(f"<{tag}{start}>" + "".join(html_items) + f"</{tag}>")
+        elif r < 0.62:
+            # definition list
+            pairs = [(w.capitalize(), _sentence(rng, pool))
+                     for w in _words(rng, pool, rng.randint(2, 3))]
+            frags.append("<dl>" + "".join(
+                f"<dt>{k}</dt><dd>{v}</dd>" for k, v in pairs) + "</dl>")
+            for k, v in pairs:
+                exp.append(("list_item", k, ""))
+                exp.append(("list_item", v, ""))
+        elif r < 0.74:
+            frag, e = _build_html_table(rng, pool)
+            frags.append(frag)
+            exp.extend(e)
+        elif r < 0.84:
+            media_n += 1
+            ref = f"img://{doc_id}/{media_n}"
+            cap = _sentence(rng, pool)[:-1]
+            if rng.random() < 0.6:
+                frags.append(
+                    f'<figure><img src="{ref}"/><figcaption>{cap}</figcaption></figure>'
+                )
+            else:
+                frags.append(f'<img src="{ref}" alt="{cap}"/>')
+            exp.append(("picture", "", ref))
+            exp.append(("caption", cap, ""))
+        elif r < 0.90:
+            code = "def f_{}():\n    return {}".format(
+                rng.randrange(100), rng.randrange(1000))
+            frags.append(f"<pre>{code}</pre>")
+            exp.append(("code", code, ""))
+        elif r < 0.95:
+            # <br>-split paragraph → two text spans
+            a, b = _sentence(rng, pool), _sentence(rng, pool)
+            frags.append(f"<p>{a}<br/>{b}</p>")
+            exp.append(("text", a, ""))
+            exp.append(("text", b, ""))
+        else:
+            # unicode-normalization paragraph (raw → cleaned)
+            raw = "Café menu — “daily” ‘special’ co­operate z​ip…"
+            clean = "Café menu - \"daily\" 'special' cooperate zip..."
+            frags.append(f"<p>{raw}</p>")
+            exp.append(("text", clean, ""))
+    # inline formatting paragraph
+    if rng.random() < 0.5:
+        w1, w2 = _words(rng, pool, 2)
+        frags.append(
+            f'<p>Mixed <b>{w1}</b> and <a href="/x">{w2}</a> inline text.</p>'
+        )
+        exp.append(("text", f"Mixed {w1} and {w2} inline text.", ""))
+    # footer furniture
+    if rng.random() < 0.5:
+        frags.append(f"<footer><p>{_sentence(rng, pool)}</p></footer>")
+    frags.append("</body></html>")
+    return "".join(frags), exp
+
+
+def _build_html_table(
+    rng: random.Random, pool: list[str]
+) -> tuple[str, list[Span]]:
+    nrows = rng.randint(2, 4)
+    ncols = rng.randint(2, 4)
+    grid = [[" ".join(_words(rng, pool, rng.randint(1, 2)))
+             for _ in range(ncols)] for _ in range(nrows)]
+    caption = _sentence(rng, pool)[:-1] if rng.random() < 0.4 else ""
+    colspan_row = rng.randrange(nrows) if ncols >= 2 and rng.random() < 0.3 else -1
+
+    parts = ["<table>"]
+    if caption:
+        parts.append(f"<caption>{caption}</caption>")
+    expanded: list[list[str]] = []
+    for ri in range(nrows):
+        tag = "th" if ri == 0 else "td"
+        parts.append("<tr>")
+        row_out: list[str] = []
+        ci = 0
+        while ci < ncols:
+            if ri == colspan_row and ci == 0:
+                parts.append(f'<{tag} colspan="2">{grid[ri][0]}</{tag}>')
+                row_out.extend([grid[ri][0], grid[ri][0]])
+                ci += 2
+            else:
+                parts.append(f"<{tag}>{grid[ri][ci]}</{tag}>")
+                row_out.append(grid[ri][ci])
+                ci += 1
+        parts.append("</tr>")
+        expanded.append(row_out)
+    parts.append("</table>")
+    exp: list[Span] = []
+    if caption:
+        exp.append(("caption", caption, ""))
+    exp.append(("table", "", grid_media_ref(expanded)))
+    return "".join(parts), exp
+
+
+# ======================================================================
+# PDF document (pdf_cells pages)
+# ======================================================================
+
+BODY_FONT = 10.0
+HEADING_FONT_GEN = 16.0
+TITLE_FONT_GEN = 20.0
+LINE_H = 13.0
+PARA_GAP_GEN = 26.0
+BODY_TOP = 72.0
+BODY_BOTTOM = 716.0
+
+
+class _PageBuilder:
+    def __init__(self, page_no: int, two_col: bool):
+        self.page_no = page_no
+        self.two_col = two_col
+        self.cells: list[dict] = []
+        self.tables: list[dict] = []
+        self.images: list[dict] = []
+        self.col = 0
+        self.y = BODY_TOP
+        self.col_x = [72.0, 322.0] if two_col else [72.0]
+        self.col_w = 220.0 if two_col else 468.0
+        self.exp_cols: list[list[Span]] = [[] for _ in self.col_x]
+        self.exp_header: list[Span] = []
+        self.exp_footer: list[Span] = []
+
+    def room(self, h: float) -> bool:
+        return self.y + h <= BODY_BOTTOM
+
+    def next_col(self) -> bool:
+        """Advance to next column; False when the page is full."""
+        if self.col + 1 < len(self.col_x):
+            self.col += 1
+            self.y = BODY_TOP
+            return True
+        return False
+
+    def add_cell(self, text: str, h: float, font: float, x: float | None = None,
+                 w: float | None = None, y: float | None = None) -> None:
+        l = x if x is not None else self.col_x[self.col]
+        t = y if y is not None else self.y
+        self.cells.append({
+            "text": text, "l": l, "t": t,
+            "r": l + (w if w is not None else self.col_w), "b": t + h,
+            "font_size": font,
+        })
+
+    def header(self, text: str) -> None:
+        self.cells.append({"text": text, "l": 72.0, "t": 20.0, "r": 540.0,
+                           "b": 32.0, "font_size": 8.0})
+        self.exp_header.append(("page_header", text, ""))
+
+    def footer(self, text: str) -> None:
+        self.cells.append({"text": text, "l": 72.0, "t": 762.0, "r": 540.0,
+                           "b": 774.0, "font_size": 8.0})
+        self.exp_footer.append(("page_footer", text, ""))
+
+    def paragraph(self, lines: list[str]) -> None:
+        for ln in lines:
+            self.add_cell(ln, 11.0, BODY_FONT)
+            self.y += LINE_H
+        self.y += PARA_GAP_GEN - LINE_H
+        self.exp_cols[self.col].append(("text", sanitize_cell_text(lines), ""))
+
+    def heading(self, text: str, title: bool = False) -> None:
+        font = TITLE_FONT_GEN if title else HEADING_FONT_GEN
+        self.add_cell(text, font + 2, font)
+        self.y += font + 2 + (PARA_GAP_GEN - LINE_H)
+        kind = "title" if title else "section_header"
+        self.exp_cols[self.col].append((kind, sanitize_cell_text([text]), ""))
+
+    def table(self, grid: list[list[str]], caption: str | None) -> None:
+        nrows, ncols = len(grid), len(grid[0])
+        rh, x0 = 16.0, self.col_x[self.col]
+        cw = self.col_w / ncols
+        y0 = self.y
+        for ri in range(nrows):
+            for ci in range(ncols):
+                self.cells.append({
+                    "text": grid[ri][ci], "l": x0 + ci * cw + 2.0,
+                    "t": y0 + ri * rh, "r": x0 + (ci + 1) * cw - 2.0,
+                    "b": y0 + ri * rh + 12.0, "font_size": 9.0,
+                })
+        reg_b = y0 + nrows * rh + 2.0
+        self.tables.append({"l": x0 - 2.0, "t": y0 - 2.0,
+                            "r": x0 + self.col_w + 2.0, "b": reg_b})
+        exp_grid = [[sanitize_cell_text([t]) for t in row] for row in grid]
+        self.exp_cols[self.col].append(("table", "", grid_media_ref(exp_grid)))
+        self.y = reg_b
+        if caption:
+            self.y += 8.0
+            self.add_cell(caption, 11.0, BODY_FONT)
+            self.exp_cols[self.col].append(("caption", sanitize_cell_text([caption]), ""))
+            self.y += LINE_H
+        self.y += PARA_GAP_GEN + 6.0
+
+    def image(self, media_ref: str, caption: str | None) -> None:
+        x0 = self.col_x[self.col]
+        h = 90.0
+        self.images.append({"l": x0, "t": self.y, "r": x0 + self.col_w,
+                            "b": self.y + h, "media_ref": media_ref})
+        self.exp_cols[self.col].append(("picture", "", media_ref))
+        self.y += h
+        if caption:
+            self.y += 8.0
+            self.add_cell(caption, 11.0, BODY_FONT)
+            self.exp_cols[self.col].append(("caption", sanitize_cell_text([caption]), ""))
+            self.y += LINE_H
+        self.y += PARA_GAP_GEN + 6.0
+
+    def payload(self) -> str:
+        return json.dumps(
+            {"page_no": self.page_no, "width": PAGE_W, "height": PAGE_H,
+             "cells": self.cells, "tables": self.tables, "images": self.images},
+            separators=(",", ":"), ensure_ascii=False,
+        )
+
+    def expected(self) -> list[Span]:
+        out = list(self.exp_header)
+        for col in self.exp_cols:
+            out.extend(col)
+        out.extend(self.exp_footer)
+        return out
+
+
+def _pdf_para_lines(rng: random.Random, pool: list[str]) -> list[str]:
+    n = rng.randint(1, 4)
+    lines = [_sentence(rng, pool) for _ in range(n)]
+    r = rng.random()
+    if r < 0.15 and n >= 2:
+        # hyphenated line break across lines 0/1
+        lines[0] = lines[0][:-1] + " transfor-"
+        lines[1] = "mation " + lines[1]
+    elif r < 0.25:
+        lines[0] = lines[0].replace(" ", " ﬁ eld ", 1)  # ligature + spurious space
+    return lines
+
+
+def build_pdf_page(
+    rng: random.Random, pool: list[str], doc_id: str, page_no: int,
+    media_seq: list[int], garbage: bool = False, first_page: bool = False,
+) -> tuple[str, list[Span], bool]:
+    """One page → (payload JSON, expected spans, is_garbage)."""
+    two_col = rng.random() < 0.35 and not garbage
+    pb = _PageBuilder(page_no, two_col)
+    if garbage:
+        for _ in range(rng.randint(3, 8)):
+            pb.add_cell("GLYPH<aa>GLYPH<bb>�/G12/G34/G56", 11.0, BODY_FONT)
+            pb.y += LINE_H
+        return pb.payload(), [], True
+    if rng.random() < 0.7:
+        pb.header(f"Running header {doc_id}")
+    if rng.random() < 0.7:
+        pb.footer(f"Page {page_no}")
+    if first_page:
+        pb.heading(_sentence(rng, pool)[:-1], title=True)
+    filled = False
+    while not filled:
+        r = rng.random()
+        if r < 0.18:
+            item_h = HEADING_FONT_GEN + 2 + PARA_GAP_GEN
+            if not pb.room(item_h):
+                filled = not pb.next_col()
+                continue
+            pb.heading(_sentence(rng, pool)[:-1])
+        elif r < 0.70:
+            lines = _pdf_para_lines(rng, pool)
+            item_h = len(lines) * LINE_H + PARA_GAP_GEN
+            if not pb.room(item_h):
+                filled = not pb.next_col()
+                continue
+            pb.paragraph(lines)
+        elif r < 0.85 and not two_col:
+            nrows, ncols = rng.randint(2, 4), rng.randint(2, 4)
+            grid = [[" ".join(_words(rng, pool, 1)) for _ in range(ncols)]
+                    for _ in range(nrows)]
+            cap = (f"Table {rng.randrange(100)}: " + _sentence(rng, pool)
+                   if rng.random() < 0.6 else None)
+            item_h = nrows * 16.0 + 40.0 + (24.0 if cap else 0.0)
+            if not pb.room(item_h):
+                filled = not pb.next_col()
+                continue
+            pb.table(grid, cap)
+        elif r < 0.95:
+            media_seq[0] += 1
+            ref = f"img://{doc_id}/{media_seq[0]}"
+            cap = (f"Figure {media_seq[0]}: " + _sentence(rng, pool)
+                   if rng.random() < 0.7 else None)
+            item_h = 90.0 + 40.0 + (24.0 if cap else 0.0)
+            if not pb.room(item_h):
+                filled = not pb.next_col()
+                continue
+            pb.image(ref, cap)
+        else:
+            # early stop: sparse page
+            if pb.y > BODY_TOP + 100:
+                break
+    return pb.payload(), pb.expected(), False
+
+
+def build_pdf_doc(
+    rng: random.Random, pool: list[str], doc_id: str, heavy_tail: bool = True
+) -> tuple[list[str], list[Span], str]:
+    """Multi-page PDF doc → (page payloads in input order, expected spans,
+    status). Pages may be shuffled in the input (FIXTURES §4 case 8) — the
+    expected spans stay in page_no order."""
+    r = rng.random()
+    if heavy_tail and r < 0.01:
+        n_pages = rng.randint(200, 260)
+    elif r < 0.30:
+        n_pages = rng.randint(20, 50)
+    else:
+        n_pages = rng.randint(1, 8)
+    media_seq = [0]
+    garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
+    payloads: list[str] = []
+    expected: list[Span] = []
+    any_garbage = False
+    for p in range(n_pages):
+        payload, exp, is_garbage = build_pdf_page(
+            rng, pool, doc_id, page_no=p + 1, media_seq=media_seq,
+            garbage=(p == garbage_at), first_page=(p == 0),
+        )
+        payloads.append(payload)
+        expected.extend(exp)
+        any_garbage |= is_garbage
+    if rng.random() < 0.2 and n_pages > 1:
+        order = list(range(n_pages))
+        rng.shuffle(order)
+        payloads = [payloads[i] for i in order]
+    status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
+    return payloads, expected, status
+
+
+# ======================================================================
+# Text / mixed documents
+# ======================================================================
+
+def build_text_doc(
+    rng: random.Random, pool: list[str], doc_id: str
+) -> tuple[list[tuple[str, str, str]], list[Span]]:
+    """Mixed markdown-ish text + media input spans → (input spans, expected)."""
+    input_spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
+    exp: list[Span] = []
+    lines: list[str] = []
+    title = _sentence(rng, pool)[:-1]
+    lines.append(f"# {title}")
+    exp.append(("title", title, ""))
+    for _ in range(rng.randint(2, 6)):
+        r = rng.random()
+        if r < 0.2:
+            h = _sentence(rng, pool)[:-1]
+            lines.extend(["", f"## {h}"])
+            exp.append(("section_header", h, ""))
+        elif r < 0.6:
+            t = _para_text(rng, pool)
+            lines.extend(["", t])
+            exp.append(("text", t, ""))
+        elif r < 0.8:
+            items = [_sentence(rng, pool) for _ in range(rng.randint(2, 4))]
+            lines.append("")
+            lines.extend(f"- {it}" for it in items)
+            exp.extend(("list_item", it, "") for it in items)
+        else:
+            code = f"x = {rng.randrange(100)}\ny = x * {rng.randrange(9) + 2}"
+            lines.extend(["", "```", code, "```"])
+            exp.append(("code", code, ""))
+    input_spans.append(("text", "\n".join(lines), ""))
+    for k in range(rng.randint(1, 3)):
+        ref = f"img://{doc_id}/m{k}"
+        cap = _sentence(rng, pool)[:-1] if rng.random() < 0.7 else ""
+        input_spans.append(("media", cap, ref))
+        exp.append(("picture", "", ref))
+        if cap:
+            exp.append(("caption", cap, ""))
+    return input_spans, exp
+
+
+# ======================================================================
+# Document / corpus assembly
+# ======================================================================
+
+def make_doc(
+    doc_id: str, seed: int = 42, pool: list[str] | None = None,
+    heavy_tail: bool = True,
+) -> tuple[dict, dict]:
+    """One document → (input row, expected row)."""
+    pool = pool or VOCAB
+    rng = random.Random(stable_hash64(f"{seed}:{doc_id}"))
+    r = rng.random()
+    status = S.STATUS_SUCCESS
+    if r < 0.60:
+        html, exp = build_html_doc(rng, pool, doc_id)
+        in_spans = [("html", html, "")]
+    elif r < 0.85:
+        payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
+        in_spans = [("pdf_cells", p, "") for p in payloads]
+    else:
+        in_spans, exp = build_text_doc(rng, pool, doc_id)
+    input_row = {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(in_spans)
+        ],
+    }
+    expected_row = {
+        "doc_id": doc_id,
+        "spans": S.spans_to_arrow(exp),
+        "status": status,
+    }
+    return input_row, expected_row
+
+
+def make_corpus(
+    n_docs: int, seed: int = 42, pool: list[str] | None = None,
+    heavy_tail: bool = True,
+) -> tuple[pa.Table, pa.Table]:
+    """Small-scale driver-side corpus (tests). For big corpora use
+    :func:`render_docs_batch` inside ``map_batches``."""
+    inputs, expecteds = [], []
+    for i in range(n_docs):
+        inp, exp = make_doc(f"doc-{seed}-{i:08d}", seed, pool, heavy_tail)
+        inputs.append(inp)
+        expecteds.append(exp)
+    return (
+        pa.Table.from_pylist(inputs, schema=S.INPUT_SCHEMA),
+        pa.Table.from_pylist(
+            expecteds,
+            schema=pa.schema(
+                [("doc_id", pa.string()), ("spans", pa.list_(S.SPAN_STRUCT)),
+                 ("status", pa.string())]
+            ),
+        ),
+    )
+
+
+def render_docs_batch(batch: pa.Table, seed: int = 42,
+                      with_expected: bool = False) -> pa.Table:
+    """Ray ``map_batches`` kernel: rows with (doc_id[, text]) → interleaved
+    input rows (optionally + expected columns). When a ``text`` column is
+    present its tokens become the word pool, tying content volume to the
+    source table (used to derive the bench corpus from
+    ``/root/testdata/sf*/documents.parquet``)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(doc_ids)
+    inputs, expecteds = [], []
+    for did, text in zip(doc_ids, texts):
+        sid = did if isinstance(did, str) else f"doc-{did:08d}"
+        pool = text.split() if text else None
+        inp, exp = make_doc(sid, seed, pool)
+        inputs.append(inp)
+        expecteds.append(exp)
+    tbl = pa.Table.from_pylist(inputs, schema=S.INPUT_SCHEMA)
+    if with_expected:
+        exp_spans = pa.array([e["spans"] for e in expecteds],
+                             type=pa.list_(S.SPAN_STRUCT))
+        exp_status = pa.array([e["status"] for e in expecteds], type=pa.string())
+        tbl = tbl.append_column("expected_spans", exp_spans)
+        tbl = tbl.append_column("expected_status", exp_status)
+    return tbl
