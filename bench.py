@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract).
+
+Headline: end-to-end extraction throughput (docs/sec) of the interleaved
+corpus derived from ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) —
+read parquet corpus → skew-routed extraction → parquet sink. The corpus is
+derived once (untimed) and cached under /tmp, so the timed section measures
+the engine, not the generator. Also times a representative slice of the
+operator suite (dedup, ANN, window aggregate, token stats, q1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` re-runs the headline in two fresh processes
+(num_cpus=8 and 32) on the same cached corpus and reports the throughput at
+both plus scaling efficiency = (t_lo / t_hi) / (hi/lo): the sandbox
+stand-in for N-node vs 4N-node clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+DOCS_PER_ROW = int(os.environ.get("GRAFT_DOCS_PER_ROW", "8"))
+CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/docling_ray_bench")
+
+
+def corpus_cache_path() -> str:
+    tag = SF_DIR.strip("/").replace("/", "_")
+    return os.path.join(CACHE_ROOT, f"corpus-{tag}-s{SEED}-x{DOCS_PER_ROW}")
+
+
+def ensure_corpus(path: str) -> None:
+    import ray
+
+    from docling_ray.sources.corpus import derive_corpus, write_corpus
+
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    ds = derive_corpus(SF_DIR, seed=SEED, docs_per_row=DOCS_PER_ROW)
+    write_corpus(ds, path)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from docling_ray.pipelines import analytics as A
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import read_corpus
+    from docling_ray.stages.dedup import minhash_lsh_clusters
+    from docling_ray.stages.text_quality import token_stats_batch
+
+    path = corpus_cache_path()
+    ensure_corpus(path)
+    # compute-bound downstream → many small blocks (see read_corpus docstring)
+    par = 8 * NUM_CPUS
+    # warm the page cache so we measure compute, not first disk read
+    n_docs = read_corpus(path, columns=["doc_id"]).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def headline():
+        """Fast path: the skew answer at this corpus's size distribution is
+        byte-size-bounded blocks (max doc ≈ 0.7 MB ≈ 0.4 s task time); the
+        hybrid page-explode route is benchmarked separately and pays off
+        only for documents far above this corpus's ceiling."""
+        ds = read_corpus(path, parallelism=par)
+        extract_corpus(ds, mode="fast").write_parquet(out_dir)
+
+    timed("extract", headline)
+    headline_sec = queries["extract"]
+
+    timed("extract_hybrid", lambda: extract_corpus(
+        read_corpus(path, parallelism=par),
+        mode="hybrid", big_threshold=1 << 19).count())
+
+    def docs_ds():
+        return ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    timed("token_stats", lambda: docs_ds().map_batches(
+        token_stats_batch, batch_format="pyarrow").count())
+    timed("minhash_dedup",
+          lambda: minhash_lsh_clusters(docs_ds(), threshold=0.8).num_rows)
+    timed("ann_topk", lambda: A.ann_brute_topk(SF_DIR).to_pandas())
+    timed("events_hourly", lambda: A.events_hourly_window(SF_DIR).to_pandas())
+    timed("q1_lineitem_agg", lambda: A.q1_lineitem_agg(SF_DIR).to_pandas())
+
+    result = {
+        "metric": "extract_corpus_wall_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    env = dict(os.environ)
+    results = {}
+    for n in (lo, hi):
+        env["RAY_GRAFT_CPUS"] = str(n)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": results[lo]["docs_per_sec"],
+        "docs_per_sec_hi": results[hi]["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

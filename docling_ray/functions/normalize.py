@@ -150,12 +150,17 @@ def sanitize_cell_text(lines: list[str]) -> str:
 _GLYPH_RE = re.compile(r"GLYPH<[^>]*>")
 _SLASH_G_RE = re.compile(r"(?:/G\d+){2,}")
 _FRAG_RE = re.compile(r"(?:\b\w\b ){4,}")
+# one cheap pre-scan: clean text (the overwhelming majority) takes a single
+# regex search instead of three finditer passes
+_SUSPECT_RE = re.compile(r"GLYPH<|�|/G\d|(?:\b\w\b ){4,}")
 
 
 def text_quality_score(text: str) -> float:
     """Heuristic parse quality in [0,1]; low for glyph-garbage PDF text."""
     if not text:
         return 0.0
+    if _SUSPECT_RE.search(text) is None:
+        return 1.0
     n = len(text)
     bad = 0
     for m in _GLYPH_RE.finditer(text):

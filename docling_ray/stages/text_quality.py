@@ -1,0 +1,163 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+All kernels are vectorized ``map_batches`` stages over the ``documents``
+table. The token/stopword/fingerprint definitions are chosen to be exactly
+expressible in ANSI SQL (DuckDB) so every operator is oracle-checkable:
+tokens = ``[a-z0-9]+`` over lowercased text; fingerprint = MD5 of
+lowercased whitespace-collapsed text.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from docling_ray.functions.hashing import content_md5, normalized_fingerprint, tokenize
+
+# Fixed stopword list — mirrored verbatim in the oracle SQL literal.
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
+_STOP_SET = frozenset(STOPWORDS)
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc token statistics (oracle-checkable)."""
+    texts = batch["text"].to_pylist()
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    n_stop = np.empty(len(texts), dtype=np.int64)
+    tok_chars = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t or "")
+        n_tokens[i] = len(toks)
+        n_stop[i] = sum(1 for w in toks if w in _STOP_SET)
+        tok_chars[i] = sum(len(w) for w in toks)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_stop": pa.array(n_stop),
+            "tok_chars": pa.array(tok_chars),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring stage: ratios + keep flag (C4/Gopher-style length and
+    stopword filters, simplified to stay SQL-expressible)."""
+    stats = token_stats_batch(batch)
+    n_tokens = stats["n_tokens"].to_numpy()
+    n_stop = stats["n_stop"].to_numpy()
+    tok_chars = stats["tok_chars"].to_numpy()
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    # floor-scaled integers, not rounded doubles: floor after identical IEEE
+    # division is deterministic across engines (see pipelines/analytics.py)
+    stop_ratio_ppm = np.floor(n_stop * 1_000_000.0 / denom).astype(np.int64)
+    avg_token_len_ppm = np.floor(tok_chars * 1_000_000.0 / denom).astype(np.int64)
+    keep = (n_tokens >= 5) & (n_tokens <= 100_000) & (stop_ratio_ppm >= 10_000)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": stats["n_tokens"],
+            "n_stop": stats["n_stop"],
+            "stop_ratio_ppm": pa.array(stop_ratio_ppm),
+            "avg_token_len_ppm": pa.array(avg_token_len_ppm),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → MD5 fingerprints: raw and normalized."""
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array([content_md5(t or "") for t in texts]),
+            "fingerprint": pa.array(
+                [normalized_fingerprint(t or "") for t in texts]
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID — character n-gram + stopword heuristic (no model download).
+# Stateful profile tables → actor-pool stage (class form), mirroring the
+# reference's load-once-in-__init__ engines (SURVEY.md §7.2).
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is it you that for on with as are".split()),
+    "fr": frozenset("le la les de des et un une est dans que pour sur avec ne pas".split()),
+    "de": frozenset("der die das und ist von zu mit den nicht ein eine auf für".split()),
+    "es": frozenset("el la los las de y un una es en que por con para no se".split()),
+    "it": frozenset("il lo la gli le di e un una è che per con non si del".split()),
+    "pt": frozenset("o a os as de e um uma é que para com não se do da em".split()),
+}
+
+_LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "he ", "ing", "nd ", "ion", " an", "er ", " of", "of "),
+    "fr": ("es ", " de", "de ", "le ", " le", "ent", "ion", "la ", " la", "que"),
+    "de": ("en ", "er ", "ch ", "der", " de", "ein", "sch", "ich", "nde", "die"),
+    "es": (" de", "de ", "os ", "la ", " la", "el ", " el", "que", " qu", "ión"),
+    "it": (" di", "di ", "to ", "la ", " la", "re ", "che", " ch", "one", "ell"),
+    "pt": (" de", "de ", "os ", " a ", "ão ", "do ", " do", "da ", " da", "que"),
+}
+
+
+class LangIdModel:
+    """Callable-class stage for ``map_batches(LangIdModel, concurrency=N)``:
+    profile tables built once per actor, scored per batch."""
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.tri_index: dict[str, dict[str, int]] = {
+            lang: {g: i for i, g in enumerate(tris)}
+            for lang, tris in _LANG_TRIGRAMS.items()
+        }
+
+    def classify(self, text: str) -> tuple[str, float]:
+        text_l = (text or "").lower()
+        words = self.word_re.findall(text_l)
+        scores: dict[str, float] = {}
+        for lang, stops in _LANG_STOPWORDS.items():
+            sw = sum(1 for w in words if w in stops) / max(1, len(words))
+            padded = f" {text_l} "
+            tri = sum(padded.count(g) for g in _LANG_TRIGRAMS[lang]) / max(
+                1, len(text_l)
+            )
+            scores[lang] = 2.0 * sw + tri
+        best = max(scores, key=scores.get)  # ties: dict order (deterministic)
+        total = sum(scores.values()) or 1.0
+        conf = scores[best] / total
+        if scores[best] < 1e-3:
+            return "und", 0.0
+        return best, conf
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch["text"].to_pylist():
+            lang, conf = self.classify(t or "")
+            preds.append(lang)
+            confs.append(round(conf, 6))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds),
+                "confidence": pa.array(confs, type=pa.float64()),
+            }
+        )
+
+
+def shannon_entropy(text: str) -> float:
+    """Character entropy (bits/char) — a cheap gibberish signal."""
+    if not text:
+        return 0.0
+    counts: dict[str, int] = {}
+    for ch in text:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = len(text)
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())

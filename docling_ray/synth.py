@@ -572,21 +572,25 @@ def make_corpus(
 
 
 def render_docs_batch(batch: pa.Table, seed: int = 42,
-                      with_expected: bool = False) -> pa.Table:
+                      with_expected: bool = False,
+                      docs_per_row: int = 1) -> pa.Table:
     """Ray ``map_batches`` kernel: rows with (doc_id[, text]) → interleaved
     input rows (optionally + expected columns). When a ``text`` column is
     present its tokens become the word pool, tying content volume to the
     source table (used to derive the bench corpus from
-    ``/root/testdata/sf*/documents.parquet``)."""
+    ``/root/testdata/sf*/documents.parquet``). ``docs_per_row`` replicates
+    each source row into several distinct documents (bench corpus sizing)."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(doc_ids)
     inputs, expecteds = [], []
     for did, text in zip(doc_ids, texts):
-        sid = did if isinstance(did, str) else f"doc-{did:08d}"
+        base = did if isinstance(did, str) else f"doc-{did:08d}"
         pool = text.split() if text else None
-        inp, exp = make_doc(sid, seed, pool)
-        inputs.append(inp)
-        expecteds.append(exp)
+        for j in range(docs_per_row):
+            sid = base if docs_per_row == 1 else f"{base}-r{j}"
+            inp, exp = make_doc(sid, seed, pool)
+            inputs.append(inp)
+            expecteds.append(exp)
     tbl = pa.Table.from_pylist(inputs, schema=S.INPUT_SCHEMA)
     if with_expected:
         exp_spans = pa.array([e["spans"] for e in expecteds],
