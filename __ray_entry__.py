@@ -204,6 +204,18 @@ def _quality(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow").sort("doc_id")
 
 
+def _heading_levels(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.heading_hierarchy import heading_levels_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(heading_levels_batch, batch_format="pyarrow").sort(
+        ["doc_id", "offset"]
+    )
+
+
 def _export_markdown(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -236,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "embedding_neardup": _embedding_neardup,
         "embedding_norms": A.embedding_label_norms,
+        # enrichment
+        "heading_levels": _heading_levels,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage

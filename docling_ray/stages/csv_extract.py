@@ -15,7 +15,9 @@ Span = tuple[str, str, str]
 
 
 def extract_csv(raw: str) -> list[Span]:
-    raw = raw.strip("\n")
+    # normalize newlines first: a bare \r in an unquoted field is a hard
+    # _csv.Error otherwise (found by hypothesis fuzzing)
+    raw = raw.replace("\r\n", "\n").replace("\r", "\n").strip("\n")
     if not raw.strip():
         return []
     sample = raw[:4096]
@@ -33,9 +35,14 @@ def extract_csv(raw: str) -> list[Span]:
             delimiter = delim
 
         dialect = _Fallback
-    reader = csv.reader(io.StringIO(raw), dialect)
-    rows = [[collapse_whitespace(clean_unicode(c)) for c in row]
-            for row in reader if row]
+    try:
+        reader = csv.reader(io.StringIO(raw), dialect)
+        rows = [[collapse_whitespace(clean_unicode(c)) for c in row]
+                for row in reader if row]
+    except csv.Error:
+        # degenerate input: fall back to one column per line
+        rows = [[collapse_whitespace(clean_unicode(line))]
+                for line in raw.split("\n") if line.strip()]
     if not rows:
         return []
     ncols = max(len(r) for r in rows)
