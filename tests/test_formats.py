@@ -1,0 +1,123 @@
+"""Format-backend tests: VTT, EML, AsciiDoc, EBCDIC, lossless span JSON."""
+
+import json
+
+from docling_ray.stages.assemble import extract_document
+from docling_ray.stages.formats import (
+    extract_asciidoc,
+    extract_ebcdic,
+    extract_eml,
+    extract_spans_json,
+    extract_vtt,
+)
+
+
+def test_vtt_cues_speakers_timestamps():
+    raw = """WEBVTT
+
+00:00.000 --> 00:04.000
+<v Alice>Hello there everyone
+
+00:04.000 --> 00:08.500
+<v Bob>Hi <b>Alice</b>
+
+NOTE internal comment
+
+00:09.000 --> 00:12.000
+no speaker line
+"""
+    spans = extract_vtt(raw)
+    assert spans[0] == ("text", "Alice: Hello there everyone", "vtt://00:00.000-->00:04.000")
+    assert spans[1][1] == "Bob: Hi Alice"
+    assert spans[2] == ("text", "no speaker line", "vtt://00:09.000-->00:12.000")
+
+
+def test_eml_subject_body_html_delegation():
+    raw = (
+        "From: a@example.com\r\n"
+        "To: b@example.com\r\n"
+        "Subject: Weekly report\r\n"
+        "Content-Type: text/plain\r\n"
+        "\r\n"
+        "First paragraph here.\r\n"
+        "\r\n"
+        "Second paragraph.\r\n"
+    )
+    spans = extract_eml(raw)
+    assert spans[0] == ("title", "Weekly report", "")
+    assert spans[1] == ("text", "First paragraph here.", "")
+    assert spans[2] == ("text", "Second paragraph.", "")
+    # From/To headers are furniture — never in spans
+    assert not any("example.com" in s[1] for s in spans)
+
+
+def test_asciidoc_blocks():
+    raw = """= Main Title
+
+Intro paragraph
+continues here.
+
+== Section One
+
+* first item
+* second item
+
+----
+code line 1
+code line 2
+----
+
+image::diagram.png[The diagram]
+"""
+    spans = extract_asciidoc(raw)
+    assert spans == [
+        ("title", "Main Title", ""),
+        ("text", "Intro paragraph continues here.", ""),
+        ("section_header", "Section One", ""),
+        ("list_item", "first item", ""),
+        ("list_item", "second item", ""),
+        ("code", "code line 1\ncode line 2", ""),
+        ("picture", "", "diagram.png"),
+        ("caption", "The diagram", ""),
+    ]
+
+
+def test_ebcdic_records():
+    text = "HELLO WORLD".ljust(80) + "SECOND RECORD".ljust(80)
+    ebcdic_bytes = text.encode("cp037")
+    raw = ebcdic_bytes.decode("latin-1")
+    spans = extract_ebcdic(raw)
+    assert spans == [("text", "HELLO WORLD", ""), ("text", "SECOND RECORD", "")]
+
+
+def test_spans_json_lossless_roundtrip():
+    original = [
+        {"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+        {"kind": "picture", "text": "", "media_ref": "img://x", "offset": 1},
+    ]
+    spans = extract_spans_json(json.dumps(original))
+    assert spans == [("title", "T", ""), ("picture", "", "img://x")]
+    out = extract_document([
+        {"kind": "spans_json", "text": json.dumps(original),
+         "media_ref": "", "offset": 0},
+    ])
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    assert got == spans and out["status"] == "success"
+
+
+def test_spans_json_invalid_kind_is_error_row():
+    out = extract_document([
+        {"kind": "spans_json", "text": '[{"kind": "nope", "text": "x"}]',
+         "media_ref": "", "offset": 0},
+    ])
+    assert out["status"] == "failure" and out["errors"]
+
+
+def test_all_formats_through_document_kernel():
+    out = extract_document([
+        {"kind": "vtt", "text": "WEBVTT\n\n00:00.000 --> 00:01.000\nhi",
+         "media_ref": "", "offset": 0},
+        {"kind": "asciidoc", "text": "= T\n\npara", "media_ref": "", "offset": 1},
+    ])
+    kinds = [s["kind"] for s in out["spans"]]
+    assert kinds == ["text", "title", "text"] and out["status"] == "success"
