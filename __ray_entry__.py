@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": A.topk_orders,
         "events_hourly": A.events_hourly_window,
         "distinct_event_types": A.distinct_event_types,
+        "sessionize": A.sessionize_events,
+        "asof_join": A.asof_join_events_orders,
     }
 
 
@@ -348,5 +350,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_event_types": (
             "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events) "
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(1 + sum(CASE WHEN pts IS NOT NULL "
+            "AND epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM g GROUP BY user_id ORDER BY user_id"
+        ),
+        "asof_join": (
+            # orders deduped to one per (custkey, date), highest orderkey —
+            # as-of tie order among equal dates is engine-defined otherwise
+            "WITH o2 AS (SELECT * FROM ("
+            "SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey, o_orderdate "
+            "ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1) "
+            "SELECT e.event_type, count(*) AS n_matched, "
+            "CAST(round(sum(o2.o_totalprice) * 100.0, 0) AS BIGINT) AS sum_price_x100 "
+            "FROM events e ASOF JOIN o2 "
+            "ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
     }

@@ -335,3 +335,101 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
         }),
         batch_format="pyarrow",
     ).sort("o_orderpriority")
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user event stream → session count with a
+    ``gap_minutes`` inactivity cutoff. The streaming-shaped custom op
+    (SURVEY.md §2.8 "windows"): ``groupby(user_id).map_groups`` sorts the
+    group by ts and counts gaps — ordering is re-established inside the
+    group, never assumed from block order."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(group) -> pa.Table:
+        ts = group["ts"].sort_values().to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([int(group["user_id"].iloc[0])], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    ).sort("user_id")
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 16):
+    """As-of join (SURVEY custom-op list): each event matched to the user's
+    most recent order at or before the event time, aggregated per event
+    type. Implemented as the documented bucketed co-group: both sides keyed
+    by user, unioned, ``groupby(bucket)`` co-locates, ``pd.merge_asof``
+    inside the group. Orders are deduped to one per (user, date) — highest
+    orderkey wins — because the as-of tie order among equal dates is
+    engine-defined otherwise (the oracle applies the same rule)."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["user_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32()),
+            "key": keys,
+            "when": batch["ts"],
+            "event_type": batch["event_type"],
+            "okey": pa.nulls(batch.num_rows, pa.int64()),
+            "price": pa.nulls(batch.num_rows, pa.float64()),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32()),
+            "key": keys,
+            "when": batch["o_orderdate"],
+            "event_type": pa.nulls(batch.num_rows, pa.string()),
+            "okey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "price": batch["o_totalprice"],
+        })
+
+    both = events.map_batches(event_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow",
+                           batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["okey"].notna()
+        ev = group[~is_order][["key", "when", "event_type"]]
+        od = group[is_order][["key", "when", "okey", "price"]]
+        if ev.empty:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_matched": pa.array([], pa.int64()),
+                             "sum_price": pa.array([], pa.float64())})
+        # dedupe: one order per (user, date), highest orderkey wins
+        od = od.sort_values(["key", "when", "okey"]).drop_duplicates(
+            subset=["key", "when"], keep="last")
+        ev = ev.sort_values("when", kind="mergesort")
+        od = od.sort_values("when", kind="mergesort")
+        m = pd.merge_asof(ev, od, on="when", by="key", direction="backward")
+        m = m[m["okey"].notna()]
+        g = m.groupby("event_type", as_index=False).agg(
+            n_matched=("okey", "size"), sum_price=("price", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = both.groupby("bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+    agg = partials.groupby("event_type").aggregate(
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("sum_price", alias_name="sum_price"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_matched": pc.round(pc.cast(t["n_matched"], pa.float64()), 0).cast(pa.int64()),
+            "sum_price_x100": pc.round(pc.multiply(t["sum_price"], 100.0), 0).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("event_type")

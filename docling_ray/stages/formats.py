@@ -209,10 +209,27 @@ def extract_spans_json(raw: str) -> list[Span]:
     return spans
 
 
+def _lazy_office(name):
+    def fn(raw: str):
+        from docling_ray.stages import jats, office_xml
+
+        table = {
+            "docx_xml": office_xml.extract_docx_xml,
+            "xlsx_xml": office_xml.extract_xlsx_xml,
+            "jats": jats.extract_jats,
+        }
+        return table[name](raw)
+
+    return fn
+
+
 FORMAT_EXTRACTORS = {
     "vtt": extract_vtt,
     "eml": extract_eml,
     "asciidoc": extract_asciidoc,
     "ebcdic": extract_ebcdic,
     "spans_json": extract_spans_json,
+    "docx_xml": _lazy_office("docx_xml"),
+    "xlsx_xml": _lazy_office("xlsx_xml"),
+    "jats": _lazy_office("jats"),
 }
