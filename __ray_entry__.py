@@ -144,6 +144,17 @@ def _ann_lsh(sf_dir: str):
     return lsh_topk(ds, _query_vector(sf_dir), k=10)
 
 
+def _ann_ivf(sf_dir: str):
+    import ray
+
+    from docling_ray.pipelines.analytics import _query_vector
+    from docling_ray.stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vector(sf_dir), k=10)
+
+
 def _media_features(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -246,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "embedding_neardup": _embedding_neardup,
         "embedding_norms": A.embedding_label_norms,
         # enrichment
@@ -261,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": A.distinct_event_types,
         "sessionize": A.sessionize_events,
         "asof_join": A.asof_join_events_orders,
+        "docs_by_lang_source": A.docs_by_lang_source,
     }
 
 
@@ -350,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_event_types": (
             "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+        ),
+        "docs_by_lang_source": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "GROUP BY lang, source ORDER BY lang, source"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

@@ -433,3 +433,22 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 16):
         }),
         batch_format="pyarrow",
     ).sort("event_type")
+
+
+def docs_by_lang_source(sf_dir: str):
+    """Multi-key grouped corpus stats (pure Ray aggregate, no partial stage:
+    the group count is tiny so the built-in shuffle is already minimal)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    agg = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort(["lang", "source"])

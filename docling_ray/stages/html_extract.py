@@ -65,7 +65,7 @@ _BLOCK = {
     "dt", "dd", "table", "figure", "pre", "blockquote", "address", "summary",
     "details", "footer", "header", "nav", "section", "article", "main",
     "aside", "form", "fieldset", "tr", "td", "th", "thead", "tbody", "tfoot",
-    "caption", "figcaption", "hr", "body", "html", "title",
+    "caption", "figcaption", "hr", "body", "html", "title", "math",
 }
 # Tags that auto-close an open <p> (subset of the reference's _PARA_BREAKERS,
 # html_backend.py:113-147)
@@ -401,6 +401,11 @@ class HtmlExtractor:
             self._emit(spans, "picture", "", src)
             if alt:
                 self._emit(spans, "caption", alt)
+            return
+        if tag == "math":
+            text = " ".join(_norm_flow(_inline_text(node)))
+            if text:
+                self._emit(spans, "formula", text)
             return
         if tag == "pre":
             text = clean_unicode(_inline_text(node))

@@ -184,3 +184,83 @@ def embedding_neardup_pairs(
                          "sim": pa.array([], pa.float64())})
     df = df.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    ds: "ray.data.Dataset", n_clusters: int = 16, n_iter: int = 8,
+    sample_rows: int = 4096, seed: int = 11, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the coarse quantizer: deterministic mini k-means over a bounded
+    driver-side sample (sampling at scale = ds.limit over a shuffled-on-write
+    corpus; the training set never exceeds ``sample_rows``)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)),
+                               replace=False)]
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    ds: "ray.data.Dataset", centroids: np.ndarray, vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Add an ``ivf_cluster`` column (build phase; centroids broadcast once)."""
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _to_matrix(batch[vec_col])
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "ivf_cluster", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+    n_clusters: int = 16, n_probe: int = 4, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """IVF cosine top-k: score only rows whose cluster is among the
+    ``n_probe`` centroids nearest the query. Approximate; recall measured
+    in tests against brute force."""
+    q = np.asarray(query, dtype=np.float64)
+    if centroids is None:
+        centroids = ivf_train_centroids(ds, n_clusters=n_clusters, seed=seed,
+                                        vec_col=vec_col)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d)[:n_probe].astype(np.int32)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(q)
+    bucketed = ivf_assign(ds, centroids, vec_col=vec_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qs = ray.get(probe_ref)
+        qv = ray.get(q_ref)
+        mask = np.isin(batch["ivf_cluster"].to_numpy(), qs)
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=batch[id_col].type),
+                             "sim": pa.array([], type=pa.float64())})
+        mat = _to_matrix(batch[vec_col])[mask]
+        sims = _cosine_scores(mat, qv)
+        ids = batch[id_col].filter(pa.array(mask)).combine_chunks()
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n] if len(sims) > n else np.arange(len(sims))
+        return pa.table({id_col: ids.take(pa.array(idx)),
+                         "sim": pa.array(np.round(sims[idx], 6))})
+
+    partials = bucketed.map_batches(score, batch_format="pyarrow")
+    return partials.sort(["sim", id_col], descending=[True, False]).limit(k)

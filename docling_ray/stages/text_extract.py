@@ -20,6 +20,7 @@ _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*\S)\s*$")
 _BULLET_RE = re.compile(r"^\s*[-*+]\s+(.*\S)\s*$")
 _NUMBERED_RE = re.compile(r"^\s*\d+[.)]\s+(.*\S)\s*$")
 _FENCE_RE = re.compile(r"^\s*```")
+_FORMULA_RE = re.compile(r"^\s*\$\$(.+)\$\$\s*$")
 
 
 def extract_text(raw: str) -> list[Span]:
@@ -46,6 +47,11 @@ def extract_text(raw: str) -> list[Span]:
         if _FENCE_RE.match(line):
             flush_para()
             code = []
+            continue
+        m = _FORMULA_RE.match(line)
+        if m:
+            flush_para()
+            spans.append(("formula", collapse_whitespace(m.group(1)), ""))
             continue
         m = _HEADING_RE.match(line)
         if m:

@@ -180,6 +180,11 @@ def build_html_doc(
             clean = "Café menu - \"daily\" 'special' cooperate zip..."
             frags.append(f"<p>{raw}</p>")
             exp.append(("text", clean, ""))
+    # formula block
+    if rng.random() < 0.25:
+        expr = f"E_{rng.randrange(9)} = m c^{rng.randrange(2, 5)}"
+        frags.append(f"<math>{expr}</math>")
+        exp.append(("formula", expr, ""))
     # inline formatting paragraph
     if rng.random() < 0.5:
         w1, w2 = _words(rng, pool, 2)
@@ -497,10 +502,14 @@ def build_text_doc(
             lines.append("")
             lines.extend(f"- {it}" for it in items)
             exp.extend(("list_item", it, "") for it in items)
-        else:
+        elif r < 0.9:
             code = f"x = {rng.randrange(100)}\ny = x * {rng.randrange(9) + 2}"
             lines.extend(["", "```", code, "```"])
             exp.append(("code", code, ""))
+        else:
+            expr = f"a_{rng.randrange(9)} + b^{rng.randrange(2, 6)}"
+            lines.extend(["", f"$$ {expr} $$"])
+            exp.append(("formula", expr, ""))
     input_spans.append(("text", "\n".join(lines), ""))
     for k in range(rng.randint(1, 3)):
         ref = f"img://{doc_id}/m{k}"

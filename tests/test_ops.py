@@ -186,3 +186,17 @@ def test_multimodal_plumbing(ray_session):
     # deterministic: same media_ref → same features
     feats2 = MediaFeatureExtractor()(media).to_pandas()
     assert feats["pixel_mean"].tolist() == feats2["pixel_mean"].tolist()
+
+
+def test_ivf_topk_recall(ray_session):
+    from docling_ray.stages.similarity import brute_topk, ivf_topk
+
+    ds, m = _emb_ds(n=600, dim=16, seed=4)
+    q = m[11].astype(np.float64)
+    exact = brute_topk(ds, q, k=10).to_pandas()["vec_id"].tolist()
+    approx = ivf_topk(ds, q, k=10, n_clusters=12, n_probe=4).to_pandas()["vec_id"].tolist()
+    assert 11 in approx  # query's own vector found
+    assert len(set(exact) & set(approx)) >= 5  # decent recall
+    # determinism: same call → same result
+    approx2 = ivf_topk(ds, q, k=10, n_clusters=12, n_probe=4).to_pandas()["vec_id"].tolist()
+    assert approx == approx2
