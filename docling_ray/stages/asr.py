@@ -127,3 +127,71 @@ def sample_keyframes(
         interval_ms = duration_ms // (max_frames - 1) if max_frames > 1 else duration_ms
         n = max_frames
     return [min(i * interval_ms, duration_ms) for i in range(int(n))]
+
+
+# ---------------------------------------------------------------------------
+# VLM page-conversion stub (SURVEY.md §2.5): page payload → doctags → spans.
+# Real VLM engines are model-dependent and absent here; the fake engine
+# "generates" doctags deterministically from the page's own cells so the
+# actor-pool shape, the doctags parse path and the page-concat assembly are
+# real and tested (vlm_convert_model.py:66 + vlm_pipeline.py:446 analogue).
+# ---------------------------------------------------------------------------
+
+
+class _FakeVlm:
+    def generate_doctags(self, page_payload: str) -> str:
+        from docling_ray.stages.pdf_layout import extract_pdf_unit
+
+        spans, _page_no, _score, _err = extract_pdf_unit(page_payload)
+        from docling_ray.stages.export import spans_to_doctags
+
+        return spans_to_doctags(
+            [{"kind": k, "text": t, "media_ref": m} for k, t, m in spans]
+        )
+
+
+VLM_ENGINES = {
+    "fake": _FakeVlm,
+    "granite_docling": _unavailable("granite_docling"),
+    "smoldocling": _unavailable("smoldocling"),
+}
+
+
+def resolve_vlm(kind: str = "auto"):
+    if kind == "auto":
+        for cls in VLM_ENGINES.values():
+            try:
+                return cls()
+            except NotImplementedError:
+                continue
+        raise NotImplementedError("no VLM engine available")
+    return VLM_ENGINES[kind]()
+
+
+class VlmConvertStage:
+    """Actor-pool stage: rows (doc_id, payload) → (doc_id, page_no, doctags,
+    spans). GPU-shaped in production (num_gpus in map_batches); CPU fake here."""
+
+    def __init__(self, engine: str = "auto"):
+        self.engine = resolve_vlm(engine)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import json as _json
+
+        from docling_ray import schema as S
+        from docling_ray.stages.export import parse_doctags
+
+        out = []
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            dt = self.engine.generate_doctags(payload)
+            spans = parse_doctags(dt)
+            try:
+                page_no = int(_json.loads(payload).get("page_no", 0))
+            except Exception:
+                page_no = -1
+            out.append({
+                "doc_id": did, "page_no": page_no, "doctags": dt,
+                "spans": S.spans_to_arrow(spans),
+            })
+        return pa.Table.from_pylist(out)

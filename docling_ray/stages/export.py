@@ -107,3 +107,26 @@ def export_corpus(ds, fmt: str = "markdown"):
     """Extraction output Dataset → (doc_id, content) Dataset."""
     return ds.map_batches(export_batch, batch_format="pyarrow",
                           fn_kwargs={"fmt": fmt})
+
+
+# ---------------------------------------------------------------------------
+# DocTags parsing (the lossless inverse of spans_to_doctags) — the reload
+# path used by the VLM pipeline's doctags output
+# (reference vlm_pipeline.py:446 _turn_dt_into_doc analogue).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_DOCTAG_RE = _re.compile(
+    r"<(?P<kind>[a-z_]+)(?:\s+ref=\"(?P<ref>[^\"]*)\")?>(?P<text>.*?)</(?P=kind)>",
+    _re.DOTALL,
+)
+
+
+def parse_doctags(raw: str) -> list[tuple[str, str, str]]:
+    """DocTags string → (kind, text, media_ref) spans. Inverse of
+    :func:`spans_to_doctags` for our span model."""
+    return [
+        (m.group("kind"), m.group("text"), m.group("ref") or "")
+        for m in _DOCTAG_RE.finditer(raw)
+    ]
