@@ -218,3 +218,35 @@ def extract_corpus(
         )
         return small_out.union(big_out)
     raise ValueError(f"unknown mode: {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# byte-balanced block splitting (the explicit size-binned repartition)
+# ---------------------------------------------------------------------------
+
+def rebalance_by_bytes(
+    ds: "ray.data.Dataset", target_bytes: int = 4 << 20
+) -> "ray.data.Dataset":
+    """Re-cut blocks on document byte-size boundaries: a generator
+    ``map_batches`` stage that yields one sub-table per ``target_bytes`` of
+    raw content, so a giant document lands alone in its own block and a
+    block's downstream task time is bounded by max(doc_bytes, target_bytes)
+    — the north rule's explicit byte-size partitioning, applied at the
+    block level (no shuffle; rows never move between workers)."""
+
+    def split(batch: pa.Table):
+        if "byte_size" not in batch.column_names:
+            batch = add_byte_size(batch)
+        sizes = batch["byte_size"].to_numpy()
+        start = 0
+        acc = 0
+        for i, s in enumerate(sizes):
+            acc += int(s)
+            if acc >= target_bytes and i + 1 > start:
+                yield batch.slice(start, i + 1 - start)
+                start = i + 1
+                acc = 0
+        if start < batch.num_rows:
+            yield batch.slice(start, batch.num_rows - start)
+
+    return ds.map_batches(split, batch_format="pyarrow")

@@ -104,3 +104,22 @@ def test_output_schema_stable(ray_session, corpus):
     assert [f.name for f in out.schema().base_schema] == [
         f.name for f in S.OUTPUT_SCHEMA
     ]
+
+
+def test_rebalance_by_bytes(ray_session):
+    import ray
+    from docling_ray.pipelines.extract import add_byte_size, rebalance_by_bytes
+
+    inp, exp = make_corpus(60, seed=21, heavy_tail=False)
+    ds = ray.data.from_arrow(inp)
+    out = rebalance_by_bytes(ds, target_bytes=50_000)
+    # no rows lost, content identical
+    assert out.count() == 60
+    sizes = out.map_batches(add_byte_size, batch_format="pyarrow").to_pandas()
+    orig = ds.map_batches(add_byte_size, batch_format="pyarrow").to_pandas()
+    assert sorted(sizes.doc_id) == sorted(orig.doc_id)
+    # extraction over rebalanced input still matches expectations
+    from docling_ray.pipelines.extract import extract_corpus
+
+    got = _result_map(extract_corpus(out, mode="fast").to_pandas())
+    assert got == _expected_map(exp)
