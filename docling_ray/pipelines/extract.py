@@ -227,26 +227,38 @@ def extract_corpus(
 def rebalance_by_bytes(
     ds: "ray.data.Dataset", target_bytes: int = 4 << 20
 ) -> "ray.data.Dataset":
-    """Re-cut blocks on document byte-size boundaries: a generator
-    ``map_batches`` stage that yields one sub-table per ``target_bytes`` of
-    raw content, so a giant document lands alone in its own block and a
-    block's downstream task time is bounded by max(doc_bytes, target_bytes)
-    — the north rule's explicit byte-size partitioning, applied at the
-    block level (no shuffle; rows never move between workers)."""
+    """Re-cut blocks on document byte-size boundaries so a giant document
+    lands alone in its own block and downstream per-task time is bounded by
+    ``max(doc_bytes, target_bytes)`` — the explicit byte-size partitioning,
+    applied at block level.
 
-    def split(batch: pa.Table):
-        if "byte_size" not in batch.column_names:
-            batch = add_byte_size(batch)
-        sizes = batch["byte_size"].to_numpy()
-        start = 0
-        acc = 0
-        for i, s in enumerate(sizes):
-            acc += int(s)
-            if acc >= target_bytes and i + 1 > start:
-                yield batch.slice(start, i + 1 - start)
-                start = i + 1
-                acc = 0
-        if start < batch.num_rows:
-            yield batch.slice(start, batch.num_rows - start)
-
-    return ds.map_batches(split, batch_format="pyarrow")
+    Implementation note: a generator ``map_batches`` that yields sub-tables
+    does NOT work — the streaming executor coalesces small outputs back
+    into target_max_block_size blocks. The boundary-preserving primitive is
+    ``split_at_indices`` (one metadata pass over a pruned byte_size scan,
+    then a split whose parts keep their own blocks, re-unioned). This costs
+    a materialization, so it is an opt-in for heavy-tail corpora where the
+    hybrid/explode route is not wanted; at warehouse scale the equivalent
+    is writing the corpus size-binned at derivation time
+    (``sources/corpus.write_corpus`` materializes byte_size for exactly
+    that)."""
+    sizes = (
+        ds.map_batches(add_byte_size, batch_format="pyarrow")
+        .select_columns(["byte_size"])
+        .to_pandas()["byte_size"]
+        .to_numpy()
+    )
+    cuts: list[int] = []
+    acc = 0
+    for i, s in enumerate(sizes):
+        acc += int(s)
+        if acc >= target_bytes and i + 1 < len(sizes):
+            cuts.append(i + 1)
+            acc = 0
+    if not cuts:
+        return ds
+    parts = ds.split_at_indices(cuts)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
