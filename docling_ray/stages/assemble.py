@@ -57,6 +57,10 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
 
         if kind in EXTRA_FORMAT_EXTRACTORS:
             return EXTRA_FORMAT_EXTRACTORS[kind](text), -1, 1.0, None
+        from docling_ray.stages.patent_xml import PATENT_FORMAT_EXTRACTORS
+
+        if kind in PATENT_FORMAT_EXTRACTORS:
+            return PATENT_FORMAT_EXTRACTORS[kind](text), -1, 1.0, None
         return [], -1, 0.0, f"unknown input span kind: {kind!r}"
     except Exception as e:  # poison units must never fail the block
         return [], -1, 0.0, f"{kind} extraction error: {type(e).__name__}: {e}"

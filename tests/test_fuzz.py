@@ -55,7 +55,8 @@ def test_text_and_csv_never_raise(s):
                                      "ebcdic", "spans_json", "docx_xml",
                                      "xlsx_xml", "jats", "pptx_xml",
                                      "odt_xml", "epub_xhtml", "boxnote",
-                                     "latex", "garbage_kind"]),
+                                     "latex", "uspto", "xbrl", "mets_gbs",
+                                     "garbage_kind"]),
             "text": st.text(max_size=200),
             "media_ref": st.text(max_size=20),
             "offset": st.integers(min_value=0, max_value=100),
