@@ -125,6 +125,36 @@ def run_bench() -> dict:
     timed("events_hourly", lambda: A.events_hourly_window(SF_DIR).to_pandas())
     timed("q1_lineitem_agg", lambda: A.q1_lineitem_agg(SF_DIR).to_pandas())
 
+    # span-sequence-equality pass rate on a fresh 2000-doc sample (the
+    # golden-corpus selfcheck, reported with the throughput as the north
+    # rule requires 100%)
+    import pyarrow as pa
+
+    from docling_ray.pipelines.extract import extract_docs_batch
+    from docling_ray.sources.corpus import derive_corpus
+
+    sample = derive_corpus(SF_DIR, seed=SEED, with_expected=True).limit(2000)
+
+    def check(batch: pa.Table) -> pa.Table:
+        got = extract_docs_batch(batch.select(["doc_id", "spans", "byte_size"]))
+        ok = 0
+        for g_spans, g_status, e_spans, e_status in zip(
+            got["spans"].to_pylist(), got["status"].to_pylist(),
+            batch["expected_spans"].to_pylist(),
+            batch["expected_status"].to_pylist(),
+        ):
+            g = [(s["kind"], s["text"], s["media_ref"]) for s in g_spans]
+            e = [(s["kind"], s["text"], s["media_ref"]) for s in e_spans]
+            ok += int(g == e and g_status == e_status)
+        return pa.table({"n": pa.array([batch.num_rows]),
+                         "ok": pa.array([ok])})
+
+    from ray.data.aggregate import Sum
+
+    eq = sample.map_batches(check, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("ok", alias_name="ok"))
+    span_equality = eq["ok"] / max(1, eq["n"])
+
     result = {
         "metric": "extract_corpus_wall_sec",
         "value": round(headline_sec, 3),
@@ -134,6 +164,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 2),
+        "span_equality": round(span_equality, 4),
     }
     ray.shutdown()
     return result
