@@ -199,7 +199,7 @@ def run_scaling() -> dict:
     env = dict(os.environ)
     # larger corpus for scaling runs: amortizes fixed per-run overhead
     env.setdefault("GRAFT_DOCS_PER_ROW", "16")
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     results = {}
     for n in (lo, hi):
         env["RAY_GRAFT_CPUS"] = str(n)
