@@ -11,10 +11,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` re-runs the headline in two fresh processes
-(num_cpus=8 and 32) on the same cached corpus and reports the throughput at
-both plus scaling efficiency = (t_lo / t_hi) / (hi/lo): the sandbox
-stand-in for N-node vs 4N-node clusters.
+``--scaling`` re-runs the headline in two fresh processes (num_cpus =
+$GRAFT_SCALE_LO vs $GRAFT_SCALE_HI, default 2 vs 8 — the host's linear CPU
+region, see _machine_capacity) on the same cached corpus and reports the
+throughput at both plus scaling efficiency = (t_lo / t_hi) / (hi/lo): the
+sandbox stand-in for N-node vs 4N-node clusters.
 """
 
 from __future__ import annotations

@@ -108,8 +108,10 @@ def merge_hyphenated_lines(lines: list[str]) -> str:
 
     A trailing ``-`` is dropped (lines joined without space) only when the
     last word before it and the first word of the next line are both
-    alphanumeric; otherwise lines are joined with a single space.
-    Parity with page_assemble_model.py:112-133.
+    alphanumeric. When the merge condition fails the hyphen is kept and the
+    next line is appended with NO separator; only lines NOT ending in ``-``
+    get a joining space. Parity with page_assemble_model.py:112-133
+    (``sanitize_text``), including that no-separator failed-merge branch.
     """
     if not lines:
         return ""
@@ -127,8 +129,6 @@ def merge_hyphenated_lines(lines: list[str]) -> str:
                     and line_words[0].isalnum()
                 ):
                     parts[-1] = prev[:-1]
-                else:
-                    parts[-1] = prev + " "
             else:
                 parts[-1] = prev + " "
         parts.append(line)

@@ -77,6 +77,23 @@ def run_resumable(
     records of all shards (previously finished + newly computed)."""
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     done = completed_shards(out_dir)
+    if done:
+        # Resume guard: the shard partitioning is a function of
+        # (num_shards, corpus). Resuming with different arguments would
+        # silently skip shards that happen to share an id — duplicated
+        # and/or missing documents with no error. Refuse instead.
+        with open(_shard_record_path(out_dir, min(done))) as f:
+            prior = json.load(f)
+        if prior.get("num_shards") != num_shards:
+            raise ValueError(
+                f"resume mismatch: {out_dir} was written with "
+                f"num_shards={prior.get('num_shards')}, got {num_shards}"
+            )
+        if prior.get("input") != corpus_path:
+            raise ValueError(
+                f"resume mismatch: {out_dir} was written from "
+                f"{prior.get('input')!r}, got {corpus_path!r}"
+            )
     records: list[dict] = []
     for shard in range(num_shards):
         rec_path = _shard_record_path(out_dir, shard)

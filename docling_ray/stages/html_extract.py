@@ -47,6 +47,7 @@ import json
 from html.parser import HTMLParser
 
 from docling_ray.functions.normalize import clean_unicode, collapse_whitespace
+from docling_ray.functions.refs import grid_media_ref  # noqa: F401  (re-export)
 
 Span = tuple[str, str, str]  # (kind, text, media_ref)
 
@@ -272,13 +273,8 @@ def parse_table_grid(table: _Node) -> tuple[list[list[str]], str]:
     return out, caption
 
 
-def grid_media_ref(grid: list[list[str]]) -> str:
-    """Canonical serialized-grid media_ref for a ``table`` span."""
-    return "grid:" + json.dumps(
-        {"num_rows": len(grid), "num_cols": len(grid[0]) if grid else 0,
-         "cells": grid},
-        separators=(",", ":"), ensure_ascii=False,
-    )
+# grid_media_ref moved to functions/refs.py (generator-shared layer, pinned
+# by literal tests); re-exported here for the extractor stages that use it.
 
 
 class HtmlExtractor:

@@ -34,7 +34,7 @@ import pyarrow as pa
 from docling_ray import schema as S
 from docling_ray.functions.hashing import stable_hash64
 from docling_ray.functions.normalize import sanitize_cell_text
-from docling_ray.stages.html_extract import grid_media_ref
+from docling_ray.functions.refs import grid_media_ref
 
 Span = tuple[str, str, str]
 

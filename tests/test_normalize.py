@@ -44,8 +44,11 @@ def test_hyphen_merge():
     assert merge_hyphenated_lines(["twenty-", "(five)"]) == "twenty(five)"
     assert merge_hyphenated_lines(["a", "b", "c"]) == "a b c"
     assert merge_hyphenated_lines([]) == ""
-    # no word on the next line: hyphen kept, space joined
-    assert merge_hyphenated_lines(["x-", "..."]) == "x- ..."
+    # no word on the next line: hyphen kept, NO separator (the reference's
+    # failed-merge branch joins directly — page_assemble_model.py:119-130
+    # only appends the space to lines that do NOT end in "-")
+    assert merge_hyphenated_lines(["x-", "..."]) == "x-..."
+    assert merge_hyphenated_lines(["foo_ -", "bar"]) == "foo_ -bar"
 
 
 def test_sanitize_cell_text_full():

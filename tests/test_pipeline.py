@@ -95,6 +95,25 @@ def test_resume_skips_finished_shards(ray_session, tmp_path):
     assert got == want
 
 
+def test_resume_rejects_mismatched_args(ray_session, tmp_path):
+    import pytest
+    import ray
+    from docling_ray.pipelines.checkpoint import run_resumable
+
+    inp, _ = make_corpus(20, seed=7, heavy_tail=False)
+    corpus_path = str(tmp_path / "corpus")
+    ray.data.from_arrow(inp).write_parquet(corpus_path)
+    out_dir = str(tmp_path / "out")
+    run_resumable(corpus_path, out_dir, num_shards=2, mode="fast")
+    # resuming with a different shard count or input must refuse, not
+    # silently skip shards whose ids happen to exist
+    with pytest.raises(ValueError, match="num_shards"):
+        run_resumable(corpus_path, out_dir, num_shards=4, mode="fast")
+    with pytest.raises(ValueError, match="written from"):
+        run_resumable(str(tmp_path / "other"), out_dir, num_shards=2,
+                      mode="fast")
+
+
 def test_output_schema_stable(ray_session, corpus):
     import ray
     from docling_ray.pipelines.extract import extract_corpus
