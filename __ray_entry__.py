@@ -130,14 +130,32 @@ def _simhash_dedup(sf_dir: str):
     return simhash_clusters(ds, max_hamming=3)
 
 
+def _jaccard_pairs(sf_dir: str):
+    import ray
+
+    from docling_ray.stages.dedup import jaccard_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return jaccard_neardup_pairs(ds, threshold=0.8)
+
+
 def _embedding_neardup(sf_dir: str):
+    import pyarrow as pa
     import ray
 
     from docling_ray.stages.similarity import embedding_neardup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.95)
+    out = embedding_neardup_pairs(ds, threshold=0.95)
+    if out.count() == 0:
+        # ray Dataset.to_pandas() drops the schema of an empty dataset —
+        # hand the driver a typed empty table so columns still compare
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim_e6": pa.array([], pa.int64())})
+    return out
 
 
 def _ann_lsh(sf_dir: str):
@@ -260,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
+        "jaccard_pairs": _jaccard_pairs,
         "doc_chunks": A.doc_chunks,
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
@@ -284,8 +303,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Shared SQL fragments for the shingle/Jaccard oracles: word 3-shingle sets
+# over [a-z0-9]+ tokens — mirrors functions/hashing.word_shingles exactly.
+_SHINGLES_CTE = (
+    "t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN "
+    "(CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) "
+    "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t)"
+)
+_JACCARD_EXPR = (
+    "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 1.0 "
+    "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 "
+    "/ len(list_distinct(a.sh || b.sh)) END"
+)
+# transitive closure + min-reachable representative over a pair CTE ``p``
+_CC_SQL = (
+    "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p "
+    "UNION SELECT a, a FROM p UNION SELECT b, b FROM p), "
+    "reach AS (SELECT a, b FROM e "
+    "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a) "
+    "SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a "
+    "ORDER BY doc_id"
+)
+# SQL re-computation of functions/hashing.simhash64: md5-derived token
+# hashes, frequency-weighted bit votes, vote>0 → bit set
+_SIMHASH_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS w FROM documents), "
+    "hv AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h "
+    "FROM tok), "
+    "votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS UBIGINT)) "
+    "& 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS v "
+    "FROM hv CROSS JOIN (SELECT unnest(range(64)) AS b) bs "
+    "GROUP BY doc_id, b), "
+    "sig0 AS (SELECT doc_id, bit_or(CASE WHEN v > 0 THEN "
+    "(1::HUGEINT << b)::UBIGINT ELSE 0::UBIGINT END) AS s "
+    "FROM votes GROUP BY doc_id), "
+    "sig AS (SELECT d.doc_id, coalesce(s0.s, 0::UBIGINT) AS s "
+    "FROM documents d LEFT JOIN sig0 s0 USING (doc_id))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_dedup": (
+            # brute-force exact-Jaccard pairs + recursive-CTE connected
+            # components; the Ray side equals this because LSH recall at the
+            # high-recall defaults is ~1-7e-15 and verification is exact
+            f"WITH RECURSIVE {_SHINGLES_CTE}, "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            f"WHERE {_JACCARD_EXPR} >= 0.8), "
+            f"{_CC_SQL}"
+        ),
+        "jaccard_pairs": (
+            f"WITH {_SHINGLES_CTE} "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            f"CAST(floor(({_JACCARD_EXPR}) * 1000000.0) AS BIGINT) AS j_ppm "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            f"WHERE {_JACCARD_EXPR} >= 0.8 ORDER BY a, b"
+        ),
+        "simhash_dedup": (
+            # recall is exact (pigeonhole over 4 bands at Hamming ≤ 3), so
+            # the clusters equal brute-force Hamming pairs + CC
+            f"WITH RECURSIVE {_SIMHASH_CTE}, "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sig a "
+            "JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.s, b.s)) <= 3), "
+            f"{_CC_SQL}"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "CAST(floor(list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) "
+            "* 1000000.0) AS BIGINT) AS sim_e6 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95 ORDER BY a, b"
+        ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY md5(text) ORDER BY doc_id"

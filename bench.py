@@ -121,7 +121,7 @@ def run_bench() -> dict:
     timed("token_stats", lambda: docs_ds().map_batches(
         token_stats_batch, batch_format="pyarrow").count())
     timed("minhash_dedup",
-          lambda: minhash_lsh_clusters(docs_ds(), threshold=0.8).num_rows)
+          lambda: minhash_lsh_clusters(docs_ds(), threshold=0.8).count())
     timed("ann_topk", lambda: A.ann_brute_topk(SF_DIR).to_pandas())
     timed("events_hourly", lambda: A.events_hourly_window(SF_DIR).to_pandas())
     timed("q1_lineitem_agg", lambda: A.q1_lineitem_agg(SF_DIR).to_pandas())

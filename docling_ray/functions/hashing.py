@@ -103,16 +103,30 @@ def minhash_from_hashes(
     return vals.min(axis=0)
 
 
+def md5_hash64(token: str) -> int:
+    """First 8 bytes of MD5 as a big-endian uint64 — chosen (over blake2b)
+    because DuckDB can recompute it: ``('0x' || substr(md5(t),1,16))::UBIGINT``,
+    which makes every simhash-derived operator oracle-checkable."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercased alphanumeric tokens (uniform weights)."""
+    """64-bit SimHash over lowercased alphanumeric tokens, token frequency
+    as the weight; token hash = :func:`md5_hash64` (SQL-expressible). Empty
+    token stream → 0."""
     toks = tokenize(text)
     if not toks:
         return 0
-    hashes = np.array([stable_hash64(t) for t in toks], dtype=np.uint64)
+    from collections import Counter
+
+    cnt = Counter(toks)
+    hashes = np.fromiter((md5_hash64(t) for t in cnt), dtype=np.uint64,
+                         count=len(cnt))
+    weights = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int32
+        np.int64
     )
-    votes = (2 * bits - 1).sum(axis=0)
+    votes = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
     out = np.uint64(0)
     for i in range(64):
         if votes[i] > 0:

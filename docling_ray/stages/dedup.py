@@ -1,25 +1,43 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Ray-Data-first shapes:
+Ray-Data-first shapes, distributed END-TO-END (no driver-side pair/text
+materialization, no silent caps — every stage is proportional to its own
+data, the driver holds only fixed-size Bloom bitmaps and scalar
+convergence sums):
 
   * **exact** — vectorized content-hash column → ``groupby(hash)`` keep-min
     (hash-partition + per-group first). One shuffle of (hash, doc_id) pairs
     only — the text column is dropped before the shuffle.
   * **MinHash+LSH** — shingle → signature per batch (numpy, no shuffle) →
-    explode to (band_id, band_hash, doc_id) rows → ``groupby`` over band
-    buckets → candidate pairs → exact-Jaccard verification → connected
-    components. Candidate pairs are provably sparse (only docs agreeing on
-    a full band collide), so verification gathers just the candidate docs'
-    texts (broadcast via ``ray.put``) and union-find runs on the driver
-    over pairs, not docs — documented scale assumption: #candidate-pairs
-    ≪ #docs (holds when thresholds are tuned; if it breaks, verification
-    itself shards by pair hash).
-  * **SimHash** — 64-bit signature per doc; bucket by each of B bit-bands
-    (Hamming-LSH); verify Hamming distance ≤ k within buckets.
+    (bucket_key, doc_id) band-bucket rows → hot-bucket pre-count (a
+    vectorized ``groupby().count()`` so only buckets with ≥2 docs ever
+    reach a per-group Python kernel; singleton buckets — the overwhelming
+    majority — never do) → candidate pairs → **distributed exact-Jaccard
+    verification** (candidate docs' shingle-hash arrays attached to pairs
+    via two keyed co-group shuffles; texts/shingles never visit the
+    driver) → **distributed connected components** (iterated min-label
+    propagation over the edge Dataset).
+  * **SimHash** — 64-bit signature; bucket by each of B bit-bands
+    (Hamming-LSH, recall is exact by pigeonhole: ≤k differing bits across
+    B>k bands leave ≥1 band identical); Hamming-verify inside the bucket
+    group (signatures ride along — no text join needed) → distributed CC.
+  * **n-gram Jaccard pairs** — the exact near-dup-pair operator: same
+    LSH candidate generation at high-recall parameters + exact verify,
+    returning (a, b, j_ppm). SQL-expressible, oracle-checked.
+
+Scale notes (10^12 docs): bucket/signature tables are materialized once
+(they are ~50-100× smaller than the corpus: two int64s per band-row, no
+text) — pass ``persist_dir`` to spill them to parquet instead of the
+object store. Semi-joins against derived sets (hot bucket keys, candidate
+doc ids) use fixed-size Bloom bitmaps (``state/bloom.py``) — false
+positives only admit extra rows into exact verification. Degenerate
+buckets above ``max_allpairs`` fall back to chain pairs (n-1 edges keep
+connectivity for clustering) and LOG the event — never a silent drop.
 
 Cluster representative = min doc_id (deterministic). Output:
-(doc_id, rep_id) for every doc in a duplicate cluster, plus helpers that
-return the surviving (deduplicated) id set.
+(doc_id, rep_id) for every doc in a duplicate cluster (rep included).
+Reference parity anchor: the reference engine has no dedup subsystem
+(SURVEY.md §4) — semantics defined here, oracle-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -30,15 +48,18 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from ray.data.aggregate import Count, Min
 
 from docling_ray.functions.hashing import (
     content_md5,
-    hamming64,
     minhash_from_hashes,
     simhash64,
     stable_hash64,
     word_shingles,
 )
+from docling_ray.state.bloom import bloom_from_column, filter_by_bloom
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 # ---------------------------------------------------------------------------
@@ -54,173 +75,386 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup_survivors(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id, text, ...) → survivors (min doc_id per identical text).
     Shuffles only (hash, doc_id)."""
-    from ray.data.aggregate import Min
-
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
     agg = hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
     return agg.select_columns(["doc_id"])
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# shared machinery
 # ---------------------------------------------------------------------------
 
-def _minhash_batch(
-    batch: pa.Table, *, num_perm: int, n_bands: int, shingle_k: int, text_col: str
-) -> pa.Table:
-    """doc rows → (band_id, band_hash, doc_id) bucket rows."""
-    rows_per_band = num_perm // n_bands
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch[text_col].to_pylist()
-    band_ids: list[int] = []
-    band_hashes: list[int] = []
-    out_docs: list = []
-    for did, text in zip(doc_ids, texts):
-        sh = word_shingles(text or "", k=shingle_k)
-        hashes = np.array([stable_hash64(s) for s in sh], dtype=np.uint64)
-        sig = minhash_from_hashes(hashes, num_perm=num_perm)
-        for b in range(n_bands):
-            band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            band_hashes.append(stable_hash64(band.tobytes()))
-            band_ids.append(b)
-            out_docs.append(did)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
-            "doc_id": pa.array(out_docs),
-        }
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted unique int64 views of the 64-bit shingle hashes (the set used
+    for both MinHash signatures and exact-Jaccard verification)."""
+    sh = word_shingles(text or "", k=k)
+    if not sh:
+        return np.empty(0, dtype=np.int64)
+    arr = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64,
+                      count=len(sh))
+    return np.unique(arr.view(np.int64))
+
+
+def _mix_keys(band_hash: np.ndarray, band_id: np.ndarray) -> np.ndarray:
+    """(band_hash, band_id) → one int64 bucket key (vectorized). A key
+    collision merely merges two buckets — extra candidates, verified away."""
+    with np.errstate(over="ignore"):
+        mixed = (band_hash.astype(np.int64).view(np.uint64)
+                 + _GOLDEN * (band_id.astype(np.uint64) + np.uint64(1)))
+        mixed ^= mixed >> np.uint64(29)
+    return mixed.view(np.int64)
+
+
+def _hot_bucket_rows(
+    buckets: "ray.data.Dataset", m_bits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """Keep only bucket rows whose bucket_key holds ≥2 docs: vectorized
+    count shuffle → Bloom over hot keys → broadcast filter. ``buckets``
+    must be materialized/stored by the caller (it is consumed twice)."""
+    counts = buckets.groupby("bucket_key").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["bucket_key"]),
+        batch_format="pyarrow",
+    )
+    bloom = bloom_from_column(hot, "bucket_key", m_bits=m_bits)
+    return filter_by_bloom(buckets, "bucket_key", bloom)
+
+
+def _distinct_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Dedupe (a, b) candidate edges (each pair collides in up to n_bands
+    buckets) — one vectorized count shuffle, no per-group Python."""
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n")) \
+                .select_columns(["a", "b"])
+
+
+def _bucket_pairs_kernel(group: pa.Table, max_allpairs: int) -> pa.Table:
+    """One ≥2-doc bucket → candidate pairs. Above ``max_allpairs`` docs the
+    quadratic blowup falls back to chain pairs over sorted ids (n-1 edges —
+    connectivity preserved for clustering) and the event is logged."""
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    n = len(ids)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    if n > max_allpairs:
+        print(f"[dedup] bucket {group['bucket_key'][0]} has {n} docs "
+              f"> max_allpairs={max_allpairs}: chain-pair fallback "
+              f"({n - 1} edges instead of {n * (n - 1) // 2})")
+        return pa.table({"a": pa.array(ids[:-1]), "b": pa.array(ids[1:])})
+    ia, ib = np.triu_indices(n, k=1)
+    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+
+
+def connected_components(
+    edges: "ray.data.Dataset", max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """(a, b) edge Dataset → (doc_id, rep_id) component labels, rep = min
+    member id. Iterated min-label propagation: each round every node takes
+    the min label over itself and its neighbors (two small shuffles over
+    the edge-scale data); the driver sees only the scalar label sum, which
+    strictly decreases until the fixed point. Rounds ≈ component diameter
+    (near-dup clusters are cliques/stars → 1-3 rounds)."""
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "rep_id": pa.array([], pa.int64())}))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "label": pa.array(np.concatenate([m, m]))})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+                  .groupby("node").aggregate(Min("label", alias_name="label")) \
+                  .materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(np.concatenate([a, b])),
+                         "nbr": pa.array(np.concatenate([b, a]))})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"],
+                         "nbr": pa.nulls(t.num_rows, pa.int64()),
+                         "label": t["label"]})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["key"], "nbr": t["nbr"],
+                         "label": pa.nulls(t.num_rows, pa.int64())})
+
+    def propagate(group: pa.Table) -> pa.Table:
+        lbl = pc.min(group["label"]).as_py()
+        if lbl is None:  # node with edges but no label row — cannot happen
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        nbrs = group["nbr"].drop_null().to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([nbrs, group["key"][:1].to_numpy(
+            zero_copy_only=False)])
+        return pa.table({"node": pa.array(nodes),
+                         "label": pa.array(np.full(len(nodes), lbl,
+                                                   dtype=np.int64))})
+
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(lab_rows, batch_format="pyarrow").union(
+            sym_edges.map_batches(edge_rows, batch_format="pyarrow"))
+        msgs = tagged.groupby("key").map_groups(
+            propagate, batch_format="pyarrow")
+        labels = msgs.groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        print(f"[dedup] connected_components: not converged after "
+              f"{max_rounds} rounds (pathological component diameter); "
+              f"labels are a refinement (over-segmented), not wrong-merged")
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rep_id": t["label"]}),
+        batch_format="pyarrow",
     )
 
 
-def _bucket_pairs(group) -> pa.Table:
-    """map_groups kernel: docs sharing a band bucket → candidate pairs."""
-    ids = sorted(group["doc_id"].tolist())
-    a, b = [], []
-    # cap quadratic blowup on degenerate buckets (hot-key guard): a bucket
-    # of n docs yields n-1 chain pairs, enough for connected components
-    if len(ids) > 64:
-        for x, y in zip(ids, ids[1:]):
-            a.append(x)
-            b.append(y)
-    else:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_buckets_batch(
+    batch: pa.Table, *, num_perm: int, n_bands: int, shingle_k: int,
+    text_col: str,
+) -> pa.Table:
+    """doc rows → (bucket_key, doc_id) band-bucket rows."""
+    rows_per_band = num_perm // n_bands
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    band_hashes = np.empty(len(texts) * n_bands, dtype=np.int64)
+    for i, text in enumerate(texts):
+        hashes = _shingle_hashes(text, shingle_k).view(np.uint64)
+        sig = minhash_from_hashes(hashes, num_perm=num_perm)
+        for b in range(n_bands):
+            band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            band_hashes[i * n_bands + b] = stable_hash64(band.tobytes())
+    band_ids = np.tile(np.arange(n_bands, dtype=np.int64), len(texts))
+    return pa.table({
+        "bucket_key": pa.array(_mix_keys(band_hashes, band_ids)),
+        "doc_id": pa.array(np.repeat(doc_ids, n_bands)),
+    })
 
 
-def _jaccard(sa: set, sb: set) -> float:
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+_SH_LIST = pa.list_(pa.int64())
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
+def _candidate_shingles(
+    ds: "ray.data.Dataset", pairs: "ray.data.Dataset", *, shingle_k: int,
+    text_col: str, m_bits: int,
+) -> "ray.data.Dataset":
+    """(doc_id, sh) shingle-hash rows for (a superset of) the docs named in
+    ``pairs`` — Bloom semi-join, then one pruned scan of the corpus."""
+    ids = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    bloom = bloom_from_column(ids, "doc_id", m_bits=m_bits)
+    cand = filter_by_bloom(ds.select_columns(["doc_id", text_col]),
+                           "doc_id", bloom)
 
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != self.parent.get(p, p):
-            self.parent[p] = self.parent.get(self.parent[p], self.parent[p])
-            p = self.parent[p]
-        self.parent[x] = p
-        return p
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sh": pa.array([_shingle_hashes(t, shingle_k) for t in texts],
+                           type=_SH_LIST),
+        })
 
-    def union(self, x, y):
-        rx, ry = self.find(x), self.find(y)
-        if rx == ry:
-            return
-        if str(ry) < str(rx):
-            rx, ry = ry, rx
-        self.parent[ry] = rx
+    return cand.map_batches(to_shingles, batch_format="pyarrow")
+
+
+def _jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    if union == 0:
+        return 1.0  # both shingle sets empty → identical (degenerate docs)
+    return inter / union
+
+
+def jaccard_verified_pairs(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    threshold: float,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of candidate (a, b) pairs, distributed:
+    shingle arrays are attached to each pair via two keyed co-group
+    shuffles (key = doc id), and the Jaccard test runs inside the second
+    group kernel. Nothing data-proportional reaches the driver. Returns
+    (a, b, j_ppm) for pairs at or above ``threshold``."""
+    shingles = _candidate_shingles(
+        ds, pairs, shingle_k=shingle_k, text_col=text_col, m_bits=m_bits,
+    ).materialize()  # candidate-scale, consumed by both attach stages
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["a"], "a": t["a"], "b": t["b"],
+                         "sh": pa.nulls(t.num_rows, _SH_LIST)})
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["doc_id"],
+                         "a": pa.nulls(t.num_rows, pa.int64()),
+                         "b": pa.nulls(t.num_rows, pa.int64()),
+                         "sh": t["sh"]})
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(group["a"])
+        doc = group.filter(is_doc)
+        prs = group.filter(pc.invert(is_doc))
+        if doc.num_rows == 0 or prs.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], _SH_LIST)})
+        sh = doc["sh"][0]
+        return pa.table({"key": prs["b"], "a": prs["a"], "b": prs["b"],
+                         "sh_a": pa.array([sh.as_py()] * prs.num_rows,
+                                          _SH_LIST)})
+
+    half = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        shingles.map_batches(doc_rows, batch_format="pyarrow")
+    ).groupby("key").map_groups(attach_a, batch_format="pyarrow")
+
+    def doc_rows2(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["doc_id"],
+                         "a": pa.nulls(t.num_rows, pa.int64()),
+                         "b": pa.nulls(t.num_rows, pa.int64()),
+                         "sh_a": t["sh"]})
+
+    thr = threshold
+
+    def verify(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(group["a"])
+        doc = group.filter(is_doc)
+        prs = group.filter(pc.invert(is_doc))
+        out_a, out_b, out_j = [], [], []
+        if doc.num_rows and prs.num_rows:
+            sh_b = np.asarray(doc["sh_a"][0].as_py(), dtype=np.int64)
+            for i in range(prs.num_rows):
+                sh_a = np.asarray(prs["sh_a"][i].as_py(), dtype=np.int64)
+                j = _jaccard(sh_a, sh_b)
+                if j >= thr:
+                    out_a.append(prs["a"][i].as_py())
+                    out_b.append(prs["b"][i].as_py())
+                    out_j.append(int(np.floor(j * 1_000_000.0)))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "j_ppm": pa.array(out_j, pa.int64())})
+
+    return half.union(
+        shingles.map_batches(doc_rows2, batch_format="pyarrow")
+    ).groupby("key").map_groups(verify, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    num_perm: int = 64,
+    n_bands: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    max_allpairs: int = 256,
+    m_bits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """LSH candidate (a, b) pairs, deduped. Defaults are high-recall
+    (rows-per-band 2: a true 0.8-Jaccard pair escapes all 32 bands with
+    probability (1-0.8²)³² ≈ 7e-15), trading extra candidates — which the
+    exact verifier removes — for near-certain recall."""
+    buckets = ds.map_batches(
+        _minhash_buckets_batch, batch_format="pyarrow",
+        fn_kwargs={"num_perm": num_perm, "n_bands": n_bands,
+                   "shingle_k": shingle_k, "text_col": text_col},
+    ).materialize()  # 2 int64s per band-row; persist to parquet at PB scale
+    hot = _hot_bucket_rows(buckets, m_bits=m_bits)
+    pairs = hot.groupby("bucket_key").map_groups(
+        lambda g: _bucket_pairs_kernel(g, max_allpairs),
+        batch_format="pyarrow",
+    )
+    return _distinct_pairs(pairs)
+
+
+def jaccard_neardup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    n_bands: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard near-duplicate pairs (a < b, j_ppm), computed
+    as LSH candidates + exact distributed verification. Oracle-checkable:
+    equals the brute-force shingle-Jaccard self-join at/above threshold
+    (recall argument in minhash_candidate_pairs)."""
+    pairs = minhash_candidate_pairs(
+        ds, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k,
+        text_col=text_col,
+    ).materialize()
+    return jaccard_verified_pairs(
+        ds, pairs, threshold, shingle_k=shingle_k, text_col=text_col,
+    ).sort(["a", "b"])
 
 
 def minhash_lsh_clusters(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
     num_perm: int = 64,
-    n_bands: int = 16,
+    n_bands: int = 32,
     shingle_k: int = 3,
     text_col: str = "text",
-) -> pa.Table:
-    """Near-duplicate clusters. Returns a small table (doc_id, rep_id) of
-    docs that belong to a duplicate cluster (rep included)."""
-    buckets = ds.map_batches(
-        _minhash_batch,
-        batch_format="pyarrow",
-        fn_kwargs={
-            "num_perm": num_perm,
-            "n_bands": n_bands,
-            "shingle_k": shingle_k,
-            "text_col": text_col,
-        },
-    )
-    pairs_ds = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.to_pandas().to_dict("records")}
-    if not pairs:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "rep_id": pa.array([], type=pa.int64())})
-    cand_ids = sorted({x for p in pairs for x in p})
-    cand_set_ref = ray.put(set(cand_ids))
-
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        cand = ray.get(cand_set_ref)
-        mask = pa.array([d in cand for d in batch["doc_id"].to_pylist()])
-        return batch.select(["doc_id", text_col]).filter(mask)
-
-    cand_tbl = ds.map_batches(keep_candidates, batch_format="pyarrow").to_pandas()
-    shingles = {
-        r["doc_id"]: word_shingles(r[text_col] or "", k=shingle_k)
-        for r in cand_tbl.to_dict("records")
-    }
-    uf = _UnionFind()
-    for a, b in sorted(pairs):
-        if a in shingles and b in shingles:
-            if _jaccard(shingles[a], shingles[b]) >= threshold:
-                uf.union(a, b)
-    clusters: dict = {}
-    for d in uf.parent:
-        clusters.setdefault(uf.find(d), []).append(d)
-    doc_ids, reps = [], []
-    for rep, members in sorted(clusters.items(), key=lambda kv: str(kv[0])):
-        if len(members) < 2:
-            continue
-        rep_id = min(members)
-        for m in sorted(members):
-            doc_ids.append(m)
-            reps.append(rep_id)
-    return pa.table({"doc_id": pa.array(doc_ids), "rep_id": pa.array(reps)})
+) -> "ray.data.Dataset":
+    """Near-duplicate clusters (doc_id, rep_id), distributed end-to-end:
+    LSH candidates → exact-Jaccard verify (co-group joins) → connected
+    components (min-label propagation). Docs in no ≥2 cluster are absent."""
+    pairs = minhash_candidate_pairs(
+        ds, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k,
+        text_col=text_col,
+    ).materialize()
+    edges = jaccard_verified_pairs(
+        ds, pairs, threshold, shingle_k=shingle_k, text_col=text_col,
+    ).select_columns(["a", "b"])
+    return connected_components(edges).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(batch: pa.Table, *, n_bands: int, text_col: str) -> pa.Table:
-    doc_ids = batch["doc_id"].to_pylist()
+def _simhash_buckets_batch(
+    batch: pa.Table, *, n_bands: int, text_col: str
+) -> pa.Table:
+    """doc rows → (bucket_key, sig, doc_id) band rows. The signature rides
+    along so Hamming verification happens inside the bucket group — no
+    second join."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch[text_col].to_pylist()
     band_bits = 64 // n_bands
-    band_ids, band_vals, sigs, out_docs = [], [], [], []
-    for did, t in zip(doc_ids, texts):
-        sig = simhash64(t or "")
-        for b in range(n_bands):
-            band_ids.append(b)
-            band_vals.append((sig >> (b * band_bits)) & ((1 << band_bits) - 1))
-            sigs.append(np.int64(np.uint64(sig).astype(np.int64)))
-            out_docs.append(did)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_vals, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.int64()),
-            "doc_id": pa.array(out_docs),
-        }
-    )
+    mask = np.uint64((1 << band_bits) - 1)
+    sigs = np.fromiter((simhash64(t or "") for t in texts), dtype=np.uint64,
+                       count=len(texts))
+    band_ids = np.tile(np.arange(n_bands, dtype=np.uint64), len(texts))
+    rep = np.repeat(sigs, n_bands)
+    band_vals = ((rep >> (band_ids * np.uint64(band_bits))) & mask)
+    return pa.table({
+        "bucket_key": pa.array(_mix_keys(band_vals.view(np.int64),
+                                         band_ids.astype(np.int64))),
+        "sig": pa.array(rep.view(np.int64)),
+        "doc_id": pa.array(np.repeat(doc_ids, n_bands)),
+    })
 
 
 def simhash_clusters(
@@ -228,46 +462,45 @@ def simhash_clusters(
     max_hamming: int = 3,
     n_bands: int = 4,
     text_col: str = "text",
-) -> pa.Table:
-    """SimHash near-dup clusters: band-bucket candidates, Hamming-verified."""
+    max_allpairs: int = 256,
+) -> "ray.data.Dataset":
+    """SimHash near-dup clusters, distributed end-to-end. Recall is exact:
+    a pair within Hamming ``k < n_bands`` differs in ≤k bands, so ≥1 band
+    matches (pigeonhole) and the pair is generated; Hamming verification
+    inside the bucket kernel is exact, and connected components run
+    distributed. Output = clusters over ALL pairs with Hamming ≤ k."""
     buckets = ds.map_batches(
-        _simhash_batch, batch_format="pyarrow",
+        _simhash_buckets_batch, batch_format="pyarrow",
         fn_kwargs={"n_bands": n_bands, "text_col": text_col},
-    )
+    ).materialize()
+    hot = _hot_bucket_rows(buckets)
 
-    def bucket_pairs(group) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].tolist(), group["sig"].tolist()))
-        a, b = [], []
-        n = len(rows)
-        if n > 64:
-            rows = rows[:64]
-            n = 64
-        for i in range(n):
-            for j in range(i + 1, n):
-                ha = int(np.uint64(np.int64(rows[i][1])))
-                hb = int(np.uint64(np.int64(rows[j][1])))
-                if hamming64(ha, hb) <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+    def bucket_verified_pairs(group: pa.Table) -> pa.Table:
+        ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
+        sigs_all = group["sig"].to_numpy(zero_copy_only=False)
+        ids, idx = np.unique(ids_all, return_index=True)
+        sigs = sigs_all[idx].view(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        if n > max_allpairs:
+            print(f"[dedup] simhash bucket {group['bucket_key'][0]} has "
+                  f"{n} docs > max_allpairs={max_allpairs}: chain-pair "
+                  f"fallback over sig-sorted order")
+            order = np.argsort(sigs, kind="stable")
+            ids, sigs = ids[order], sigs[order]
+            ia, ib = np.arange(n - 1), np.arange(1, n)
+        else:
+            ia, ib = np.triu_indices(n, k=1)
+        x = sigs[ia] ^ sigs[ib]
+        ham = np.array([bin(v).count("1") for v in x])
+        keep = ham <= max_hamming
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
 
-    pairs_df = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    uf = _UnionFind()
-    for r in pairs_df.itertuples(index=False):
-        uf.union(r.a, r.b)
-    clusters: dict = {}
-    for d in uf.parent:
-        clusters.setdefault(uf.find(d), []).append(d)
-    doc_ids, reps = [], []
-    for rep, members in sorted(clusters.items(), key=lambda kv: str(kv[0])):
-        if len(members) < 2:
-            continue
-        rep_id = min(members)
-        for m in sorted(members):
-            doc_ids.append(m)
-            reps.append(rep_id)
-    return pa.table({"doc_id": pa.array(doc_ids), "rep_id": pa.array(reps)})
+    pairs = hot.groupby("bucket_key").map_groups(
+        bucket_verified_pairs, batch_format="pyarrow")
+    edges = _distinct_pairs(pairs)
+    return connected_components(edges).sort("doc_id")

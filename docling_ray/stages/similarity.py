@@ -141,49 +141,116 @@ def lsh_topk(
     return partials.sort(["sim", id_col], descending=[True, False]).limit(k)
 
 
+# per-process hyperplane cache: planes are a pure function of
+# (dim, n_bits, seed), so every worker derives identical matrices locally —
+# no driver-side ``take(1)`` to learn the dim, no broadcast needed
+_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _cached_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    key = (dim, n_bits, seed)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = _hyperplanes(dim, n_bits, seed)
+    return _PLANES_CACHE[key]
+
+
 def embedding_neardup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
-    n_bits: int = 10,
+    n_bits: int = 8,
+    n_bands: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket then exact verify
-    within buckets (groupby over bucket codes — one shuffle of (bucket,
-    id, vec))."""
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
-    bucketed = assign_buckets(ds, dim, n_bits=n_bits, seed=seed, vec_col=vec_col)
+    chunk: int = 1024,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (a < b, sim_e6), distributed:
 
-    def verify(group) -> pa.Table:
-        ids = group[id_col].to_numpy()
-        mat = np.stack(group[vec_col].to_numpy())[: 256].astype(np.float64)
-        ids = ids[:256]
+    Each vector lands in ``n_bands`` independent sign-LSH buckets (band-OR
+    boosts recall: at cos ≥ 0.95 a pair collides in ≥1 of 4 8-bit bands
+    with p ≈ 0.89; ≥ 0.98 → ≈ 0.99 — measured against brute force in
+    tests). Buckets with ≥2 members (hot-bucket pre-count + Bloom, shared
+    with the text-dedup machinery) are verified EXACTLY in chunked
+    ``unit @ unit.T`` blocks — no bucket-size cap; a degenerate bucket is
+    logged and still fully verified, memory bounded by ``chunk``². Pairs
+    colliding in several bands are deduped by one (a, b) count shuffle.
+    Approximate in recall only — precision is exact."""
+    from ray.data.aggregate import Min as _Min
+
+    from docling_ray.stages.dedup import (
+        _distinct_pairs,
+        _hot_bucket_rows,
+        _mix_keys,
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[vec_col])
+        n, dim = mat.shape
+        keys = np.empty(n * n_bands, dtype=np.int64)
+        for b in range(n_bands):
+            planes = _cached_planes(dim, n_bits, seed * 1000 + b)
+            codes = _bucket_codes(mat, planes)
+            keys[b * n : (b + 1) * n] = _mix_keys(
+                codes, np.full(n, b, dtype=np.int64))
+        rep_ids = pa.concat_arrays(
+            [batch[id_col].combine_chunks()] * n_bands)
+        rep_vecs = pa.concat_arrays(
+            [batch[vec_col].combine_chunks().cast(pa.list_(pa.float64()))]
+            * n_bands)
+        return pa.table({"bucket_key": pa.array(keys), id_col: rep_ids,
+                         vec_col: rep_vecs})
+
+    buckets = ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+    hot = _hot_bucket_rows(buckets)
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids_all = group[id_col].to_numpy(zero_copy_only=False)
+        ids, idx = np.unique(ids_all, return_index=True)
+        n = len(ids)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim_e6": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        mat = _to_matrix(group[vec_col].combine_chunks().take(pa.array(idx)))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        a, b, s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a.append(lo)
-                    b.append(hi)
-                    s.append(round(float(sims[i, j]), 6))
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "sim": pa.array(s, type=pa.float64())})
+        if n > 4 * chunk:
+            print(f"[similarity] neardup bucket has {n} vectors — fully "
+                  f"verified in {chunk}x{chunk} blocks (no cap)")
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, chunk):
+            ui = unit[i0 : i0 + chunk]
+            for j0 in range(i0, n, chunk):
+                sims = ui @ unit[j0 : j0 + chunk].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                gi, gj = gi[keep], gj[keep]
+                if len(gi):
+                    a, b = ids[gi], ids[gj]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_s.append(np.floor(
+                        sims[ii[keep], jj[keep]] * 1_000_000.0
+                    ).astype(np.int64))
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "sim_e6": pa.array(np.concatenate(out_s))})
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    df = pairs.to_pandas()
-    if df.empty:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "sim": pa.array([], pa.float64())})
-    df = df.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    pairs = hot.groupby("bucket_key").map_groups(
+        verify, batch_format="pyarrow")
+    out = pairs.groupby(["a", "b"]).aggregate(
+        _Min("sim_e6", alias_name="sim_e6")).materialize()
+    if out.count() == 0:  # an all-empty aggregate drops the schema — pin it
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim_e6": pa.array([], pa.int64())}))
+    return out.sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,118 @@ def test_embedding_neardup_pairs(ray_session):
     assert {(10, 50)} <= set(zip(pairs["a"], pairs["b"]))
 
 
+def test_bloom_no_false_negatives():
+    from docling_ray.state.bloom import Bloom, local_bitmap
+
+    vals = np.arange(0, 50_000, 7, dtype=np.int64)
+    bloom = Bloom(local_bitmap(vals, 1 << 20, 4), 1 << 20, 4)
+    assert bloom.contains(vals).all()  # zero false negatives, by construction
+    probe = np.arange(1, 50_000, 7, dtype=np.int64)  # disjoint values
+    fp = bloom.contains(probe).mean()
+    assert fp < 0.05
+
+
+def test_bloom_from_dataset_matches_local(ray_session):
+    import ray
+
+    from docling_ray.state.bloom import bloom_from_column, filter_by_bloom
+
+    tbl = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    keep = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([3, 500, 999], pa.int64())}))
+    bloom = bloom_from_column(keep, "doc_id")
+    out = filter_by_bloom(ray.data.from_arrow(tbl), "doc_id", bloom).to_pandas()
+    assert {3, 500, 999} <= set(out["doc_id"])
+    assert len(out) < 50  # FP rate keeps the semi-join tight
+
+
+def test_connected_components_path_and_clique(ray_session):
+    import ray
+
+    from docling_ray.stages.dedup import connected_components
+
+    # path 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    edges = pa.table({
+        "a": pa.array([1, 2, 3, 4, 10, 10, 11, 20], pa.int64()),
+        "b": pa.array([2, 3, 4, 5, 11, 12, 12, 21], pa.int64()),
+    })
+    got = connected_components(ray.data.from_arrow(edges)).to_pandas()
+    labels = dict(zip(got["doc_id"], got["rep_id"]))
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_jaccard_pairs_match_bruteforce(ray_session):
+    import itertools
+    import random
+
+    from docling_ray.functions.hashing import word_shingles
+    from docling_ray.stages.dedup import jaccard_neardup_pairs
+
+    rng = random.Random(9)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(60))))
+    for j, src in enumerate([2, 7, 30]):  # planted near-dups
+        toks = rows[src][1].split()
+        toks[5] = "zzz"
+        rows.append((200 + j, " ".join(toks)))
+    got = jaccard_neardup_pairs(_docs_ds(rows), threshold=0.7).to_pandas()
+    want = []
+    sh = {d: word_shingles(t, 3) for d, t in rows}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        u = sh[a] | sh[b]
+        j = (len(sh[a] & sh[b]) / len(u)) if u else 1.0
+        if j >= 0.7:
+            want.append((a, b, int(np.floor(j * 1_000_000))))
+    assert list(map(tuple, got[["a", "b", "j_ppm"]].values)) == sorted(want)
+
+
+def test_minhash_chain_fallback_keeps_connectivity(ray_session):
+    from docling_ray.stages.dedup import minhash_lsh_clusters
+
+    # 12 identical docs land in one bucket > max_allpairs → chain pairs;
+    # verification passes on every chain edge, so the cluster stays whole
+    rows = [(i, "identical text body repeated words here") for i in range(12)]
+    rows.append((99, "something entirely different and unrelated indeed"))
+    got = minhash_lsh_clusters(_docs_ds(rows), threshold=0.8).to_pandas()
+    clusters = got.groupby("rep_id")["doc_id"].apply(set).tolist()
+    assert {i for i in range(12)} in clusters
+    assert all(99 not in c for c in clusters)
+
+
+def test_embedding_neardup_recall_vs_bruteforce(ray_session):
+    import ray
+
+    from docling_ray.stages.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(5)
+    m = rng.standard_normal((300, 32)).astype(np.float64)
+    planted = []
+    for k in range(20):  # 20 planted pairs at cos ≈ 0.995+
+        i, j = k, 150 + k
+        m[j] = m[i] + rng.standard_normal(32) * 0.02
+        planted.append((i, j))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(r) for r in m], pa.list_(pa.float32())),
+    }))
+    got = set(zip(*[embedding_neardup_pairs(ds, threshold=0.98).to_pandas()[c]
+                    for c in ("a", "b")]))
+    # exact brute-force truth over the float32-rounded vectors
+    u = m.astype(np.float32).astype(np.float64)
+    u = u / np.linalg.norm(u, axis=1)[:, None]
+    sims = u @ u.T
+    truth = {(i, j) for i in range(300) for j in range(i + 1, 300)
+             if sims[i, j] >= 0.98}
+    assert truth  # the plant worked
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9  # band-OR LSH recall bound (docstring math)
+    assert got <= truth or all(sims[a, b] >= 0.979 for a, b in got - truth)
+
+
 def test_quality_and_token_stats(ray_session):
     from docling_ray.stages.text_quality import quality_batch, token_stats_batch
 
