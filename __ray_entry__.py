@@ -9,11 +9,14 @@ Oracle-parity notes: computed/aggregate columns use the same names in the
 Ray pipelines and the SQL; float policy documented in
 ``docling_ray/pipelines/analytics.py`` (floor-scaled integers for exact
 integer-numerator ratios, input-precision rounding for sums of decimal
-columns). Extraction / LSH / language-ID queries are not SQL-expressible
-and carry no oracle entry (rows-only check): the extraction pipeline is
-instead verified by span-sequence equality against the synthetic golden
-corpus in ``tests/`` (and the ``extract_selfcheck`` query reports that pass
-rate as data).
+columns). Near-dup dedup is oracled by brute-force shingle-Jaccard /
+SQL-simhash self-joins + recursive-CTE connected components; language ID
+by a full SQL re-computation of the classifier; extraction-derived queries
+(extract_summary / heading_levels / export_markdown) against generator-
+expected parquet tables (docling_ray/oracles.py). Rows-only remainder:
+``extract_selfcheck`` (it IS a check — reports the span-equality pass
+rate), ``media_features`` (stubbed decode), ``ann_lsh``/``ann_ivf``
+(approximate by design; recall pinned vs brute force in tests/test_ops).
 """
 
 from __future__ import annotations
@@ -107,7 +110,7 @@ def _lang_id(sf_dir: str):
                                columns=["doc_id", "text"])
     return ds.map_batches(
         LangIdModel, batch_format="pyarrow", batch_size=256, concurrency=2
-    ).sort("doc_id")
+    ).select_columns(["doc_id", "pred_lang"]).sort("doc_id")
 
 
 def _minhash_dedup(sf_dir: str):
@@ -346,8 +349,76 @@ _SIMHASH_CTE = (
 )
 
 
+def _sql_list(items) -> str:
+    return "[" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + "]"
+
+
+def _lang_id_sql() -> str:
+    """SQL re-computation of stages/text_quality.LangIdModel.classify: the
+    profile tables are shared data, the scoring arithmetic (stopword ratio
+    ×2 + trigram density, argmax with insertion-order ties, <1e-3 → und)
+    is recomputed independently by DuckDB."""
+    from docling_ray.stages.text_quality import _LANG_STOPWORDS, _LANG_TRIGRAMS
+
+    vals = ", ".join(
+        f"('{lang}', {idx}, {_sql_list(sorted(_LANG_STOPWORDS[lang]))}, "
+        f"{_sql_list(_LANG_TRIGRAMS[lang])})"
+        for idx, lang in enumerate(_LANG_STOPWORDS)
+    )
+    return (
+        f"WITH langs(lang, idx, stops, tris) AS (VALUES {vals}), "
+        "base AS (SELECT doc_id, lower(text) AS tl, "
+        "' ' || lower(text) || ' ' AS p, "
+        "regexp_extract_all(lower(text), '[a-zß-öø-ÿ]+') AS words "
+        "FROM documents), "
+        "scored AS (SELECT b.doc_id, l.lang, l.idx, "
+        "2.0 * (len(list_filter(b.words, w -> list_contains(l.stops, w))) "
+        "* 1.0 / greatest(len(b.words), 1)) "
+        "+ (list_sum(list_transform(l.tris, g -> "
+        "(length(b.p) - length(replace(b.p, g, ''))) // 3)) "
+        "* 1.0 / greatest(length(b.tl), 1)) AS score "
+        "FROM base b CROSS JOIN langs l), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, idx) AS rn FROM scored) "
+        "SELECT doc_id, CASE WHEN score < 0.001 THEN 'und' ELSE lang END "
+        "AS pred_lang FROM best WHERE rn = 1 ORDER BY doc_id"
+    )
+
+
+def _expected_table_sql() -> dict[str, str]:
+    """Oracles for the extraction-derived queries: expected tables built
+    from the generator's hand-computed spans (docling_ray/oracles.py),
+    never by running the extractors. Paths are pinned to sf0.01 — the sf
+    the driver's correctness gate runs at."""
+    try:
+        from docling_ray.oracles import ensure_expected_tables
+
+        exp = ensure_expected_tables("/root/testdata/sf0.01", seed=SEED)
+    except Exception:
+        return {}
+    return {
+        "extract_summary": (
+            "SELECT doc_id, status, n_spans, byte_size "
+            f"FROM read_parquet('{exp}/extract_summary.parquet') "
+            "ORDER BY doc_id"
+        ),
+        "heading_levels": (
+            'SELECT doc_id, "offset", text, level '
+            f"FROM read_parquet('{exp}/heading_levels.parquet') "
+            'ORDER BY doc_id, "offset"'
+        ),
+        "export_markdown": (
+            "SELECT doc_id, content "
+            f"FROM read_parquet('{exp}/export_markdown.parquet') "
+            "ORDER BY doc_id"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_expected_table_sql(),
+        "lang_id": _lang_id_sql(),
         "minhash_dedup": (
             # brute-force exact-Jaccard pairs + recursive-CTE connected
             # components; the Ray side equals this because LSH recall at the

@@ -1,0 +1,115 @@
+"""Fixture-derived expected tables for extraction-derived queries.
+
+Three queries (``extract_summary``, ``heading_levels``,
+``export_markdown``) are deterministic functions of the extraction
+output, which itself must equal the synthetic generator's hand-computed
+expected spans (the repo's correctness oracle — same role as the
+reference's golden fixtures). This module materializes those expectations
+as parquet tables so the driver's DuckDB oracle can hash-compare them:
+``oracle_sql()`` builds the tables from ``expected_spans`` (never by
+running the extractors) and returns ``read_parquet`` SQL over them.
+
+What the oracle then checks end-to-end: the distributed pipeline
+(derive → skew-routed extract → enrich/export) reproduces the generator
+expectations through the driver's hard hash signal — previously this
+was visible only to pytest. The enrichment/export functions themselves
+(assign_levels, spans_to_markdown) are pinned by literal unit tests.
+
+The output directory is keyed by a content hash of every module the
+expectations depend on, so editing the generator or an export rule
+invalidates the cache automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_PKG = os.path.dirname(os.path.abspath(__file__))
+_DEP_FILES = [
+    os.path.join(_PKG, "synth.py"),
+    os.path.join(_PKG, "stages", "export.py"),
+    os.path.join(_PKG, "stages", "heading_hierarchy.py"),
+    os.path.join(_PKG, "functions", "normalize.py"),
+    os.path.join(_PKG, "functions", "refs.py"),
+]
+
+
+def _fingerprint() -> str:
+    h = hashlib.md5()
+    for p in _DEP_FILES:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_SUMMARY_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("status", pa.string()),
+    ("n_spans", pa.int32()),
+    ("byte_size", pa.int64()),
+])
+_HEADINGS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("text", pa.string()),
+    ("level", pa.int32()),
+])
+_EXPORT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("content", pa.string()),
+])
+
+
+def ensure_expected_tables(
+    sf_dir: str, seed: int = 42,
+    root: str = "/tmp/docling_ray_expected",
+) -> str:
+    """Build (once, cached) the expected parquet tables for ``sf_dir``.
+    Returns the directory containing ``extract_summary.parquet``,
+    ``heading_levels.parquet``, ``export_markdown.parquet``."""
+    from docling_ray.stages.export import spans_to_markdown
+    from docling_ray.stages.heading_hierarchy import assign_levels
+    from docling_ray.synth import render_docs_batch
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(root, f"{tag}-s{seed}-{_fingerprint()}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    summaries, headings, exports = [], [], []
+    for i in range(0, docs.num_rows, 64):
+        rend = render_docs_batch(docs.slice(i, 64), seed=seed,
+                                 with_expected=True)
+        for row in rend.to_pylist():
+            spans = row["expected_spans"]
+            byte_size = sum(len((s["text"] or "").encode("utf-8"))
+                            for s in row["spans"])
+            summaries.append({
+                "doc_id": row["doc_id"],
+                "status": row["expected_status"],
+                "n_spans": len(spans),
+                "byte_size": byte_size,
+            })
+            for off, text, lvl in assign_levels(spans):
+                headings.append({"doc_id": row["doc_id"], "offset": off,
+                                 "text": text, "level": lvl})
+            exports.append({"doc_id": row["doc_id"],
+                            "content": spans_to_markdown(spans)})
+
+    pq.write_table(pa.Table.from_pylist(summaries, schema=_SUMMARY_SCHEMA),
+                   os.path.join(out, "extract_summary.parquet"))
+    pq.write_table(pa.Table.from_pylist(headings, schema=_HEADINGS_SCHEMA),
+                   os.path.join(out, "heading_levels.parquet"))
+    pq.write_table(pa.Table.from_pylist(exports, schema=_EXPORT_SCHEMA),
+                   os.path.join(out, "export_markdown.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

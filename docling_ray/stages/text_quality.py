@@ -113,7 +113,10 @@ class LangIdModel:
     profile tables built once per actor, scored per batch."""
 
     def __init__(self) -> None:
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        # explicit Latin word-char class (not \w) so DuckDB's RE2 regex can
+        # reproduce the token stream exactly — the classifier is fully
+        # SQL-expressible and oracle-checked (see __ray_entry__ lang_id)
+        self.word_re = re.compile(r"[a-zß-öø-ÿ]+")
         self.tri_index: dict[str, dict[str, int]] = {
             lang: {g: i for i, g in enumerate(tris)}
             for lang, tris in _LANG_TRIGRAMS.items()
