@@ -38,13 +38,14 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def entry() -> Any:
-    """Flagship: interleaved corpus derived from sf0.001 → skew-routed
-    extraction → span rows."""
-    from docling_ray.pipelines.extract import extract_corpus
-    from docling_ray.sources.corpus import derive_corpus
+    """Flagship: interleaved corpus derived from sf0.001 (stored once with
+    byte_size materialized) → skew-routed extraction with filter pushdown →
+    span rows."""
+    from docling_ray.pipelines.extract import extract_corpus_stored
+    from docling_ray.sources.corpus import derive_corpus_stored
 
-    corpus = derive_corpus("/root/testdata/sf0.001", seed=SEED)
-    return extract_corpus(corpus, mode="hybrid", big_threshold=200_000)
+    path = derive_corpus_stored("/root/testdata/sf0.001", seed=SEED)
+    return extract_corpus_stored(path, mode="hybrid", big_threshold=200_000)
 
 
 # ---------------------------------------------------------------------------
@@ -52,14 +53,11 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _extract_summary(sf_dir: str):
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from docling_ray.pipelines.extract import extract_corpus_stored
+    from docling_ray.sources.corpus import derive_corpus_stored
 
-    from docling_ray.pipelines.extract import extract_corpus
-    from docling_ray.sources.corpus import derive_corpus
-
-    corpus = derive_corpus(sf_dir, seed=SEED)
-    out = extract_corpus(corpus, mode="hybrid", big_threshold=200_000)
+    path = derive_corpus_stored(sf_dir, seed=SEED)
+    out = extract_corpus_stored(path, mode="hybrid", big_threshold=200_000)
     tbl = out.select_columns(["doc_id", "status", "n_spans", "byte_size"])
     return tbl.sort("doc_id")
 

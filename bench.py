@@ -109,9 +109,13 @@ def run_bench() -> dict:
     timed("extract", headline)
     headline_sec = queries["extract"]
 
-    timed("extract_hybrid", lambda: extract_corpus(
-        read_corpus(path, parallelism=par),
-        mode="hybrid", big_threshold=1 << 19).count())
+    from docling_ray.pipelines.extract import extract_corpus_stored_write
+
+    hyb_dir = os.path.join(CACHE_ROOT, f"extract-hybrid-out-{NUM_CPUS}")
+    shutil.rmtree(hyb_dir, ignore_errors=True)
+    # same terminal op as the headline (parquet sink) — apples-to-apples
+    timed("extract_hybrid", lambda: extract_corpus_stored_write(
+        path, hyb_dir, big_threshold=1 << 19, parallelism=par))
 
     def docs_ds():
         return ray.data.read_parquet(

@@ -51,21 +51,21 @@ def q1_lineitem_agg(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less(batch["l_shipdate"], cutoff))
-        if batch.num_rows == 0:
-            return pa.table({"l_returnflag": pa.array([], pa.string()),
-                             "l_linestatus": pa.array([], pa.string()),
-                             "sum_qty": pa.array([], pa.float64()),
-                             "sum_price": pa.array([], pa.float64()),
-                             "sum_disc": pa.array([], pa.float64()),
-                             "n_rows": pa.array([], pa.int64())})
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            sum_disc=("l_discount", "sum"),
-            n_rows=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(
+            batch.select(["l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount"]),
+            ["l_returnflag", "l_linestatus"],
+        ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("l_discount", "sum"), ("l_quantity", "count")])
+        # zero-copy Arrow all the way: no pandas round-trip in the hot stage
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["l_quantity_sum"],
+            "sum_price": g["l_extendedprice_sum"],
+            "sum_disc": g["l_discount_sum"],
+            "n_rows": g["l_quantity_count"],
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -93,21 +93,31 @@ def q1_lineitem_agg(sf_dir: str):
 def mktsegment_order_stats(sf_dir: str):
     """Broadcast join: customer (small side) ships once via ray.put; orders
     stream through a stateless lookup stage; partial agg before groupby."""
+    from docling_ray.state.broadcast import broadcast, read_broadcast
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"]))
-    )
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    # broadcast once as sorted parallel arrays: worker lookup is a
+    # vectorized searchsorted, and read_broadcast caches the deserialized
+    # object per process (not per batch)
+    lookup_ref = broadcast(
+        (keys[order], cust["c_mktsegment"].to_numpy()[order]))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(lookup)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            sum_price=("o_totalprice", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        lk, lv = read_broadcast(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        seg = lv[np.searchsorted(lk, ck)]  # custkey is an FK: always present
+        t = pa.table({"c_mktsegment": pa.array(seg),
+                      "o_totalprice": batch["o_totalprice"]})
+        g = pa.TableGroupBy(t, "c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "n_orders": g["o_totalprice_count"],
+            "sum_price": g["o_totalprice_sum"],
+        })
 
     partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = partials.groupby("c_mktsegment").aggregate(
@@ -143,11 +153,15 @@ def events_hourly_window(sf_dir: str):
             "event_type": batch["event_type"],
             "hour_bucket": hour,
             "value": batch["value"],
-        }).to_pandas()
-        g = t.groupby(["event_type", "hour_bucket"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        g = pa.TableGroupBy(t, ["event_type", "hour_bucket"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "hour_bucket": g["hour_bucket"],
+            "n_events": g["value_count"],
+            "sum_value": g["value_sum"],
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = partials.groupby(["event_type", "hour_bucket"]).aggregate(
@@ -217,7 +231,9 @@ def ann_brute_topk(sf_dir: str, k: int = 10):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        qv = read_broadcast(q_ref)
         mat = _to_matrix(batch["embedding"])
         sims = _cosine_scores(mat, qv)
         sim_e6 = np.floor(sims * 1_000_000.0).astype(np.int64)
@@ -240,11 +256,11 @@ def embedding_label_norms(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         mat = _to_matrix(batch["embedding"])
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        df = pa.table({"label": batch["label"],
-                       "norm": pa.array(norms)}).to_pandas()
-        g = df.groupby("label", as_index=False).agg(
-            n=("norm", "size"), sum_norm=("norm", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"label": batch["label"], "norm": pa.array(norms)})
+        g = pa.TableGroupBy(t, "label").aggregate(
+            [("norm", "sum"), ("norm", "count")])
+        return pa.table({"label": g["label"], "n": g["norm_count"],
+                         "sum_norm": g["norm_sum"]})
 
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
             .groupby("label").aggregate(
@@ -291,15 +307,16 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     def lineitem_partials(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(1.0, batch["l_discount"]))
-        df = pa.table({"key": batch["l_orderkey"], "rev": rev}).to_pandas()
-        g = df.groupby("key", as_index=False).agg(rev=("rev", "sum"),
-                                                  n=("rev", "size"))
+        t = pa.table({"key": batch["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "key").aggregate(
+            [("rev", "sum"), ("rev", "count")])
         return pa.table({
-            "bucket": pa.array((g["key"].to_numpy() & (num_buckets - 1)).astype("int32")),
-            "key": pa.array(g["key"].to_numpy()),
-            "priority": pa.nulls(len(g), pa.string()),
-            "rev": pa.array(g["rev"].to_numpy()),
-            "n": pa.array(g["n"].to_numpy()),
+            "bucket": pc.cast(pc.bit_wise_and(g["key"], num_buckets - 1),
+                              pa.int32()),
+            "key": g["key"],
+            "priority": pa.nulls(g.num_rows, pa.string()),
+            "rev": g["rev_sum"],
+            "n": g["rev_count"],
         })
 
     both = orders.map_batches(order_rows, batch_format="pyarrow",

@@ -102,12 +102,27 @@ _UNIT_SCHEMA = pa.schema(
 )
 
 
-def explode_and_extract_units(batch: pa.Table) -> pa.Table:
-    """Doc rows → extracted unit rows (one per input span). The explode and
-    the per-unit extraction are fused into one stage so raw payloads never
-    cross the shuffle — only extracted spans do (the analogue of the
-    reference's eager ``_release_page_resources``,
-    standard_pdf_pipeline.py:689-699)."""
+_RAW_UNIT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("unit_offset", pa.int32()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_units", pa.int32()),
+        ("byte_size", pa.int64()),
+    ]
+)
+
+
+def explode_units_raw(batch: pa.Table) -> pa.Table:
+    """Doc rows → RAW unit rows (one per input span, payload untouched).
+    The cheap split stage of the page-parallel path: giant documents'
+    units are redistributed across the cluster BEFORE extraction, so one
+    multi-GB document's pages extract in parallel instead of straggling a
+    single task (the reference's page-threaded pipeline,
+    standard_pdf_pipeline.py:578-979, re-expressed as a shuffle of the
+    rare big-doc payloads)."""
     if "byte_size" not in batch.column_names:
         batch = add_byte_size(batch)
     out = []
@@ -119,26 +134,51 @@ def explode_and_extract_units(batch: pa.Table) -> pa.Table:
         spans = spans or []
         if not spans:
             out.append({
-                "doc_id": did, "unit_offset": 0, "kind": "", "spans": [],
-                "page_no": -1, "score": 1.0, "error": None, "n_units": 0,
-                "byte_size": size,
+                "doc_id": did, "unit_offset": 0, "kind": "", "text": "",
+                "media_ref": "", "n_units": 0, "byte_size": size,
             })
             continue
         for s in spans:
-            unit_spans, page_no, score, err = extract_unit(
-                s.get("kind", ""), s.get("text") or "", s.get("media_ref") or ""
-            )
             out.append({
                 "doc_id": did,
                 "unit_offset": int(s.get("offset", 0)),
                 "kind": s.get("kind", ""),
-                "spans": S.spans_to_arrow(unit_spans),
-                "page_no": page_no,
-                "score": score,
-                "error": err,
+                "text": s.get("text") or "",
+                "media_ref": s.get("media_ref") or "",
                 "n_units": len(spans),
                 "byte_size": size,
             })
+    return pa.Table.from_pylist(out, schema=_RAW_UNIT_SCHEMA)
+
+
+def extract_units_batch(batch: pa.Table) -> pa.Table:
+    """RAW unit rows → extracted unit rows. Stateless, runs after the unit
+    redistribution — payloads are dropped here, so only extracted spans
+    reach the reassembly shuffle (the analogue of the reference's eager
+    ``_release_page_resources``, standard_pdf_pipeline.py:689-699)."""
+    out = []
+    for row in batch.to_pylist():
+        if row["n_units"] == 0:
+            out.append({
+                "doc_id": row["doc_id"], "unit_offset": 0, "kind": "",
+                "spans": [], "page_no": -1, "score": 1.0, "error": None,
+                "n_units": 0, "byte_size": row["byte_size"],
+            })
+            continue
+        unit_spans, page_no, score, err = extract_unit(
+            row["kind"], row["text"], row["media_ref"]
+        )
+        out.append({
+            "doc_id": row["doc_id"],
+            "unit_offset": row["unit_offset"],
+            "kind": row["kind"],
+            "spans": S.spans_to_arrow(unit_spans),
+            "page_no": page_no,
+            "score": score,
+            "error": err,
+            "n_units": row["n_units"],
+            "byte_size": row["byte_size"],
+        })
     return pa.Table.from_pylist(out, schema=_UNIT_SCHEMA)
 
 
@@ -190,14 +230,14 @@ def extract_corpus(
             extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
         )
     if mode == "explode":
-        units = ds.map_batches(
-            explode_and_extract_units, batch_format="pyarrow",
-            batch_size=max(1, batch_size // 4),
-        )
-        return units.groupby("doc_id").map_groups(
-            reassemble_group, batch_format="pandas"
-        )
+        return _explode_pipeline(ds, batch_size)
     if mode == "hybrid":
+        # NOTE: both filter branches re-execute the upstream lineage (a Ray
+        # Data dataset consumed twice recomputes) — fine for a cheap stored
+        # read, 2× waste for a derived/rendered input. When the corpus is
+        # stored parquet with byte_size materialized, use
+        # :func:`extract_corpus_stored` instead: two PRUNED reads with
+        # filter pushdown, no recompute.
         sized = ds.map_batches(add_byte_size, batch_format="pyarrow")
         small = sized.map_batches(
             lambda t: t.filter(pc.less_equal(t["byte_size"], big_threshold)),
@@ -207,22 +247,139 @@ def extract_corpus(
             lambda t: t.filter(pc.greater(t["byte_size"], big_threshold)),
             batch_format="pyarrow",
         )
-        small_out = small.map_batches(
-            extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
-        )
-        big_units = big.map_batches(
-            explode_and_extract_units, batch_format="pyarrow", batch_size=1
-        )
-        big_out = big_units.groupby("doc_id").map_groups(
-            reassemble_group, batch_format="pandas"
-        )
-        return small_out.union(big_out)
+        return _hybrid_union(small, big, batch_size)
     raise ValueError(f"unknown mode: {mode!r}")
+
+
+def _explode_pipeline(ds, batch_size: int):
+    """split → redistribute raw units → extract → reassemble."""
+    raw = ds.map_batches(explode_units_raw, batch_format="pyarrow",
+                         batch_size=max(1, batch_size // 4))
+    # redistribute so one giant doc's units land on many tasks; the unit
+    # count is unknown at plan time, so spread to CPU-scale block count
+    import ray as _ray
+
+    n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    raw = raw.repartition(n_blocks)
+    units = raw.map_batches(extract_units_batch, batch_format="pyarrow",
+                            batch_size=4)
+    return units.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pandas"
+    )
+
+
+def _hybrid_union(small, big, batch_size: int):
+    small_out = small.map_batches(
+        extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return small_out.union(_explode_pipeline(big, batch_size))
+
+
+def extract_corpus_stored(
+    path: str,
+    mode: str = "hybrid",
+    big_threshold: int = DEFAULT_BIG_THRESHOLD,
+    batch_size: int = 32,
+    parallelism: int | None = None,
+) -> "ray.data.Dataset":
+    """Extraction over a STORED corpus (``sources/corpus.write_corpus``
+    layout, ``byte_size`` materialized). The hybrid skew split becomes two
+    parquet reads with ``byte_size`` filter pushdown — row groups outside
+    each branch's range are pruned at the scan, and nothing upstream is
+    executed twice (the fix for the derived-input double-scan)."""
+    import pyarrow.dataset as pads
+
+    from docling_ray.sources.corpus import read_corpus
+
+    if mode != "hybrid":
+        return extract_corpus(read_corpus(path, parallelism=parallelism),
+                              mode=mode, big_threshold=big_threshold,
+                              batch_size=batch_size)
+    small = read_corpus(path, parallelism=parallelism,
+                        filter=pads.field("byte_size") <= big_threshold)
+    # the big side is few rows but heavy per row — force many read tasks
+    # too, or the pushdown read coalesces it into one serial block
+    big = read_corpus(path, parallelism=parallelism,
+                      filter=pads.field("byte_size") > big_threshold)
+    return _hybrid_union(small, big, batch_size)
 
 
 # ---------------------------------------------------------------------------
 # byte-balanced block splitting (the explicit size-binned repartition)
 # ---------------------------------------------------------------------------
+
+def extract_corpus_stored_write(
+    path: str,
+    out_dir: str,
+    mode: str = "hybrid",
+    big_threshold: int = DEFAULT_BIG_THRESHOLD,
+    batch_size: int = 32,
+    parallelism: int | None = None,
+) -> None:
+    """Terminal form of the stored-corpus extraction: extract and write
+    partitioned parquet. In hybrid mode the two branches execute
+    CONCURRENTLY (two driver threads, each its own streaming execution)
+    writing into the same sink — ``Dataset.union`` pulls its inputs
+    sequentially in the current streaming executor, which would make the
+    skew split additive instead of overlapped; two independent executions
+    give wall ≈ max(branch walls). File names are uuid-unique per write,
+    so a shared sink directory is safe."""
+    import pyarrow.dataset as pads
+
+    from docling_ray.sources.corpus import read_corpus
+
+    if mode != "hybrid":
+        extract_corpus(read_corpus(path, parallelism=parallelism),
+                       mode=mode, big_threshold=big_threshold,
+                       batch_size=batch_size).write_parquet(out_dir)
+        return
+    small = read_corpus(path, parallelism=parallelism,
+                        filter=pads.field("byte_size") <= big_threshold)
+    big = read_corpus(path, parallelism=parallelism,
+                      filter=pads.field("byte_size") > big_threshold)
+    small_out = small.map_batches(
+        extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    big_out = _explode_pipeline(big, batch_size)
+
+    import threading
+
+    # The write path probes fsspec's HTTP filesystem lazily; with aiohttp
+    # absent that import fails, and two threads racing the failed import
+    # surface a plain ImportError that ray's probe doesn't catch. Pre-seed
+    # a placeholder module so the probe resolves deterministically (its
+    # isinstance check is then simply False for local filesystems).
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        _mod = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:
+            pass
+
+        _mod.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules.setdefault("fsspec.implementations.http", _mod)
+
+    errs: list[BaseException] = []
+
+    def run(ds) -> None:
+        try:
+            ds.write_parquet(out_dir)
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(d,))
+               for d in (small_out, big_out)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
 
 def rebalance_by_bytes(
     ds: "ray.data.Dataset", target_bytes: int = 4 << 20

@@ -155,10 +155,16 @@ def connected_components(
     strictly decreases until the fixed point. Rounds ≈ component diameter
     (near-dup clusters are cliques/stars → 1-3 rounds)."""
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "rep_id": pa.array([], pa.int64())}))
+    # Edge-scale data is tiny relative to the corpus; size the block count
+    # to the data so each propagation round pays a handful of tasks, not
+    # (cpus × rounds) fixed overheads. Grows with the edge set at scale.
+    n_blocks = max(1, n_edges // 65536)
+    edges = edges.repartition(n_blocks).materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -169,7 +175,7 @@ def connected_components(
 
     labels = edges.map_batches(init_labels, batch_format="pyarrow") \
                   .groupby("node").aggregate(Min("label", alias_name="label")) \
-                  .materialize()
+                  .repartition(n_blocks).materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -207,7 +213,8 @@ def connected_components(
         msgs = tagged.groupby("key").map_groups(
             propagate, batch_format="pyarrow")
         labels = msgs.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
+            Min("label", alias_name="label")).repartition(n_blocks) \
+            .materialize()
         cur = labels.sum("label")
         if cur == prev_sum:
             break
@@ -322,10 +329,17 @@ def jaccard_verified_pairs(
                              "a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "sh_a": pa.array([], _SH_LIST)})
-        sh = doc["sh"][0]
+        # replicate the doc's shingle array per pair without materializing
+        # python lists: tile the values buffer, rebuild list offsets
+        sh_arr = doc["sh"].combine_chunks()
+        vals = sh_arr.values.to_numpy(zero_copy_only=False)[
+            sh_arr.offsets[0].as_py() : sh_arr.offsets[1].as_py()]
+        n = prs.num_rows
+        offsets = np.arange(n + 1, dtype=np.int32) * len(vals)
+        rep = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(np.tile(vals, n)))
         return pa.table({"key": prs["b"], "a": prs["a"], "b": prs["b"],
-                         "sh_a": pa.array([sh.as_py()] * prs.num_rows,
-                                          _SH_LIST)})
+                         "sh_a": rep})
 
     half = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
         shingles.map_batches(doc_rows, batch_format="pyarrow")
@@ -345,13 +359,20 @@ def jaccard_verified_pairs(
         prs = group.filter(pc.invert(is_doc))
         out_a, out_b, out_j = [], [], []
         if doc.num_rows and prs.num_rows:
-            sh_b = np.asarray(doc["sh_a"][0].as_py(), dtype=np.int64)
+            doc_sh = doc["sh_a"].combine_chunks()
+            sh_b = doc_sh.values.to_numpy(zero_copy_only=False)[
+                doc_sh.offsets[0].as_py() : doc_sh.offsets[1].as_py()]
+            pair_sh = prs["sh_a"].combine_chunks()
+            offs = pair_sh.offsets.to_numpy(zero_copy_only=False)
+            vals = pair_sh.values.to_numpy(zero_copy_only=False)
+            a_ids = prs["a"].to_numpy(zero_copy_only=False)
+            b_ids = prs["b"].to_numpy(zero_copy_only=False)
             for i in range(prs.num_rows):
-                sh_a = np.asarray(prs["sh_a"][i].as_py(), dtype=np.int64)
+                sh_a = vals[offs[i] : offs[i + 1]]
                 j = _jaccard(sh_a, sh_b)
                 if j >= thr:
-                    out_a.append(prs["a"][i].as_py())
-                    out_b.append(prs["b"][i].as_py())
+                    out_a.append(a_ids[i])
+                    out_b.append(b_ids[i])
                     out_j.append(int(np.floor(j * 1_000_000.0)))
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
@@ -365,15 +386,15 @@ def jaccard_verified_pairs(
 def minhash_candidate_pairs(
     ds: "ray.data.Dataset",
     num_perm: int = 64,
-    n_bands: int = 32,
+    n_bands: int = 21,
     shingle_k: int = 3,
     text_col: str = "text",
     max_allpairs: int = 256,
     m_bits: int = 1 << 23,
 ) -> "ray.data.Dataset":
     """LSH candidate (a, b) pairs, deduped. Defaults are high-recall
-    (rows-per-band 2: a true 0.8-Jaccard pair escapes all 32 bands with
-    probability (1-0.8²)³² ≈ 7e-15), trading extra candidates — which the
+    (rows-per-band 3: a true 0.8-Jaccard pair escapes all 21 bands with
+    probability (1-0.8³)²¹ ≈ 3e-7), trading extra candidates — which the
     exact verifier removes — for near-certain recall."""
     buckets = ds.map_batches(
         _minhash_buckets_batch, batch_format="pyarrow",
@@ -392,7 +413,7 @@ def jaccard_neardup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
     num_perm: int = 64,
-    n_bands: int = 32,
+    n_bands: int = 21,
     shingle_k: int = 3,
     text_col: str = "text",
 ) -> "ray.data.Dataset":
@@ -413,7 +434,7 @@ def minhash_lsh_clusters(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
     num_perm: int = 64,
-    n_bands: int = 32,
+    n_bands: int = 21,
     shingle_k: int = 3,
     text_col: str = "text",
 ) -> "ray.data.Dataset":

@@ -49,7 +49,9 @@ def brute_topk(
     q_ref = ray.put(q)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        qv = read_broadcast(q_ref)
         mat = _to_matrix(batch[vec_col])
         sims = _cosine_scores(mat, qv)
         n = min(k, len(sims))
@@ -89,7 +91,9 @@ def assign_buckets(
     planes_ref = ray.put(_hyperplanes(dim, n_bits, seed))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        planes = ray.get(planes_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        planes = read_broadcast(planes_ref)
         mat = _to_matrix(batch[vec_col])
         return batch.append_column("bucket", pa.array(_bucket_codes(mat, planes)))
 
@@ -120,9 +124,11 @@ def lsh_topk(
     planes_ref = ray.put(planes)
 
     def score_probed(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        qs = ray.get(probe_ref)
-        qv = ray.get(q_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        pl = read_broadcast(planes_ref)
+        qs = read_broadcast(probe_ref)
+        qv = read_broadcast(q_ref)
         mat = _to_matrix(batch[vec_col])
         codes = _bucket_codes(mat, pl)
         mask = np.isin(codes, np.fromiter(qs, dtype=np.int64))
@@ -286,7 +292,9 @@ def ivf_assign(
     cent_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        cent = read_broadcast(cent_ref)
         mat = _to_matrix(batch[vec_col])
         d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         return batch.append_column(
@@ -315,8 +323,10 @@ def ivf_topk(
     bucketed = ivf_assign(ds, centroids, vec_col=vec_col)
 
     def score(batch: pa.Table) -> pa.Table:
-        qs = ray.get(probe_ref)
-        qv = ray.get(q_ref)
+        from docling_ray.state.broadcast import read_broadcast
+
+        qs = read_broadcast(probe_ref)
+        qv = read_broadcast(q_ref)
         mask = np.isin(batch["ivf_cluster"].to_numpy(), qs)
         if not mask.any():
             return pa.table({id_col: pa.array([], type=batch[id_col].type),
