@@ -35,8 +35,14 @@ CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/docling_ray_bench")
 
 
 def corpus_cache_path() -> str:
+    from docling_ray.oracles import _fingerprint
+
     tag = SF_DIR.strip("/").replace("/", "_")
-    return os.path.join(CACHE_ROOT, f"corpus-{tag}-s{SEED}-x{DOCS_PER_ROW}")
+    # generator fingerprint in the key: editing synth.py invalidates the
+    # cached corpus automatically (no stale-cache span mismatches)
+    return os.path.join(
+        CACHE_ROOT, f"corpus-{tag}-s{SEED}-x{DOCS_PER_ROW}-{_fingerprint()}"
+    )
 
 
 def ensure_corpus(path: str) -> None:

@@ -44,6 +44,7 @@ OUTPUT_SCHEMA = pa.schema(
 KIND_HTML = "html"
 KIND_TEXT = "text"
 KIND_PDF_CELLS = "pdf_cells"
+KIND_PDF = "pdf"  # base64 of a real PDF file (stages/pdf_bytes.py)
 KIND_MEDIA = "media"
 
 # Output-span kinds — the DocItemLabel subset the extractor emits

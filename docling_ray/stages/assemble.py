@@ -45,6 +45,10 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
             return extract_media(text, media_ref), -1, 1.0, None
         if kind == S.KIND_PDF_CELLS:
             return extract_pdf_unit(text)
+        if kind == S.KIND_PDF:
+            from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
+
+            return extract_pdf_bytes_unit(text)
         if kind == "csv":
             from docling_ray.stages.csv_extract import extract_csv
 

@@ -1,0 +1,594 @@
+"""From-scratch minimal PDF *bytes* backend.
+
+The reference's default input is raw PDF bytes parsed by a native backend
+(``docling/backend/pypdfium2_backend.py:409``,
+``docling_parse_backend.py:85``); no pdfium exists in this environment, so
+this module implements the subset needed to recover text cells and layout
+regions from real PDF files using only the stdlib:
+
+  * xref table + trailer parsing (incremental sections via ``/Prev``),
+    with a brute-force ``N 0 obj`` scan fallback for broken xrefs;
+  * the COS object model — dicts, arrays, names, numbers, literal and hex
+    strings, references, streams (``/Length`` may itself be a reference);
+  * ``FlateDecode`` via ``zlib``;
+  * page-tree walk with ``/MediaBox``/``/Resources`` inheritance;
+  * a content-stream interpreter for the text ops ``BT ET Tf TL Td TD Tm
+    T* Tj TJ ' "`` plus ``q/Q/cm`` (translate+scale), ``re``+paint
+    (ruling rectangles → table regions) and ``Do`` on image XObjects
+    (→ picture regions; provenance ref read from the XObject's
+    ``/DoclingRef`` entry when present, else synthesized).
+
+Recovered cells use the deterministic geometry convention shared with the
+page layout stage (``pdf_layout.py`` schema): baseline at the cell bottom,
+cell height = the text leading (``TL``), advance width = 0.5·font·chars
+(fixed monospace metric — real font widths are out of scope without
+embedded font programs). The output feeds the existing geometric layout
+pipeline unchanged, so PDF bytes and pre-parsed ``pdf_cells`` payloads
+share every downstream rule (reference parity anchors in pdf_layout.py).
+
+Limitations (documented, not silent): rotation/skew matrices are ignored
+(translation+scale honored), per-glyph kerning in ``TJ`` is not applied to
+geometry, and only ``FlateDecode`` streams decode.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import zlib
+from typing import Any, NamedTuple
+
+from docling_ray.stages.pdf_layout import extract_page
+
+Span = tuple[str, str, str]
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    pass
+
+
+class Ref(NamedTuple):
+    num: int
+    gen: int
+
+
+class Stream(NamedTuple):
+    dict: dict
+    raw: bytes
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OBJ_SCAN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _is_ws(b: int) -> bool:
+    return b in _WS
+
+
+class _Lexer:
+    """Positioned COS-object reader over the raw bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def skip_ws(self, i: int) -> int:
+        d = self.data
+        n = len(d)
+        while i < n:
+            if d[i] in _WS:
+                i += 1
+            elif d[i : i + 1] == b"%":  # comment to EOL
+                while i < n and d[i] not in b"\r\n":
+                    i += 1
+            else:
+                break
+        return i
+
+    def parse(self, i: int) -> tuple[Any, int]:
+        d = self.data
+        i = self.skip_ws(i)
+        if i >= len(d):
+            raise PdfError("unexpected EOF")
+        c = d[i : i + 1]
+        if d[i : i + 2] == b"<<":
+            return self._parse_dict(i)
+        if c == b"<":
+            return self._parse_hex_string(i)
+        if c == b"(":
+            return self._parse_lit_string(i)
+        if c == b"/":
+            return self._parse_name(i)
+        if c == b"[":
+            return self._parse_array(i)
+        if d[i : i + 4] == b"true":
+            return True, i + 4
+        if d[i : i + 5] == b"false":
+            return False, i + 5
+        if d[i : i + 4] == b"null":
+            return None, i + 4
+        m = _NUM_RE.match(d, i)
+        if m:
+            # lookahead for "N G R" references
+            j = self.skip_ws(m.end())
+            m2 = _NUM_RE.match(d, j)
+            if m2 and b"." not in m.group():
+                k = self.skip_ws(m2.end())
+                if d[k : k + 1] == b"R" and (
+                    k + 1 >= len(d) or d[k + 1] in _WS or d[k + 1] in _DELIM
+                ):
+                    return Ref(int(m.group()), int(m2.group())), k + 1
+            tok = m.group()
+            return (float(tok) if b"." in tok else int(tok)), m.end()
+        raise PdfError(f"cannot parse object at byte {i}")
+
+    def _parse_name(self, i: int) -> tuple[str, int]:
+        d = self.data
+        i += 1
+        j = i
+        while j < len(d) and not _is_ws(d[j]) and d[j] not in _DELIM:
+            j += 1
+        raw = d[i:j]
+        # #xx hex escapes in names
+        if b"#" in raw:
+            out = bytearray()
+            k = 0
+            while k < len(raw):
+                if raw[k : k + 1] == b"#" and k + 2 < len(raw) + 1:
+                    out.append(int(raw[k + 1 : k + 3], 16))
+                    k += 3
+                else:
+                    out.append(raw[k])
+                    k += 1
+            raw = bytes(out)
+        return raw.decode("latin-1"), j
+
+    def _parse_array(self, i: int) -> tuple[list, int]:
+        out: list[Any] = []
+        i += 1
+        while True:
+            i = self.skip_ws(i)
+            if self.data[i : i + 1] == b"]":
+                return out, i + 1
+            obj, i = self.parse(i)
+            out.append(obj)
+
+    def _parse_dict(self, i: int) -> tuple[Any, int]:
+        d = self.data
+        out: dict[str, Any] = {}
+        i += 2
+        while True:
+            i = self.skip_ws(i)
+            if d[i : i + 2] == b">>":
+                i += 2
+                break
+            key, i = self._parse_name(self.skip_ws(i))
+            val, i = self.parse(i)
+            out[key] = val
+        # stream?
+        j = self.skip_ws(i)
+        if d[j : j + 6] == b"stream":
+            j += 6
+            if d[j : j + 2] == b"\r\n":
+                j += 2
+            elif d[j : j + 1] == b"\n":
+                j += 1
+            return ("__stream__", out, j), j  # caller resolves /Length
+        return out, i
+
+    def _parse_lit_string(self, i: int) -> tuple[str, int]:
+        d = self.data
+        i += 1
+        out = bytearray()
+        depth = 1
+        while i < len(d):
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                e = d[i : i + 1]
+                mapping = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                           b"b": b"\b", b"f": b"\x0c", b"(": b"(",
+                           b")": b")", b"\\": b"\\"}
+                if e in mapping:
+                    out += mapping[e]
+                    i += 1
+                elif e.isdigit():
+                    k = i
+                    while k < i + 3 and d[k : k + 1].isdigit():
+                        k += 1
+                    out.append(int(d[i:k], 8) & 0xFF)
+                    i = k
+                elif e in (b"\n", b"\r"):  # line continuation
+                    i += 1
+                    if e == b"\r" and d[i : i + 1] == b"\n":
+                        i += 1
+                else:
+                    out += e
+                    i += 1
+            elif c == 0x28:  # (
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    return _decode_pdf_text(bytes(out)), i + 1
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        raise PdfError("unterminated string")
+
+    def _parse_hex_string(self, i: int) -> tuple[str, int]:
+        d = self.data
+        j = d.index(b">", i)
+        hx = re.sub(rb"\s", b"", d[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return _decode_pdf_text(bytes.fromhex(hx.decode("ascii"))), j + 1
+
+
+def _decode_pdf_text(raw: bytes) -> str:
+    """PDF text-string decode: UTF-16BE when BOM-prefixed, else latin-1
+    (the PDFDocEncoding subset our writer/corpus uses)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+class PdfDocument:
+    """Parsed PDF file: object store + page tree."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.lex = _Lexer(data)
+        self._cache: dict[int, Any] = {}
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        try:
+            self._load_xref()
+        except Exception:
+            self._scan_objects()
+        if not self.offsets:
+            self._scan_objects()
+        if "Root" not in self.trailer:
+            # find the catalog by scanning
+            for num in self.offsets:
+                obj = self.obj(Ref(num, 0))
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+        if "Root" not in self.trailer:
+            raise PdfError("no document catalog found")
+
+    # -- xref -------------------------------------------------------------
+    def _load_xref(self) -> None:
+        d = self.data
+        tail = d[-2048:]
+        m = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not m:
+            raise PdfError("no startxref")
+        pos = int(m[-1].group(1))
+        seen = set()
+        while pos and pos not in seen:
+            seen.add(pos)
+            pos = self._load_xref_section(pos)
+
+    def _load_xref_section(self, pos: int) -> int:
+        d = self.data
+        i = self.lex.skip_ws(pos)
+        if d[i : i + 4] != b"xref":
+            raise PdfError("xref table expected (xref streams unsupported)")
+        i += 4
+        while True:
+            i = self.lex.skip_ws(i)
+            if d[i : i + 7] == b"trailer":
+                i = self.lex.skip_ws(i + 7)
+                trailer, _ = self.lex.parse(i)
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if prev is not None else 0
+            m = re.match(rb"(\d+)\s+(\d+)", d[i:])
+            if not m:
+                raise PdfError("bad xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            i += m.end()
+            i = self.lex.skip_ws(i)
+            for k in range(count):
+                m2 = re.match(rb"(\d{10}) (\d{5}) ([nf])", d[i : i + 20])
+                if not m2:
+                    raise PdfError(f"bad xref entry at {i}")
+                if m2.group(3) == b"n":
+                    self.offsets.setdefault(start + k, int(m2.group(1)))
+                i += 20  # entries are fixed 20 bytes including EOL
+
+    def _scan_objects(self) -> None:
+        for m in _OBJ_SCAN_RE.finditer(self.data):
+            self.offsets[int(m.group(1))] = m.start()
+
+    # -- objects ----------------------------------------------------------
+    def obj(self, ref: Ref) -> Any:
+        if ref.num in self._cache:
+            return self._cache[ref.num]
+        off = self.offsets.get(ref.num)
+        if off is None:
+            raise PdfError(f"object {ref.num} not in xref")
+        d = self.data
+        m = re.match(rb"\s*\d+\s+\d+\s+obj", d[off : off + 64])
+        if not m:
+            raise PdfError(f"object header missing at {off}")
+        val, i = self.lex.parse(off + m.end())
+        if isinstance(val, tuple) and val and val[0] == "__stream__":
+            _, sdict, data_start = val
+            length = self.resolve(sdict.get("Length", 0))
+            raw = d[data_start : data_start + int(length)]
+            val = Stream(sdict, raw)
+        self._cache[ref.num] = val
+        return val
+
+    def resolve(self, x: Any) -> Any:
+        while isinstance(x, Ref):
+            x = self.obj(x)
+        return x
+
+    def stream_data(self, s: Stream) -> bytes:
+        filt = self.resolve(s.dict.get("Filter"))
+        data = s.raw
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            f = self.resolve(f)
+            if f == "FlateDecode":
+                data = zlib.decompress(data)
+            else:
+                raise PdfError(f"unsupported stream filter {f!r}")
+        return data
+
+    # -- page tree --------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node_ref, inherited):
+            node = self.resolve(node_ref)
+            inh = dict(inherited)
+            for k in ("MediaBox", "Resources"):
+                if k in node:
+                    inh[k] = node[k]
+            if node.get("Type") == "Page":
+                out.append({**inh, **node})
+            else:
+                for kid in self.resolve(node.get("Kids", [])) or []:
+                    walk(kid, inh)
+
+        walk(root.get("Pages"), {})
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, Stream):
+            return self.stream_data(contents)
+        parts = []
+        for c in contents:
+            parts.append(self.stream_data(self.resolve(c)))
+        return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpretation → cells / tables / images
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"""(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+       | /(?P<name>[^\s()<>\[\]{}/%]*)
+       | (?P<op>[A-Za-z'"*]+)
+       | (?P<lparen>\()
+       | (?P<lhex><(?!<))
+       | (?P<larr>\[)
+       | (?P<rarr>\])
+       | (?P<ddict><<|>>)
+    """,
+    re.VERBOSE,
+)
+
+
+def _advance_width(text: str, font: float) -> float:
+    """Fixed deterministic advance metric (0.5 em per char) — mirrored by
+    the synthetic writer; real per-glyph widths need embedded fonts."""
+    return 0.5 * font * len(text)
+
+
+def interpret_content(
+    content: bytes, *, height: float, page_no: int,
+    resources: dict | None, doc: "PdfDocument | None",
+) -> dict:
+    """Interpret one page's content stream into the pdf_cells page schema."""
+    lex = _Lexer(content)
+    cells: list[dict] = []
+    tables: list[dict] = []
+    images: list[dict] = []
+
+    font = 10.0
+    leading = 0.0
+    lx = ly = 0.0  # line matrix origin
+    x = y = 0.0
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm_stack: list[tuple] = []
+    stack: list[Any] = []
+    pending_rects: list[tuple[float, float, float, float]] = []
+
+    def emit(text: str) -> None:
+        nonlocal x
+        if text == "":
+            return
+        b = height - y
+        h = leading if leading > 0 else font
+        cells.append({
+            "text": text, "l": x, "t": b - h,
+            "r": x + _advance_width(text, font), "b": b,
+            "font_size": font,
+        })
+        x += _advance_width(text, font)
+
+    def flush_rects() -> None:
+        for (rx, ry, rw, rh) in pending_rects:
+            tables.append({"l": rx, "t": height - (ry + rh),
+                           "r": rx + rw, "b": height - ry})
+        pending_rects.clear()
+
+    i = 0
+    n = len(content)
+    while i < n:
+        i = lex.skip_ws(i)
+        if i >= n:
+            break
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = lex._parse_lit_string(i)
+            stack.append(s)
+            continue
+        if content[i : i + 2] == b"<<":
+            dct, i = lex.parse(i)
+            stack.append(dct)
+            continue
+        if c == b"<":
+            s, i = lex._parse_hex_string(i)
+            stack.append(s)
+            continue
+        if c == b"[":
+            arr, i = lex._parse_array(i)
+            stack.append(arr)
+            continue
+        if c == b"/":
+            name, i = lex._parse_name(i)
+            stack.append(("__name__", name))
+            continue
+        m = _NUM_RE.match(content, i)
+        if m:
+            tok = m.group()
+            stack.append(float(tok) if b"." in tok else float(int(tok)))
+            i = m.end()
+            continue
+        # operator token
+        j = i
+        while j < n and content[j] not in _WS and content[j] not in b"()<>[]{}/%":
+            j += 1
+        op = content[i:j].decode("latin-1", errors="replace")
+        i = j
+
+        try:
+            if op == "BT":
+                lx = ly = x = y = 0.0
+            elif op == "Tf" and len(stack) >= 2:
+                font = float(stack[-1])
+            elif op == "TL" and stack:
+                leading = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                lx += float(stack[-2]); ly += float(stack[-1])
+                x, y = lx, ly
+            elif op == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                lx += float(stack[-2]); ly += float(stack[-1])
+                x, y = lx, ly
+            elif op == "Tm" and len(stack) >= 6:
+                lx, ly = float(stack[-2]), float(stack[-1])
+                x, y = lx, ly
+            elif op == "T*":
+                ly -= leading
+                x, y = lx, ly
+            elif op == "Tj" and stack:
+                emit(stack[-1] if isinstance(stack[-1], str) else "")
+            elif op == "'" and stack:
+                ly -= leading
+                x, y = lx, ly
+                emit(stack[-1] if isinstance(stack[-1], str) else "")
+            elif op == '"' and stack:
+                ly -= leading
+                x, y = lx, ly
+                emit(stack[-1] if isinstance(stack[-1], str) else "")
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                emit("".join(t for t in stack[-1] if isinstance(t, str)))
+            elif op == "q":
+                ctm_stack.append(ctm)
+            elif op == "Q":
+                ctm = ctm_stack.pop() if ctm_stack else (1, 0, 0, 1, 0, 0)
+            elif op == "cm" and len(stack) >= 6:
+                a2, b2, c2, d2, e2, f2 = (float(v) for v in stack[-6:])
+                a1, b1, c1, d1, e1, f1 = ctm
+                ctm = (a2 * a1 + b2 * c1, a2 * b1 + b2 * d1,
+                       c2 * a1 + d2 * c1, c2 * b1 + d2 * d1,
+                       e2 * a1 + f2 * c1 + e1, e2 * b1 + f2 * d1 + f1)
+            elif op == "re" and len(stack) >= 4:
+                rx, ry, rw, rh = (float(v) for v in stack[-4:])
+                pending_rects.append((rx, ry, rw, rh))
+            elif op in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*"):
+                flush_rects()
+            elif op == "n":
+                pending_rects.clear()
+            elif op == "Do" and stack and resources is not None and doc is not None:
+                name = stack[-1][1] if isinstance(stack[-1], tuple) else None
+                xobjs = doc.resolve(resources.get("XObject", {})) or {}
+                xo = doc.resolve(xobjs.get(name)) if name else None
+                if isinstance(xo, Stream) and \
+                        doc.resolve(xo.dict.get("Subtype")) == "Image":
+                    a, _b, _c, dd, e, f = ctm
+                    ref = doc.resolve(xo.dict.get("DoclingRef")) or \
+                        f"pdfimg://page{page_no}/{name}"
+                    images.append({
+                        "l": e, "t": height - (f + dd), "r": e + a,
+                        "b": height - f, "media_ref": str(ref),
+                    })
+        except (ValueError, IndexError, KeyError, PdfError):
+            pass  # malformed operator input: skip, never raise
+        stack.clear()
+    return {"page_no": page_no, "width": 0.0, "height": height,
+            "cells": cells, "tables": tables, "images": images}
+
+
+def parse_pdf_pages(data: bytes) -> list[dict]:
+    """PDF bytes → list of page dicts in the pdf_cells payload schema."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for pno, page in enumerate(doc.pages(), start=1):
+        media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        media = [float(doc.resolve(v)) for v in media]
+        width, height = media[2] - media[0], media[3] - media[1]
+        content = doc.page_content(page)
+        resources = doc.resolve(page.get("Resources")) or {}
+        pd = interpret_content(content, height=height, page_no=pno,
+                               resources=resources, doc=doc)
+        pd["width"] = width
+        out.append(pd)
+    return out
+
+
+def extract_pdf_bytes_unit(
+    payload_b64: str,
+) -> tuple[list[Span], int, float, str | None]:
+    """One ``pdf`` input span (base64 of a whole PDF file) → (spans in page
+    order, page_no=-1, min page score, error). Pages below the parse-score
+    floor are dropped and reported — same degradation semantics as the
+    pdf_cells path (errors are data, never exceptions)."""
+    try:
+        data = base64.b64decode(payload_b64, validate=True)
+        pages = parse_pdf_pages(data)
+    except Exception as e:
+        return [], -1, 0.0, f"pdf parse error: {type(e).__name__}: {e}"
+    spans: list[Span] = []
+    errs: list[str] = []
+    score = 1.0
+    from docling_ray.stages.pdf_layout import MIN_PARSE_SCORE
+
+    for page in pages:
+        p_spans, p_score = extract_page(page)
+        score = min(score, p_score)
+        if not p_spans and p_score < MIN_PARSE_SCORE:
+            errs.append(f"page {page['page_no']} dropped: "
+                        f"parse_score={p_score:.3f}")
+        spans.extend(p_spans)
+    return spans, -1, score, ("; ".join(errs) or None)

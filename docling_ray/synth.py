@@ -26,7 +26,9 @@ reproducible in isolation — generation parallelizes embarrassingly
 
 from __future__ import annotations
 
+import base64
 import json
+import zlib
 import random
 
 import pyarrow as pa
@@ -380,9 +382,10 @@ def _pdf_para_lines(rng: random.Random, pool: list[str]) -> list[str]:
 def build_pdf_page(
     rng: random.Random, pool: list[str], doc_id: str, page_no: int,
     media_seq: list[int], garbage: bool = False, first_page: bool = False,
+    two_col_allowed: bool = True,
 ) -> tuple[str, list[Span], bool]:
     """One page → (payload JSON, expected spans, is_garbage)."""
-    two_col = rng.random() < 0.35 and not garbage
+    two_col = rng.random() < 0.35 and not garbage and two_col_allowed
     pb = _PageBuilder(page_no, two_col)
     if garbage:
         for _ in range(rng.randint(3, 8)):
@@ -474,6 +477,147 @@ def build_pdf_doc(
 
 
 # ======================================================================
+# Real-PDF-bytes documents (generator-side WRITER; the engine's parser in
+# stages/pdf_bytes.py is an independent implementation — round-trip span
+# equality across the two is the correctness oracle for the PDF backend)
+# ======================================================================
+
+
+def _pdf_num(v: float) -> str:
+    """Shortest decimal that round-trips through float() — the parser
+    recovers coordinates exactly."""
+    return str(int(v)) if v == int(v) else repr(float(v))
+
+
+def _pdf_text_op(text: str) -> str:
+    """PDF string literal for ``text``: ASCII/latin-1 → escaped literal,
+    anything else → BOM-prefixed UTF-16BE hex string."""
+    if all(31 < ord(ch) < 256 for ch in text):
+        esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        return f"({esc})"
+    raw = b"\xfe\xff" + text.encode("utf-16-be")
+    return "<" + raw.hex().upper() + ">"
+
+
+def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
+    """Render page dicts (the pdf_cells schema) into a real PDF 1.4 file:
+    xref table, FlateDecode content streams, Helvetica Type1 font, text
+    placed so the parser's geometry convention (baseline at cell bottom,
+    leading = cell height) recovers l/t/b/font exactly; table regions as
+    stroked rectangles; images as 1×1 XObjects carrying /DoclingRef."""
+    objs: dict[int, bytes] = {}
+    next_id = [4]  # 1=catalog, 2=pages, 3=font
+
+    def add(body: bytes) -> int:
+        oid = next_id[0]
+        next_id[0] += 1
+        objs[oid] = body
+        return oid
+
+    page_ids: list[int] = []
+    for page in pages:
+        h = float(page.get("height", PAGE_H))
+        w = float(page.get("width", PAGE_W))
+        ops: list[str] = []
+        xobj_entries: list[tuple[str, int]] = []
+        for c in page.get("cells", []):
+            lead = float(c["b"]) - float(c["t"])
+            ops.append(
+                f"BT /F1 {_pdf_num(c['font_size'])} Tf "
+                f"{_pdf_num(lead)} TL "
+                f"{_pdf_num(c['l'])} {_pdf_num(h - c['b'])} Td "
+                f"{_pdf_text_op(c['text'])} Tj ET"
+            )
+        for reg in page.get("tables", []):
+            ops.append(
+                f"{_pdf_num(reg['l'])} {_pdf_num(h - reg['b'])} "
+                f"{_pdf_num(reg['r'] - reg['l'])} "
+                f"{_pdf_num(reg['b'] - reg['t'])} re S"
+            )
+        for k, img in enumerate(page.get("images", [])):
+            ref = img.get("media_ref", "")
+            img_body = (
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /DoclingRef (" + ref.encode("latin-1") + b")"
+                b" /Length 1 >>\nstream\n\x00\nendstream"
+            )
+            img_id = add(img_body)
+            name = f"Im{k}"
+            xobj_entries.append((name, img_id))
+            ops.append(
+                f"q {_pdf_num(img['r'] - img['l'])} 0 0 "
+                f"{_pdf_num(img['b'] - img['t'])} "
+                f"{_pdf_num(img['l'])} {_pdf_num(h - img['b'])} cm "
+                f"/{name} Do Q"
+            )
+        content = zlib.compress("\n".join(ops).encode("latin-1"))
+        content_id = add(
+            b"<< /Filter /FlateDecode /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+        res = "<< /Font << /F1 3 0 R >>"
+        if xobj_entries:
+            res += (" /XObject << "
+                    + " ".join(f"/{n} {i} 0 R" for n, i in xobj_entries)
+                    + " >>")
+        res += " >>"
+        page_ids.append(add(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_pdf_num(w)} "
+             f"{_pdf_num(h)}] /Resources {res} /Contents ").encode("latin-1")
+            + str(content_id).encode() + b" 0 R >>"
+        ))
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids ["
+               + b" ".join(b"%d 0 R" % p for p in page_ids)
+               + b"] /Count " + str(len(page_ids)).encode() + b" >>")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_pos = len(out)
+    n_obj = max(objs) + 1
+    out += b"xref\n0 %d\n" % n_obj
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n_obj):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (n_obj, xref_pos))
+    return bytes(out)
+
+
+def build_pdf_bytes_doc(
+    rng: random.Random, pool: list[str], doc_id: str
+) -> tuple[str, list[Span], str]:
+    """Real-PDF-bytes document → (base64 of the file, expected spans,
+    status). Pages are built by the same geometry builder as pdf_cells
+    docs (single-column: the parser's fixed advance metric cannot bound
+    long lines inside a column gap), serialized to actual PDF bytes."""
+    n_pages = rng.randint(1, 10)
+    media_seq = [0]
+    garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
+    page_dicts: list[dict] = []
+    expected: list[Span] = []
+    any_garbage = False
+    for p in range(n_pages):
+        payload, exp, is_garbage = build_pdf_page(
+            rng, pool, doc_id, page_no=p + 1, media_seq=media_seq,
+            garbage=(p == garbage_at), first_page=(p == 0),
+            two_col_allowed=False,
+        )
+        page_dicts.append(json.loads(payload))
+        expected.extend(exp)
+        any_garbage |= is_garbage
+    data = pages_to_pdf_bytes(page_dicts)
+    status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
+    return base64.b64encode(data).decode("ascii"), expected, status
+
+
+# ======================================================================
 # Text / mixed documents
 # ======================================================================
 
@@ -540,6 +684,9 @@ def make_doc(
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
         in_spans = [("pdf_cells", p, "") for p in payloads]
+    elif r < 0.92:
+        b64, exp, status = build_pdf_bytes_doc(rng, pool, doc_id)
+        in_spans = [("pdf", b64, "")]
     else:
         in_spans, exp = build_text_doc(rng, pool, doc_id)
     input_row = {
