@@ -131,6 +131,18 @@ def _simhash_dedup(sf_dir: str):
     return simhash_clusters(ds, max_hamming=3)
 
 
+def _detect_format(sf_dir: str):
+    """Content sniffing over the UNLABELED corpus payloads — stored kinds
+    ignored; oracle = the generator's known labels."""
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.detect import detect_format_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    return corpus.map_batches(
+        detect_format_batch, batch_format="pyarrow"
+    ).sort(["doc_id", "offset"])
+
+
 def _jaccard_pairs(sf_dir: str):
     import ray
 
@@ -270,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (rows-only; pytest golden corpus is the oracle)
         "extract_summary": _extract_summary,
         "extract_selfcheck": _extract_selfcheck,
+        "detect_format": _detect_format,
         "media_features": _media_features,
         # training-data ops over documents
         "exact_dedup": _exact_dedup,
@@ -409,6 +422,11 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, content "
             f"FROM read_parquet('{exp}/export_markdown.parquet') "
             "ORDER BY doc_id"
+        ),
+        "detect_format": (
+            'SELECT doc_id, "offset", kind '
+            f"FROM read_parquet('{exp}/detect_format.parquet') "
+            'ORDER BY doc_id, "offset"'
         ),
     }
 

@@ -38,8 +38,12 @@ _DEP_FILES = [
 ]
 
 
+# bump when the set of expected tables changes (cache layout version)
+_LAYOUT_VERSION = b"v2"
+
+
 def _fingerprint() -> str:
-    h = hashlib.md5()
+    h = hashlib.md5(_LAYOUT_VERSION)
     for p in _DEP_FILES:
         with open(p, "rb") as f:
             h.update(f.read())
@@ -61,6 +65,11 @@ _HEADINGS_SCHEMA = pa.schema([
 _EXPORT_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("content", pa.string()),
+])
+_DETECT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("kind", pa.string()),
 ])
 
 
@@ -84,11 +93,14 @@ def ensure_expected_tables(
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    summaries, headings, exports = [], [], []
+    summaries, headings, exports, detects = [], [], [], []
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
                                  with_expected=True)
         for row in rend.to_pylist():
+            for s in row["spans"]:  # generator-known kind per input span
+                detects.append({"doc_id": row["doc_id"],
+                                "offset": s["offset"], "kind": s["kind"]})
             spans = row["expected_spans"]
             byte_size = sum(len((s["text"] or "").encode("utf-8"))
                             for s in row["spans"])
@@ -110,6 +122,8 @@ def ensure_expected_tables(
                    os.path.join(out, "heading_levels.parquet"))
     pq.write_table(pa.Table.from_pylist(exports, schema=_EXPORT_SCHEMA),
                    os.path.join(out, "export_markdown.parquet"))
+    pq.write_table(pa.Table.from_pylist(detects, schema=_DETECT_SCHEMA),
+                   os.path.join(out, "detect_format.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -37,6 +37,12 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
     """Extract one input span (unit). Returns (spans, page_no, score, error);
     page_no is -1 for non-PDF units."""
     try:
+        if kind in ("", "auto"):
+            # unlabeled corpora: content-sniff the kind (the reference's
+            # _guess_format entry condition, document.py:763)
+            from docling_ray.stages.detect import sniff_kind
+
+            kind = sniff_kind(text, media_ref)
         if kind == S.KIND_HTML:
             return extract_html(text), -1, 1.0, None
         if kind == S.KIND_TEXT:
