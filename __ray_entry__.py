@@ -253,6 +253,28 @@ def _quality(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow").sort("doc_id")
 
 
+def _code_langs(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.enrich import code_languages_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(code_languages_batch, batch_format="pyarrow") \
+              .sort(["doc_id", "offset"])
+
+
+def _picture_classes(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.enrich import picture_classes_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(picture_classes_batch, batch_format="pyarrow") \
+              .sort(["doc_id", "offset"])
+
+
 def _heading_levels(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -302,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": A.embedding_label_norms,
         # enrichment
         "heading_levels": _heading_levels,
+        "code_langs": _code_langs,
+        "picture_classes": _picture_classes,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -426,6 +450,16 @@ def _expected_table_sql() -> dict[str, str]:
         "detect_format": (
             'SELECT doc_id, "offset", kind '
             f"FROM read_parquet('{exp}/detect_format.parquet') "
+            'ORDER BY doc_id, "offset"'
+        ),
+        "code_langs": (
+            'SELECT doc_id, "offset", code_language '
+            f"FROM read_parquet('{exp}/code_langs.parquet') "
+            'ORDER BY doc_id, "offset"'
+        ),
+        "picture_classes": (
+            'SELECT doc_id, "offset", media_ref, predicted_class '
+            f"FROM read_parquet('{exp}/picture_classes.parquet') "
             'ORDER BY doc_id, "offset"'
         ),
     }

@@ -33,13 +33,15 @@ _DEP_FILES = [
     os.path.join(_PKG, "synth.py"),
     os.path.join(_PKG, "stages", "export.py"),
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
+    os.path.join(_PKG, "stages", "enrich.py"),
     os.path.join(_PKG, "functions", "normalize.py"),
     os.path.join(_PKG, "functions", "refs.py"),
+    os.path.join(_PKG, "functions", "code_language.py"),
 ]
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v2"
+_LAYOUT_VERSION = b"v3"
 
 
 def _fingerprint() -> str:
@@ -71,6 +73,17 @@ _DETECT_SCHEMA = pa.schema([
     ("offset", pa.int32()),
     ("kind", pa.string()),
 ])
+_CODELANG_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("code_language", pa.string()),
+])
+_PICCLS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("media_ref", pa.string()),
+    ("predicted_class", pa.string()),
+])
 
 
 def ensure_expected_tables(
@@ -80,6 +93,11 @@ def ensure_expected_tables(
     """Build (once, cached) the expected parquet tables for ``sf_dir``.
     Returns the directory containing ``extract_summary.parquet``,
     ``heading_levels.parquet``, ``export_markdown.parquet``."""
+    from docling_ray.functions.code_language import detect_code_language
+    from docling_ray.stages.enrich import (
+        _iter_pictures_with_captions,
+        classify_picture,
+    )
     from docling_ray.stages.export import spans_to_markdown
     from docling_ray.stages.heading_hierarchy import assign_levels
     from docling_ray.synth import render_docs_batch
@@ -94,6 +112,7 @@ def ensure_expected_tables(
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
+    codelangs, piccls = [], []
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
                                  with_expected=True)
@@ -115,6 +134,20 @@ def ensure_expected_tables(
                                  "text": text, "level": lvl})
             exports.append({"doc_id": row["doc_id"],
                             "content": spans_to_markdown(spans)})
+            for idx, s in enumerate(spans):
+                if s["kind"] == "code":
+                    ref = s["media_ref"] or ""
+                    hint = ref[5:] if ref.startswith("lang:") else None
+                    codelangs.append({
+                        "doc_id": row["doc_id"], "offset": s["offset"],
+                        "code_language": detect_code_language(s["text"],
+                                                              hint)})
+            for s, cap in _iter_pictures_with_captions(spans):
+                piccls.append({
+                    "doc_id": row["doc_id"], "offset": s["offset"],
+                    "media_ref": s["media_ref"],
+                    "predicted_class": classify_picture(s["media_ref"],
+                                                        cap)})
 
     pq.write_table(pa.Table.from_pylist(summaries, schema=_SUMMARY_SCHEMA),
                    os.path.join(out, "extract_summary.parquet"))
@@ -124,6 +157,10 @@ def ensure_expected_tables(
                    os.path.join(out, "export_markdown.parquet"))
     pq.write_table(pa.Table.from_pylist(detects, schema=_DETECT_SCHEMA),
                    os.path.join(out, "detect_format.parquet"))
+    pq.write_table(pa.Table.from_pylist(codelangs, schema=_CODELANG_SCHEMA),
+                   os.path.join(out, "code_langs.parquet"))
+    pq.write_table(pa.Table.from_pylist(piccls, schema=_PICCLS_SCHEMA),
+                   os.path.join(out, "picture_classes.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

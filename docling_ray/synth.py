@@ -621,6 +621,20 @@ def build_pdf_bytes_doc(
 # Text / mixed documents
 # ======================================================================
 
+# (label, template) code snippets for text docs — the label is the
+# generator's independent ground truth for the code-language detector
+# (tests assert detect_code_language(template) == label for every entry)
+CODE_SNIPPETS: list[tuple[str, str]] = [
+    ("python", "def scale(x):\n    return x * {m}\nprint(scale({n}))"),
+    ("javascript", "const v = {n};\nconsole.log(v * {m});"),
+    ("sql", "SELECT key, value FROM metrics WHERE value > {n};"),
+    ("go", "package main\n\nfunc main() {{\n\tfmt.Println({n})\n}}"),
+    ("bash", "#!/bin/bash\necho $(({n} * {m}))"),
+    ("rust", "fn main() {{\n    let mut x = {n};\n    x *= {m};\n}}"),
+    ("unknown", "x = {n}\ny = x * {m}"),
+]
+
+
 def build_text_doc(
     rng: random.Random, pool: list[str], doc_id: str
 ) -> tuple[list[tuple[str, str, str]], list[Span]]:
@@ -647,7 +661,8 @@ def build_text_doc(
             lines.extend(f"- {it}" for it in items)
             exp.extend(("list_item", it, "") for it in items)
         elif r < 0.9:
-            code = f"x = {rng.randrange(100)}\ny = x * {rng.randrange(9) + 2}"
+            lang, tmpl = CODE_SNIPPETS[rng.randrange(len(CODE_SNIPPETS))]
+            code = tmpl.format(n=rng.randrange(100), m=rng.randrange(9) + 2)
             lines.extend(["", "```", code, "```"])
             exp.append(("code", code, ""))
         else:
