@@ -81,16 +81,28 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
     if media_ref and "://" in media_ref:
         return "media"
 
-    # --- magic bytes: raw or base64 PDF
+    # --- magic bytes: raw or base64 PDF / zip (epub) / gzip (mets tar)
     if stripped.startswith("%PDF-"):
         return "pdf"
     if len(s) > 16 and _B64_RE.match(head) is not None:
         try:
-            if base64.b64decode(head[:64] + "=" * (-len(head[:64]) % 4),
-                                validate=False)[:5] == b"%PDF-":
+            blob = base64.b64decode(head[:512] + "=" * (-len(head[:512]) % 4),
+                                    validate=False)
+            if blob[:5] == b"%PDF-":
                 return "pdf"
+            if blob[:2] == b"\x1f\x8b":
+                return "mets_gbs"  # gzipped tar container
+            if blob[:4] == b"PK\x03\x04":
+                # EPUB stores an uncompressed "mimetype" member first
+                if b"application/epub" in blob or b"container.xml" in blob:
+                    return "epub"
+                return "epub"  # zip payloads we support are epub containers
         except Exception:
             pass
+
+    # --- USPTO APS plain text (uspto_backend.py:123 "PATN" probe)
+    if stripped.startswith("PATN"):
+        return "uspto"
 
     # --- JSON payloads
     if stripped.startswith(("{", "[")):
@@ -142,6 +154,11 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
         if root in ("p:sld", "p:presentation"):
             return "pptx_xml"
         if root.startswith("office:document"):
+            # flat ODF content: body child picks text/spreadsheet/presentation
+            if "office:spreadsheet" in low:
+                return "ods_xml"
+            if "office:presentation" in low or "draw:page" in low:
+                return "odp_xml"
             return "odt_xml"
         if root == "html":
             # XHTML with an XML prolog / epub namespace → epub branch

@@ -137,11 +137,122 @@ def extract_odt_xml(raw: str) -> list[Span]:
 
 
 # ---------------------------------------------------------------------------
-# EPUB (spine XHTML → HTML delegation)
+# ODS spreadsheet / ODP presentation (flat content XML; the reference's
+# opendocument_backend.py:1392 spreadsheet/presentation branches rebuilt
+# over ElementTree)
+# ---------------------------------------------------------------------------
+
+_PR = "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}"
+
+
+def extract_ods_xml(raw: str) -> list[Span]:
+    """ODS content.xml → one section_header + table span per sheet, empty
+    trailing rows/columns trimmed (the reference's true-data-bounds rule,
+    opendocument_backend.py:162)."""
+    root = ET.fromstring(raw)
+    spans: list[Span] = []
+    for sheet in root.iter(f"{_TB}table"):
+        grid: list[list[str]] = []
+        for tr in sheet.iter(f"{_TB}table-row"):
+            row: list[str] = []
+            for tc in tr.findall(f"{_TB}table-cell"):
+                rep = int(tc.get(f"{_TB}number-columns-repeated", "1") or 1)
+                text = _odt_text(tc)
+                row.extend([text] * min(rep, 1024))
+            grid.append(row)
+        # trim trailing empty rows, then trailing empty columns
+        while grid and not any(c for c in grid[-1]):
+            grid.pop()
+        ncols = 0
+        for r in grid:
+            for ci in range(len(r) - 1, -1, -1):
+                if r[ci]:
+                    ncols = max(ncols, ci + 1)
+                    break
+        grid = [r[:ncols] + [""] * (ncols - len(r[:ncols])) for r in grid]
+        if not grid:
+            continue
+        name = sheet.get(f"{_TB}name", "")
+        if name:
+            spans.append(("section_header", name, ""))
+        spans.append(("table", "", grid_media_ref(grid)))
+    return spans
+
+
+def extract_odp_xml(raw: str) -> list[Span]:
+    """ODP content.xml → per draw:page: title frame → section_header,
+    other text frames → text paragraphs / list items, images → pictures."""
+    root = ET.fromstring(raw)
+    spans: list[Span] = []
+    for page in root.iter(f"{_DR}page"):
+        for frame in page.findall(f"{_DR}frame"):
+            cls = frame.get(f"{_PR}class", "")
+            texts = [t for t in (_odt_text(pp)
+                                 for pp in frame.iter(f"{_T}p")) if t]
+            if cls in ("title", "outline-title"):
+                for t in texts:
+                    spans.append(("section_header", t, ""))
+                continue
+            for img in frame.iter(f"{_DR}image"):
+                spans.append(("picture", "", img.get(f"{_XL}href", "")))
+            in_list = frame.find(f".//{_T}list") is not None
+            for t in texts:
+                spans.append(("list_item" if in_list else "text", t, ""))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# EPUB: container (base64 zip → container.xml → OPF spine → XHTML docs,
+# the reference's epub_backend.py:336-450 package walk) and single-file
+# XHTML delegation
 # ---------------------------------------------------------------------------
 
 def extract_epub_xhtml(raw: str) -> list[Span]:
     return extract_html(raw)
+
+
+def extract_epub(b64: str) -> list[Span]:
+    """Full EPUB container: META-INF/container.xml names the OPF package,
+    whose manifest+spine give the reading order of the XHTML documents —
+    each is extracted by the HTML pipeline and concatenated."""
+    import base64
+    import io
+    import posixpath
+    import zipfile
+
+    data = base64.b64decode(b64, validate=True)
+    spans: list[Span] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = set(zf.namelist())
+        container = zf.read("META-INF/container.xml").decode("utf-8")
+        croot = ET.fromstring(container)
+        opf_path = ""
+        for rf in croot.iter():
+            if rf.tag.rsplit("}", 1)[-1] == "rootfile":
+                opf_path = rf.get("full-path", "")
+                break
+        if not opf_path or opf_path not in names:
+            raise ValueError("epub: no OPF package in container.xml")
+        opf_dir = posixpath.dirname(opf_path)
+        opf = ET.fromstring(zf.read(opf_path).decode("utf-8"))
+        hrefs: dict[str, str] = {}
+        spine: list[str] = []
+        for el in opf.iter():
+            local = el.tag.rsplit("}", 1)[-1]
+            if local == "item" and el.get("id") and el.get("href"):
+                hrefs[el.get("id")] = el.get("href")
+            elif local == "itemref" and el.get("idref"):
+                spine.append(el.get("idref"))
+        for idref in spine:
+            href = hrefs.get(idref)
+            if not href:
+                continue
+            path = posixpath.normpath(posixpath.join(opf_dir, href))
+            if path not in names:
+                continue
+            spans.extend(extract_epub_xhtml(
+                zf.read(path).decode("utf-8", errors="replace")))
+    return spans
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +411,10 @@ def extract_latex(raw: str) -> list[Span]:
 EXTRA_FORMAT_EXTRACTORS = {
     "pptx_xml": extract_pptx_xml,
     "odt_xml": extract_odt_xml,
+    "ods_xml": extract_ods_xml,
+    "odp_xml": extract_odp_xml,
     "epub_xhtml": extract_epub_xhtml,
+    "epub": extract_epub,
     "boxnote": extract_boxnote,
     "latex": extract_latex,
 }

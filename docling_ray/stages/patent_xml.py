@@ -53,7 +53,86 @@ def _findall_local(root: ET.Element, name: str) -> list[ET.Element]:
 # USPTO
 # ---------------------------------------------------------------------------
 
+_APS_SECTIONS = {"ABST", "BSUM", "DETD", "CLMS", "DRWD", "PATN"}
+_APS_PARA_FIELDS = {"PAR", "PA1", "PA2", "PA3", "PAL"}
+
+
+def _extract_uspto_aps(raw: str) -> list[Span]:
+    """USPTO Patent Grant Full Text Data / APS (1976-2001): fixed-width
+    field codes in column 1-4, value from column 6, bare section markers
+    (ABST/BSUM/DETD/CLMS/DRWD), continuation lines indented. Behavior
+    parity with the reference's PatentUsptoGrantAps
+    (uspto_backend.py:926-1110): TTL → title, ABST → heading + one merged
+    abstract paragraph, CLMS → heading + one text item per NUM-started
+    claim, PAC captions → section headers, PARs → paragraphs."""
+    fields: list[tuple[str, str]] = []  # (code, value) after continuation merge
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        code = line[:4].strip()
+        value = line[5:].strip() if len(line) > 5 else ""
+        if code:
+            fields.append((code, value))
+        elif fields:  # indented continuation of the previous field
+            prev_code, prev_val = fields[-1]
+            fields[-1] = (prev_code,
+                          (prev_val + " " + line.strip()).strip())
+    spans: list[Span] = []
+    section = ""
+    abstract_parts: list[str] = []
+    claims: list[str] = []
+    claim_open = False
+
+    def flush_abstract() -> None:
+        if abstract_parts:
+            spans.append(("section_header", "ABSTRACT", ""))
+            spans.append(("text", _clean(" ".join(abstract_parts)), ""))
+            abstract_parts.clear()
+
+    def flush_claims() -> None:
+        if claims:
+            spans.append(("section_header", "CLAIMS", ""))
+            spans.extend(("text", _clean(c), "") for c in claims if c.strip())
+            claims.clear()
+
+    for code, value in fields:
+        if code in _APS_SECTIONS:
+            flush_abstract()
+            flush_claims()
+            section = code
+            claim_open = False
+            continue
+        if code == "TTL":
+            spans.append(("title", _clean(value), ""))
+        elif section == "ABST" and code in _APS_PARA_FIELDS:
+            abstract_parts.append(value)
+        elif section == "CLMS":
+            if code == "NUM":
+                claims.append("")
+                claim_open = True
+            elif code in _APS_PARA_FIELDS:
+                if not claim_open:
+                    claims.append("")
+                    claim_open = True
+                claims[-1] = (claims[-1] + " " + value).strip()
+        elif code == "PAC" and section in ("BSUM", "DETD", "DRWD"):
+            spans.append(("section_header", _clean(value), ""))
+        elif code in _APS_PARA_FIELDS and section in ("BSUM", "DETD", "DRWD"):
+            spans.append(("text", _clean(value), ""))
+    flush_abstract()
+    flush_claims()
+    return [s for s in spans if s[1] or s[2]]
+
+
+def _clean(text: str) -> str:
+    return collapse_whitespace(clean_unicode(text))
+
+
 def extract_uspto(raw: str) -> list[Span]:
+    """USPTO dispatcher: APS plain text (PATN header) vs XML dialects —
+    the reference's doctype probe (uspto_backend.py:112-155)."""
+    if raw.lstrip().startswith("PATN"):
+        return _extract_uspto_aps(raw)
     root = ET.fromstring(raw)
     spans: list[Span] = []
     title = _text_of(_find_local(root, "invention-title"))
@@ -153,8 +232,102 @@ def extract_mets(raw: str) -> list[Span]:
     return spans
 
 
+def extract_mets_container(b64: str) -> list[Span]:
+    """METS GBS tar.gz container (the reference's
+    mets_gbs_backend.py:203-300): base64 of a gzipped tar holding the
+    METS manifest plus per-page OCR text members. fileGrp USE=OCR maps
+    file ids to member paths; structMap page divs give the order; each
+    page emits its header, its image reference (if any) and the OCR
+    member's text (hOCR markup stripped). Bounded member count/size
+    guards mirror the reference's archive limits."""
+    import base64
+    import io
+    import re as _re
+    import tarfile
+
+    data = base64.b64decode(b64, validate=True)
+    max_members, max_member_bytes = 10_000, 64 << 20
+    members: dict[str, bytes] = {}
+    mets_xml: str | None = None
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:gz") as tar:
+        for i, member in enumerate(tar.getmembers()):
+            if i >= max_members:
+                raise ValueError("mets archive exceeds member-count limit")
+            if not member.isfile() or member.size > max_member_bytes:
+                continue
+            f = tar.extractfile(member)
+            if f is None:
+                continue
+            content = f.read()
+            members[member.name] = content
+            if member.name.endswith(".xml") and mets_xml is None and                     b"loc.gov/METS" in content[:4096]:
+                mets_xml = content.decode("utf-8", errors="replace")
+    if mets_xml is None:
+        raise ValueError("mets archive has no METS manifest")
+    root = ET.fromstring(mets_xml)
+
+    ocr_files: dict[str, str] = {}
+    img_files: dict[str, str] = {}
+    for grp in _findall_local(root, "fileGrp"):
+        use = grp.get("USE", "")
+        for f in _findall_local(grp, "file"):
+            fid = f.get("ID", "")
+            floc = _find_local(f, "FLocat")
+            href = ""
+            if floc is not None:
+                for k, v in floc.attrib.items():
+                    if k.endswith("href"):
+                        href = v
+            if not fid or not href:
+                continue
+            if use in ("OCR", "coordOCR"):
+                ocr_files.setdefault(fid, href)
+            else:
+                img_files.setdefault(fid, href)
+
+    def member_text(href: str) -> str:
+        raw_bytes = members.get(href) or members.get(href.lstrip("./"), b"")
+        if not raw_bytes:
+            for name, content in members.items():
+                if name.endswith("/" + href) or name.endswith(href):
+                    raw_bytes = content
+                    break
+        text = raw_bytes.decode("utf-8", errors="replace")
+        if "<" in text:  # hOCR / ALTO-ish markup: strip tags
+            text = _re.sub(r"<[^>]+>", " ", text)
+        return collapse_whitespace(clean_unicode(text))
+
+    spans: list[Span] = []
+    pages = []
+    for div in _findall_local(root, "div"):
+        if (div.get("TYPE", "") or "").lower() != "page":
+            continue
+        order = int(div.get("ORDER", "0") or 0)
+        refs = [fp.get("FILEID", "") for fp in _findall_local(div, "fptr")]
+        label = collapse_whitespace(clean_unicode(div.get("LABEL", "") or ""))
+        pages.append((order, label, refs))
+    for order, label, refs in sorted(pages):
+        spans.append(("page_header", label or f"Page {order}", ""))
+        for rid in refs:
+            if rid in img_files:
+                spans.append(("picture", "", img_files[rid]))
+        for rid in refs:
+            if rid in ocr_files:
+                text = member_text(ocr_files[rid])
+                if text:
+                    spans.append(("text", text, ""))
+    return spans
+
+
+def extract_mets_any(raw: str) -> list[Span]:
+    """mets_gbs dispatcher: base64 tar.gz container vs bare manifest XML."""
+    if raw.lstrip().startswith("<"):
+        return extract_mets(raw)
+    return extract_mets_container(raw)
+
+
 PATENT_FORMAT_EXTRACTORS = {
     "uspto": extract_uspto,
     "xbrl": extract_xbrl,
-    "mets_gbs": extract_mets,
+    "mets_gbs": extract_mets_any,
 }
