@@ -275,6 +275,17 @@ def _picture_classes(sf_dir: str):
               .sort(["doc_id", "offset"])
 
 
+def _kv_pairs(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.kv_extract import kv_pairs_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(kv_pairs_batch, batch_format="pyarrow") \
+              .sort(["doc_id", "pair_idx"])
+
+
 def _heading_levels(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -326,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_levels": _heading_levels,
         "code_langs": _code_langs,
         "picture_classes": _picture_classes,
+        "kv_pairs": _kv_pairs,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -461,6 +473,11 @@ def _expected_table_sql() -> dict[str, str]:
             'SELECT doc_id, "offset", media_ref, predicted_class '
             f"FROM read_parquet('{exp}/picture_classes.parquet') "
             'ORDER BY doc_id, "offset"'
+        ),
+        "kv_pairs": (
+            "SELECT doc_id, pair_idx, key, value, source "
+            f"FROM read_parquet('{exp}/kv_pairs.parquet') "
+            "ORDER BY doc_id, pair_idx"
         ),
     }
 

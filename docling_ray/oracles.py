@@ -34,6 +34,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "stages", "export.py"),
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
     os.path.join(_PKG, "stages", "enrich.py"),
+    os.path.join(_PKG, "stages", "kv_extract.py"),
     os.path.join(_PKG, "functions", "normalize.py"),
     os.path.join(_PKG, "functions", "refs.py"),
     os.path.join(_PKG, "functions", "code_language.py"),
@@ -41,7 +42,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v3"
+_LAYOUT_VERSION = b"v4"
 
 
 def _fingerprint() -> str:
@@ -78,6 +79,13 @@ _CODELANG_SCHEMA = pa.schema([
     ("offset", pa.int32()),
     ("code_language", pa.string()),
 ])
+_KV_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("pair_idx", pa.int32()),
+    ("key", pa.string()),
+    ("value", pa.string()),
+    ("source", pa.string()),
+])
 _PICCLS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -99,6 +107,7 @@ def ensure_expected_tables(
         classify_picture,
     )
     from docling_ray.stages.export import spans_to_markdown
+    from docling_ray.stages.kv_extract import mine_pairs
     from docling_ray.stages.heading_hierarchy import assign_levels
     from docling_ray.synth import render_docs_batch
 
@@ -112,7 +121,7 @@ def ensure_expected_tables(
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
-    codelangs, piccls = [], []
+    codelangs, piccls, kvpairs = [], [], []
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
                                  with_expected=True)
@@ -142,6 +151,10 @@ def ensure_expected_tables(
                         "doc_id": row["doc_id"], "offset": s["offset"],
                         "code_language": detect_code_language(s["text"],
                                                               hint)})
+            for j, (key, value, source) in enumerate(mine_pairs(spans)):
+                kvpairs.append({"doc_id": row["doc_id"], "pair_idx": j,
+                                "key": key, "value": value,
+                                "source": source})
             for s, cap in _iter_pictures_with_captions(spans):
                 piccls.append({
                     "doc_id": row["doc_id"], "offset": s["offset"],
@@ -161,6 +174,8 @@ def ensure_expected_tables(
                    os.path.join(out, "code_langs.parquet"))
     pq.write_table(pa.Table.from_pylist(piccls, schema=_PICCLS_SCHEMA),
                    os.path.join(out, "picture_classes.parquet"))
+    pq.write_table(pa.Table.from_pylist(kvpairs, schema=_KV_SCHEMA),
+                   os.path.join(out, "kv_pairs.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out
