@@ -75,6 +75,21 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # A byte_size-pruned parquet read whose filter matches nothing emits an
+    # empty RefBundle with an EMPTY schema; ray's executor then logs a
+    # schema-mismatch warning ("new schema: .") that is noise for this
+    # workload. Drop exactly that message, keep all other warnings.
+    import logging
+
+    class _EmptySchemaNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("different schema" in msg and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaNoise())
+
     from docling_ray.pipelines import analytics as A
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import read_corpus

@@ -384,38 +384,32 @@ def extract_corpus_stored_write(
 def rebalance_by_bytes(
     ds: "ray.data.Dataset", target_bytes: int = 4 << 20
 ) -> "ray.data.Dataset":
-    """Re-cut blocks on document byte-size boundaries so a giant document
-    lands alone in its own block and downstream per-task time is bounded by
-    ``max(doc_bytes, target_bytes)`` — the explicit byte-size partitioning,
-    applied at block level.
+    """Byte-balanced block re-cut: repartition so the average block carries
+    ~``target_bytes`` of document content.
 
-    Implementation note: a generator ``map_batches`` that yields sub-tables
-    does NOT work — the streaming executor coalesces small outputs back
-    into target_max_block_size blocks. The boundary-preserving primitive is
-    ``split_at_indices`` (one metadata pass over a pruned byte_size scan,
-    then a split whose parts keep their own blocks, re-unioned). This costs
-    a materialization, so it is an opt-in for heavy-tail corpora where the
-    hybrid/explode route is not wanted; at warehouse scale the equivalent
-    is writing the corpus size-binned at derivation time
-    (``sources/corpus.write_corpus`` materializes byte_size for exactly
-    that)."""
-    sizes = (
-        ds.map_batches(add_byte_size, batch_format="pyarrow")
-        .select_columns(["byte_size"])
-        .to_pandas()["byte_size"]
-        .to_numpy()
-    )
-    cuts: list[int] = []
-    acc = 0
-    for i, s in enumerate(sizes):
-        acc += int(s)
-        if acc >= target_bytes and i + 1 < len(sizes):
-            cuts.append(i + 1)
-            acc = 0
-    if not cuts:
-        return ds
-    parts = ds.split_at_indices(cuts)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    Bounded by design: the driver sees only ONE (rows, bytes) partial per
+    input batch (a distributed aggregate), never the per-document sizes —
+    at 10^12 docs that is thousands of scalars, not terabytes (the
+    redesign of the old exact-cut implementation, which gathered every
+    document's byte_size to the driver and built an O(cuts)-deep union
+    plan). The block count comes from total_bytes / target_bytes;
+    ``repartition`` then splits evenly by rows. Exact giant-document
+    ISOLATION is not this helper's job — that is the hybrid/explode route
+    (the skew split), and the warehouse-scale default is writing the
+    corpus with byte_size materialized at derivation time
+    (``sources/corpus.write_corpus``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sized = add_byte_size(batch)
+        return pa.table({
+            "rows": pa.array([batch.num_rows], pa.int64()),
+            "bytes": pa.array(
+                [int(pc.sum(sized["byte_size"]).as_py() or 0)], pa.int64()),
+        })
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rows", alias_name="rows"), Sum("bytes", alias_name="bytes"))
+    total_bytes = int(totals["bytes"] or 0)
+    n_blocks = max(1, total_bytes // target_bytes)
+    return ds.repartition(n_blocks)
