@@ -275,6 +275,44 @@ def _picture_classes(sf_dir: str):
               .sort(["doc_id", "offset"])
 
 
+def _hyperlinks(sf_dir: str):
+    """Hyperlink annotations from every html input span (the reference's
+    _resolve_hyperlink stream, html_backend.py:1840) — oracle = the
+    generator's independently recorded links."""
+    import pyarrow as pa
+
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.html_extract import extract_links
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, hrefs, regions = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            j = 0
+            for s in spans or []:
+                if s["kind"] != "html":
+                    continue
+                for text, href, region in extract_links(s["text"] or ""):
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    texts.append(text)
+                    hrefs.append(href)
+                    regions.append(region)
+                    j += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "link_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "region": pa.array(regions, pa.string()),
+        })
+
+    return corpus.map_batches(kernel, batch_format="pyarrow") \
+                 .sort(["doc_id", "link_idx"])
+
+
 def _kv_pairs(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -338,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_langs": _code_langs,
         "picture_classes": _picture_classes,
         "kv_pairs": _kv_pairs,
+        "hyperlinks": _hyperlinks,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -478,6 +517,16 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, pair_idx, key, value, source "
             f"FROM read_parquet('{exp}/kv_pairs.parquet') "
             "ORDER BY doc_id, pair_idx"
+        ),
+        "media_features": (
+            "SELECT doc_id, media_ref, pixel_mean "
+            f"FROM read_parquet('{exp}/media_features.parquet') "
+            "ORDER BY doc_id, media_ref"
+        ),
+        "hyperlinks": (
+            "SELECT doc_id, link_idx, text, href, region "
+            f"FROM read_parquet('{exp}/hyperlinks.parquet') "
+            "ORDER BY doc_id, link_idx"
         ),
     }
 

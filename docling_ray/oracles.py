@@ -35,6 +35,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
     os.path.join(_PKG, "stages", "enrich.py"),
     os.path.join(_PKG, "stages", "kv_extract.py"),
+    os.path.join(_PKG, "stages", "multimodal.py"),
     os.path.join(_PKG, "functions", "normalize.py"),
     os.path.join(_PKG, "functions", "refs.py"),
     os.path.join(_PKG, "functions", "code_language.py"),
@@ -42,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v4"
+_LAYOUT_VERSION = b"v6"
 
 
 def _fingerprint() -> str:
@@ -86,6 +87,18 @@ _KV_SCHEMA = pa.schema([
     ("value", pa.string()),
     ("source", pa.string()),
 ])
+_LINKS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("link_idx", pa.int32()),
+    ("text", pa.string()),
+    ("href", pa.string()),
+    ("region", pa.string()),
+])
+_MEDIA_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("pixel_mean", pa.float64()),
+])
 _PICCLS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -108,6 +121,7 @@ def ensure_expected_tables(
     )
     from docling_ray.stages.export import spans_to_markdown
     from docling_ray.stages.kv_extract import mine_pairs
+    from docling_ray.stages.multimodal import MediaFeatureExtractor
     from docling_ray.stages.heading_hierarchy import assign_levels
     from docling_ray.synth import render_docs_batch
 
@@ -121,7 +135,8 @@ def ensure_expected_tables(
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
-    codelangs, piccls, kvpairs = [], [], []
+    codelangs, piccls, kvpairs, media, links = [], [], [], [], []
+    feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
                                  with_expected=True)
@@ -155,6 +170,22 @@ def ensure_expected_tables(
                 kvpairs.append({"doc_id": row["doc_id"], "pair_idx": j,
                                 "key": key, "value": value,
                                 "source": source})
+            for j, ln in enumerate(row.get("expected_links") or []):
+                links.append({"doc_id": row["doc_id"], "link_idx": j,
+                              "text": ln["text"], "href": ln["href"],
+                              "region": ln["region"]})
+            pic_rows = pa.table({
+                "doc_id": pa.array(
+                    [row["doc_id"]] * sum(1 for s in spans
+                                          if s["kind"] == "picture"
+                                          and s["media_ref"])),
+                "media_ref": pa.array([s["media_ref"] for s in spans
+                                       if s["kind"] == "picture"
+                                       and s["media_ref"]]),
+            })
+            if pic_rows.num_rows:
+                media.extend(feat(pic_rows).select(
+                    ["doc_id", "media_ref", "pixel_mean"]).to_pylist())
             for s, cap in _iter_pictures_with_captions(spans):
                 piccls.append({
                     "doc_id": row["doc_id"], "offset": s["offset"],
@@ -176,6 +207,10 @@ def ensure_expected_tables(
                    os.path.join(out, "picture_classes.parquet"))
     pq.write_table(pa.Table.from_pylist(kvpairs, schema=_KV_SCHEMA),
                    os.path.join(out, "kv_pairs.parquet"))
+    pq.write_table(pa.Table.from_pylist(media, schema=_MEDIA_SCHEMA),
+                   os.path.join(out, "media_features.parquet"))
+    pq.write_table(pa.Table.from_pylist(links, schema=_LINKS_SCHEMA),
+                   os.path.join(out, "hyperlinks.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

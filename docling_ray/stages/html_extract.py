@@ -485,6 +485,47 @@ class HtmlExtractor:
 _DEFAULT = HtmlExtractor()
 
 
+def extract_links(
+    html: str, extractor: "HtmlExtractor | None" = None,
+) -> list[tuple[str, str, str]]:
+    """Hyperlink annotations: (anchor_text, href, region) in document
+    order. The span model intentionally flattens inline markup out of the
+    text; this companion pass preserves the reference's hyperlink
+    resolution (html_backend.py:1840 _resolve_hyperlink) as a separate
+    annotation stream. ``region`` classifies where the link lives using
+    the SAME rules as the extractor: "boilerplate" (nav / link-farm
+    subtrees the body strip removes), "furniture" (pre-first-heading
+    region or footer), "body" (everything the span pipeline keeps)."""
+    ex = extractor or HtmlExtractor()
+    dom = build_dom(html)
+    in_body = not (ex.infer_furniture and ex._subtree_has_heading(dom))
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node, boiler: bool, furn: bool) -> None:
+        nonlocal in_body
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            if c.tag in _DROP or _is_hidden(c) or c.tag == "title":
+                continue
+            b = boiler or ex._is_boilerplate(c)
+            f = furn or c.tag == "footer"
+            if c.tag in ("h1", "h2", "h3", "h4", "h5", "h6") and not b:
+                in_body = True
+            if c.tag == "a":
+                href = c.attrs.get("href", "")
+                if href:
+                    text = collapse_whitespace(clean_unicode(_inline_text(c)))
+                    region = ("boilerplate" if b
+                              else "furniture" if (f or not in_body)
+                              else "body")
+                    out.append((text, href, region))
+            walk(c, b, f)
+
+    walk(dom, False, False)
+    return out
+
+
 def extract_html(html: str) -> list[Span]:
     """Extract spans with default options (module-level convenience)."""
     return _DEFAULT.extract(html)

@@ -72,11 +72,13 @@ def _para_text(rng: random.Random, pool: list[str], n_sent: int | None = None) -
 
 def build_html_doc(
     rng: random.Random, pool: list[str], doc_id: str
-) -> tuple[str, list[Span]]:
-    """Render one HTML document + its expected span sequence."""
+) -> tuple[str, list[Span], list[tuple[str, str, str]]]:
+    """Render one HTML document + its expected span sequence + expected
+    hyperlink annotations (text, href, region) in document order."""
     frags: list[str] = ["<html><head><title>Ignored head title</title>",
                        "<style>body{color:#000}</style></head><body>"]
     exp: list[Span] = []
+    links_exp: list[tuple[str, str, str]] = []
     media_n = 0
     has_headings = rng.random() < 0.9
 
@@ -95,14 +97,16 @@ def build_html_doc(
         frags.append("<noscript>enable js</noscript>")
     # nav link farm → boilerplate-stripped (link density)
     if rng.random() < 0.6:
-        links = "".join(
-            f'<a href="/{w}">{w}</a> ' for w in _words(rng, pool, rng.randint(4, 8))
-        )
+        nav_words = _words(rng, pool, rng.randint(4, 8))
+        links = "".join(f'<a href="/{w}">{w}</a> ' for w in nav_words)
         frags.append(f"<nav>{links}</nav>")
+        menu_words = _words(rng, pool, 5)
         frags.append(f'<div class="menu"><ul>'
                      + "".join(f'<li><a href="/{w}">{w}</a></li>'
-                               for w in _words(rng, pool, 5))
+                               for w in menu_words)
                      + "</ul></div>")
+        links_exp.extend((w, f"/{w}", "boilerplate") for w in nav_words)
+        links_exp.extend((w, f"/{w}", "boilerplate") for w in menu_words)
 
     if has_headings:
         # pre-heading furniture: excluded from body spans
@@ -194,11 +198,12 @@ def build_html_doc(
             f'<p>Mixed <b>{w1}</b> and <a href="/x">{w2}</a> inline text.</p>'
         )
         exp.append(("text", f"Mixed {w1} and {w2} inline text.", ""))
+        links_exp.append((w2, "/x", "body"))
     # footer furniture
     if rng.random() < 0.5:
         frags.append(f"<footer><p>{_sentence(rng, pool)}</p></footer>")
     frags.append("</body></html>")
-    return "".join(frags), exp
+    return "".join(frags), exp, links_exp
 
 
 def _build_html_table(
@@ -693,8 +698,9 @@ def make_doc(
     rng = random.Random(stable_hash64(f"{seed}:{doc_id}"))
     r = rng.random()
     status = S.STATUS_SUCCESS
+    links: list[tuple[str, str, str]] = []
     if r < 0.60:
-        html, exp = build_html_doc(rng, pool, doc_id)
+        html, exp, links = build_html_doc(rng, pool, doc_id)
         in_spans = [("html", html, "")]
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
@@ -715,6 +721,7 @@ def make_doc(
         "doc_id": doc_id,
         "spans": S.spans_to_arrow(exp),
         "status": status,
+        "links": [{"text": t, "href": h, "region": r_} for t, h, r_ in links],
     }
     return input_row, expected_row
 
@@ -736,7 +743,10 @@ def make_corpus(
             expecteds,
             schema=pa.schema(
                 [("doc_id", pa.string()), ("spans", pa.list_(S.SPAN_STRUCT)),
-                 ("status", pa.string())]
+                 ("status", pa.string()),
+                 ("links", pa.list_(pa.struct(
+                     [("text", pa.string()), ("href", pa.string()),
+                      ("region", pa.string())])))]
             ),
         ),
     )
@@ -767,6 +777,12 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
         exp_spans = pa.array([e["spans"] for e in expecteds],
                              type=pa.list_(S.SPAN_STRUCT))
         exp_status = pa.array([e["status"] for e in expecteds], type=pa.string())
+        exp_links = pa.array(
+            [e["links"] for e in expecteds],
+            type=pa.list_(pa.struct([("text", pa.string()),
+                                     ("href", pa.string()),
+                                     ("region", pa.string())])))
         tbl = tbl.append_column("expected_spans", exp_spans)
         tbl = tbl.append_column("expected_status", exp_status)
+        tbl = tbl.append_column("expected_links", exp_links)
     return tbl

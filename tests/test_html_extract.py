@@ -153,3 +153,39 @@ def test_no_furniture_inference_option():
     html = "<body><p>lead</p><h1>T</h1></body>"
     ex = HtmlExtractor(infer_furniture=False)
     assert ex.extract(html) == [("text", "lead", ""), ("title", "T", "")]
+
+
+def test_hyperlink_annotations_regions():
+    from docling_ray.stages.html_extract import extract_links
+
+    html = (
+        "<html><body>"
+        '<nav><a href="/home">home</a><a href="/about">about</a>'
+        '<a href="/faq">faq</a></nav>'
+        '<p>intro furniture with <a href="/pre">a pre-heading link</a></p>'
+        "<h1>Title</h1>"
+        '<p>Body with <a href="https://x.test/page">an inline link</a>.</p>'
+        '<footer><a href="/imprint">imprint</a></footer>'
+        "</body></html>"
+    )
+    links = extract_links(html)
+    assert links == [
+        ("home", "/home", "boilerplate"),
+        ("about", "/about", "boilerplate"),
+        ("faq", "/faq", "boilerplate"),
+        ("a pre-heading link", "/pre", "furniture"),
+        ("an inline link", "https://x.test/page", "body"),
+        ("imprint", "/imprint", "furniture"),
+    ]
+
+
+def test_hyperlink_generator_roundtrip():
+    import random
+
+    from docling_ray.stages.html_extract import extract_links
+    from docling_ray.synth import VOCAB, build_html_doc
+
+    for seed in range(40):
+        rng = random.Random(seed)
+        html, _exp, links = build_html_doc(rng, VOCAB, f"d{seed}")
+        assert extract_links(html) == links
