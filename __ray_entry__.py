@@ -313,6 +313,43 @@ def _hyperlinks(sf_dir: str):
                  .sort(["doc_id", "link_idx"])
 
 
+def _formatting(sf_dir: str):
+    """Inline bold/italic/strike/underline/script annotations from every
+    html input span (reference _FORMAT_TAG_MAP, html_backend.py:151-166)."""
+    import pyarrow as pa
+
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.html_extract import extract_formatting
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, styles, regions = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            j = 0
+            for s in spans or []:
+                if s["kind"] != "html":
+                    continue
+                for text, style, region in extract_formatting(s["text"] or ""):
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    texts.append(text)
+                    styles.append(style)
+                    regions.append(region)
+                    j += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "fmt_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "style": pa.array(styles, pa.string()),
+            "region": pa.array(regions, pa.string()),
+        })
+
+    return corpus.map_batches(kernel, batch_format="pyarrow") \
+                 .sort(["doc_id", "fmt_idx"])
+
+
 def _kv_pairs(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -377,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "picture_classes": _picture_classes,
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
+        "formatting": _formatting,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -527,6 +565,11 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, link_idx, text, href, region "
             f"FROM read_parquet('{exp}/hyperlinks.parquet') "
             "ORDER BY doc_id, link_idx"
+        ),
+        "formatting": (
+            "SELECT doc_id, fmt_idx, text, style, region "
+            f"FROM read_parquet('{exp}/formatting.parquet') "
+            "ORDER BY doc_id, fmt_idx"
         ),
     }
 

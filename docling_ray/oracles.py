@@ -43,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v6"
+_LAYOUT_VERSION = b"v7"
 
 
 def _fingerprint() -> str:
@@ -86,6 +86,13 @@ _KV_SCHEMA = pa.schema([
     ("key", pa.string()),
     ("value", pa.string()),
     ("source", pa.string()),
+])
+_FMTS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("fmt_idx", pa.int32()),
+    ("text", pa.string()),
+    ("style", pa.string()),
+    ("region", pa.string()),
 ])
 _LINKS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -135,7 +142,7 @@ def ensure_expected_tables(
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
-    codelangs, piccls, kvpairs, media, links = [], [], [], [], []
+    codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -174,6 +181,10 @@ def ensure_expected_tables(
                 links.append({"doc_id": row["doc_id"], "link_idx": j,
                               "text": ln["text"], "href": ln["href"],
                               "region": ln["region"]})
+            for j, fm in enumerate(row.get("expected_fmts") or []):
+                fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
+                             "text": fm["text"], "style": fm["style"],
+                             "region": fm["region"]})
             pic_rows = pa.table({
                 "doc_id": pa.array(
                     [row["doc_id"]] * sum(1 for s in spans
@@ -211,6 +222,8 @@ def ensure_expected_tables(
                    os.path.join(out, "media_features.parquet"))
     pq.write_table(pa.Table.from_pylist(links, schema=_LINKS_SCHEMA),
                    os.path.join(out, "hyperlinks.parquet"))
+    pq.write_table(pa.Table.from_pylist(fmts, schema=_FMTS_SCHEMA),
+                   os.path.join(out, "formatting.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

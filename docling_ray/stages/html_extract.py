@@ -526,6 +526,54 @@ def extract_links(
     return out
 
 
+# inline formatting tags → style label (reference _FORMAT_TAG_MAP,
+# html_backend.py:151-166; code-ish tags handled by the code span path)
+_FORMAT_TAGS = {
+    "b": "bold", "strong": "bold",
+    "i": "italic", "em": "italic", "var": "italic",
+    "s": "strikethrough", "del": "strikethrough",
+    "u": "underline", "ins": "underline",
+    "sub": "subscript", "sup": "superscript",
+}
+
+
+def extract_formatting(
+    html: str, extractor: "HtmlExtractor | None" = None,
+) -> list[tuple[str, str, str]]:
+    """Inline-formatting annotations: (text, style, region) in document
+    order — the companion stream to :func:`extract_links` for the
+    bold/italic/strike/underline/script markup the flattened span texts
+    drop (reference Formatting model, html_backend.py:151-166). Region
+    classification shares the extractor's boilerplate/furniture rules."""
+    ex = extractor or HtmlExtractor()
+    dom = build_dom(html)
+    in_body = not (ex.infer_furniture and ex._subtree_has_heading(dom))
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node, boiler: bool, furn: bool) -> None:
+        nonlocal in_body
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            if c.tag in _DROP or _is_hidden(c) or c.tag == "title":
+                continue
+            b = boiler or ex._is_boilerplate(c)
+            f = furn or c.tag == "footer"
+            if c.tag in ("h1", "h2", "h3", "h4", "h5", "h6") and not b:
+                in_body = True
+            if c.tag in _FORMAT_TAGS:
+                text = collapse_whitespace(clean_unicode(_inline_text(c)))
+                if text:
+                    region = ("boilerplate" if b
+                              else "furniture" if (f or not in_body)
+                              else "body")
+                    out.append((text, _FORMAT_TAGS[c.tag], region))
+            walk(c, b, f)
+
+    walk(dom, False, False)
+    return out
+
+
 def extract_html(html: str) -> list[Span]:
     """Extract spans with default options (module-level convenience)."""
     return _DEFAULT.extract(html)

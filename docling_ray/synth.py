@@ -72,13 +72,15 @@ def _para_text(rng: random.Random, pool: list[str], n_sent: int | None = None) -
 
 def build_html_doc(
     rng: random.Random, pool: list[str], doc_id: str
-) -> tuple[str, list[Span], list[tuple[str, str, str]]]:
+) -> tuple[str, list[Span], list[tuple[str, str, str]],
+           list[tuple[str, str, str]]]:
     """Render one HTML document + its expected span sequence + expected
-    hyperlink annotations (text, href, region) in document order."""
+    hyperlink and inline-formatting annotations, each in document order."""
     frags: list[str] = ["<html><head><title>Ignored head title</title>",
                        "<style>body{color:#000}</style></head><body>"]
     exp: list[Span] = []
     links_exp: list[tuple[str, str, str]] = []
+    fmt_exp: list[tuple[str, str, str]] = []
     media_n = 0
     has_headings = rng.random() < 0.9
 
@@ -199,11 +201,19 @@ def build_html_doc(
         )
         exp.append(("text", f"Mixed {w1} and {w2} inline text.", ""))
         links_exp.append((w2, "/x", "body"))
+        fmt_exp.append((w1, "bold", "body"))
     # footer furniture
     if rng.random() < 0.5:
         frags.append(f"<footer><p>{_sentence(rng, pool)}</p></footer>")
+    # inline emphasis paragraph (formatting-annotation coverage)
+    if rng.random() < 0.3:
+        w3, w4 = _words(rng, pool, 2)
+        frags.append(f"<p>Note <em>{w3}</em> versus <u>{w4}</u> here.</p>")
+        exp.append(("text", f"Note {w3} versus {w4} here.", ""))
+        fmt_exp.append((w3, "italic", "body"))
+        fmt_exp.append((w4, "underline", "body"))
     frags.append("</body></html>")
-    return "".join(frags), exp, links_exp
+    return "".join(frags), exp, links_exp, fmt_exp
 
 
 def _build_html_table(
@@ -699,8 +709,9 @@ def make_doc(
     r = rng.random()
     status = S.STATUS_SUCCESS
     links: list[tuple[str, str, str]] = []
+    fmts: list[tuple[str, str, str]] = []
     if r < 0.60:
-        html, exp, links = build_html_doc(rng, pool, doc_id)
+        html, exp, links, fmts = build_html_doc(rng, pool, doc_id)
         in_spans = [("html", html, "")]
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
@@ -722,6 +733,8 @@ def make_doc(
         "spans": S.spans_to_arrow(exp),
         "status": status,
         "links": [{"text": t, "href": h, "region": r_} for t, h, r_ in links],
+        "fmts": [{"text": t, "style": st, "region": r_}
+                 for t, st, r_ in fmts],
     }
     return input_row, expected_row
 
@@ -746,6 +759,9 @@ def make_corpus(
                  ("status", pa.string()),
                  ("links", pa.list_(pa.struct(
                      [("text", pa.string()), ("href", pa.string()),
+                      ("region", pa.string())]))),
+                 ("fmts", pa.list_(pa.struct(
+                     [("text", pa.string()), ("style", pa.string()),
                       ("region", pa.string())])))]
             ),
         ),
@@ -782,7 +798,13 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
             type=pa.list_(pa.struct([("text", pa.string()),
                                      ("href", pa.string()),
                                      ("region", pa.string())])))
+        exp_fmts = pa.array(
+            [e["fmts"] for e in expecteds],
+            type=pa.list_(pa.struct([("text", pa.string()),
+                                     ("style", pa.string()),
+                                     ("region", pa.string())])))
         tbl = tbl.append_column("expected_spans", exp_spans)
         tbl = tbl.append_column("expected_status", exp_status)
         tbl = tbl.append_column("expected_links", exp_links)
+        tbl = tbl.append_column("expected_fmts", exp_fmts)
     return tbl

@@ -187,5 +187,8 @@ def test_hyperlink_generator_roundtrip():
 
     for seed in range(40):
         rng = random.Random(seed)
-        html, _exp, links = build_html_doc(rng, VOCAB, f"d{seed}")
+        html, _exp, links, fmts = build_html_doc(rng, VOCAB, f"d{seed}")
         assert extract_links(html) == links
+        from docling_ray.stages.html_extract import extract_formatting
+
+        assert extract_formatting(html) == fmts
