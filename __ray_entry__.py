@@ -350,6 +350,52 @@ def _formatting(sf_dir: str):
                  .sort(["doc_id", "fmt_idx"])
 
 
+def _pdf_outline(sf_dir: str):
+    """PDF bookmark / table-of-contents entries from every `pdf` input
+    span (the reference's utils/pdf_outline.py flat list: title, depth,
+    1-based page) — oracle = the generator's recorded outline."""
+    import base64
+
+    import pyarrow as pa
+
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.pdf_bytes import PdfDocument
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, titles, levels, pages = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            j = 0
+            for s in spans or []:
+                if s["kind"] != "pdf":
+                    continue
+                try:
+                    doc = PdfDocument(base64.b64decode(s["text"] or ""))
+                    entries = doc.outline()
+                except Exception:
+                    continue  # poison input: no outline rows
+                for o in entries:
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    titles.append(o["title"])
+                    levels.append(o["level"])
+                    pages.append(o["page_no"] if o["page_no"] is not None
+                                 else -1)
+                    j += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "outline_idx": pa.array(idxs, pa.int32()),
+            "title": pa.array(titles, pa.string()),
+            "level": pa.array(levels, pa.int32()),
+            "page_no": pa.array(pages, pa.int32()),
+        })
+
+    return corpus.map_batches(kernel, batch_format="pyarrow") \
+                 .sort(["doc_id", "outline_idx"])
+
+
 def _kv_pairs(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -415,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
         "formatting": _formatting,
+        "pdf_outline": _pdf_outline,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -570,6 +617,11 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, fmt_idx, text, style, region "
             f"FROM read_parquet('{exp}/formatting.parquet') "
             "ORDER BY doc_id, fmt_idx"
+        ),
+        "pdf_outline": (
+            "SELECT doc_id, outline_idx, title, level, page_no "
+            f"FROM read_parquet('{exp}/pdf_outline.parquet') "
+            "ORDER BY doc_id, outline_idx"
         ),
     }
 

@@ -43,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v7"
+_LAYOUT_VERSION = b"v8"
 
 
 def _fingerprint() -> str:
@@ -86,6 +86,13 @@ _KV_SCHEMA = pa.schema([
     ("key", pa.string()),
     ("value", pa.string()),
     ("source", pa.string()),
+])
+_OUTLINE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("outline_idx", pa.int32()),
+    ("title", pa.string()),
+    ("level", pa.int32()),
+    ("page_no", pa.int32()),
 ])
 _FMTS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -143,6 +150,7 @@ def ensure_expected_tables(
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
+    outlines = []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -181,6 +189,10 @@ def ensure_expected_tables(
                 links.append({"doc_id": row["doc_id"], "link_idx": j,
                               "text": ln["text"], "href": ln["href"],
                               "region": ln["region"]})
+            for j, ol in enumerate(row.get("expected_outline") or []):
+                outlines.append({"doc_id": row["doc_id"], "outline_idx": j,
+                                 "title": ol["title"], "level": ol["level"],
+                                 "page_no": ol["page_no"]})
             for j, fm in enumerate(row.get("expected_fmts") or []):
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
@@ -224,6 +236,8 @@ def ensure_expected_tables(
                    os.path.join(out, "hyperlinks.parquet"))
     pq.write_table(pa.Table.from_pylist(fmts, schema=_FMTS_SCHEMA),
                    os.path.join(out, "formatting.parquet"))
+    pq.write_table(pa.Table.from_pylist(outlines, schema=_OUTLINE_SCHEMA),
+                   os.path.join(out, "pdf_outline.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

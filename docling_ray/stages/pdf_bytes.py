@@ -348,9 +348,10 @@ class PdfDocument:
         return data
 
     # -- page tree --------------------------------------------------------
-    def pages(self) -> list[dict]:
+    def _walk_pages(self) -> list[tuple[int, dict]]:
+        """(object number, merged page dict) per page, in tree order."""
         root = self.resolve(self.trailer["Root"])
-        out: list[dict] = []
+        out: list[tuple[int, dict]] = []
 
         def walk(node_ref, inherited):
             node = self.resolve(node_ref)
@@ -359,12 +360,51 @@ class PdfDocument:
                 if k in node:
                     inh[k] = node[k]
             if node.get("Type") == "Page":
-                out.append({**inh, **node})
+                num = node_ref.num if isinstance(node_ref, Ref) else -1
+                out.append((num, {**inh, **node}))
             else:
                 for kid in self.resolve(node.get("Kids", [])) or []:
                     walk(kid, inh)
 
         walk(root.get("Pages"), {})
+        return out
+
+    def pages(self) -> list[dict]:
+        return [p for _, p in self._walk_pages()]
+
+    def outline(self) -> list[dict]:
+        """Flat bookmark list [{title, level, page_no}] in document order —
+        the PDF's table of contents, the most authoritative
+        heading-hierarchy signal when present (reference
+        docling/utils/pdf_outline.py: flat list, each entry carrying its
+        own level; 1-based page numbers, None when unresolvable)."""
+        root = self.resolve(self.trailer["Root"])
+        ol = self.resolve(root.get("Outlines"))
+        if not isinstance(ol, dict):
+            return []
+        page_no_by_obj = {num: i + 1
+                          for i, (num, _) in enumerate(self._walk_pages())}
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(item_ref, level: int) -> None:
+            while isinstance(item_ref, Ref) and item_ref.num not in seen:
+                seen.add(item_ref.num)
+                item = self.resolve(item_ref)
+                if not isinstance(item, dict):
+                    return
+                title = item.get("Title", "")
+                dest = self.resolve(item.get("Dest"))
+                page_no = None
+                if isinstance(dest, list) and dest and                         isinstance(dest[0], Ref):
+                    page_no = page_no_by_obj.get(dest[0].num)
+                out.append({"title": str(title), "level": level,
+                            "page_no": page_no})
+                if item.get("First") is not None:
+                    walk(item.get("First"), level + 1)
+                item_ref = item.get("Next")
+
+        walk(ol.get("First"), 0)
         return out
 
     def page_content(self, page: dict) -> bytes:

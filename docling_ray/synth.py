@@ -514,7 +514,8 @@ def _pdf_text_op(text: str) -> str:
     return "<" + raw.hex().upper() + ">"
 
 
-def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
+def pages_to_pdf_bytes(pages: list[dict],
+                       outline: list[tuple[int, str, int]] | None = None) -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF 1.4 file:
     xref table, FlateDecode content streams, Helvetica Type1 font, text
     placed so the parser's geometry convention (baseline at cell bottom,
@@ -583,7 +584,47 @@ def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
             + str(content_id).encode() + b" 0 R >>"
         ))
 
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    outline_root = b""
+    if outline:
+        # /Outlines tree: levels nest via First/Last, siblings via
+        # Next/Prev, each item Dest-ing its page
+        base = next_id[0]
+        root_id = base
+        item_ids = list(range(base + 1, base + 1 + len(outline)))
+        next_id[0] = base + 1 + len(outline)
+        parent_of: list[int] = []
+        stack: list[tuple[int, int]] = []  # (level, item_id)
+        for k, (lvl, _title, _pg) in enumerate(outline):
+            while stack and stack[-1][0] >= lvl:
+                stack.pop()
+            parent_of.append(stack[-1][1] if stack else root_id)
+            stack.append((lvl, item_ids[k]))
+        kids: dict[int, list[int]] = {}
+        for k, iid in enumerate(item_ids):
+            kids.setdefault(parent_of[k], []).append(iid)
+        for k, (lvl, title, pg) in enumerate(outline):
+            iid = item_ids[k]
+            sibs = kids[parent_of[k]]
+            pos = sibs.index(iid)
+            parts = [b"<< /Title " + _pdf_text_op(title).encode("latin-1"),
+                     b" /Parent %d 0 R" % parent_of[k],
+                     b" /Dest [%d 0 R /Fit]" % page_ids[pg]]
+            if pos > 0:
+                parts.append(b" /Prev %d 0 R" % sibs[pos - 1])
+            if pos + 1 < len(sibs):
+                parts.append(b" /Next %d 0 R" % sibs[pos + 1])
+            if iid in kids:
+                parts.append(b" /First %d 0 R /Last %d 0 R /Count %d"
+                             % (kids[iid][0], kids[iid][-1], len(kids[iid])))
+            parts.append(b" >>")
+            objs[iid] = b"".join(parts)
+        top = kids.get(root_id, [])
+        objs[root_id] = (b"<< /Type /Outlines /First %d 0 R /Last %d 0 R"
+                         b" /Count %d >>" % (top[0], top[-1], len(outline))
+                         if top else b"<< /Type /Outlines /Count 0 >>")
+        outline_root = b" /Outlines %d 0 R" % root_id
+
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R" + outline_root + b" >>"
     objs[2] = (b"<< /Type /Pages /Kids ["
                + b" ".join(b"%d 0 R" % p for p in page_ids)
                + b"] /Count " + str(len(page_ids)).encode() + b" >>")
@@ -607,7 +648,7 @@ def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
 
 def build_pdf_bytes_doc(
     rng: random.Random, pool: list[str], doc_id: str
-) -> tuple[str, list[Span], str]:
+) -> tuple[str, list[Span], str, list[tuple[str, int, int]]]:
     """Real-PDF-bytes document → (base64 of the file, expected spans,
     status). Pages are built by the same geometry builder as pdf_cells
     docs (single-column: the parser's fixed advance metric cannot bound
@@ -617,6 +658,7 @@ def build_pdf_bytes_doc(
     garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
     page_dicts: list[dict] = []
     expected: list[Span] = []
+    per_page_exp: list[list[Span]] = []
     any_garbage = False
     for p in range(n_pages):
         payload, exp, is_garbage = build_pdf_page(
@@ -626,10 +668,30 @@ def build_pdf_bytes_doc(
         )
         page_dicts.append(json.loads(payload))
         expected.extend(exp)
+        per_page_exp.append(exp)
         any_garbage |= is_garbage
-    data = pages_to_pdf_bytes(page_dicts)
+    # outline = the document's headings (title level 0, sections level 1),
+    # recorded as the expected TOC — the parser must recover it from the
+    # /Outlines tree (bookmarks are the authoritative hierarchy signal)
+    outline: list[tuple[int, str, int]] = []
+    exp_outline: list[tuple[str, int, int]] = []
+    has_title = False
+    for pg_idx, exp_spans in enumerate(per_page_exp):
+        for kind, text, _ref in exp_spans:
+            if kind == "title":
+                outline.append((0, text, pg_idx))
+                exp_outline.append((text, 0, pg_idx + 1))
+                has_title = True
+            elif kind == "section_header":
+                # depth under the title when one exists; top-level otherwise
+                # (outline levels are DEPTHS, not semantic ranks)
+                lvl = 1 if has_title else 0
+                outline.append((lvl, text, pg_idx))
+                exp_outline.append((text, lvl, pg_idx + 1))
+    data = pages_to_pdf_bytes(page_dicts, outline=outline or None)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
-    return base64.b64encode(data).decode("ascii"), expected, status
+    return (base64.b64encode(data).decode("ascii"), expected, status,
+            exp_outline)
 
 
 # ======================================================================
@@ -710,6 +772,7 @@ def make_doc(
     status = S.STATUS_SUCCESS
     links: list[tuple[str, str, str]] = []
     fmts: list[tuple[str, str, str]] = []
+    outline: list[tuple[str, int, int]] = []
     if r < 0.60:
         html, exp, links, fmts = build_html_doc(rng, pool, doc_id)
         in_spans = [("html", html, "")]
@@ -717,7 +780,7 @@ def make_doc(
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
         in_spans = [("pdf_cells", p, "") for p in payloads]
     elif r < 0.92:
-        b64, exp, status = build_pdf_bytes_doc(rng, pool, doc_id)
+        b64, exp, status, outline = build_pdf_bytes_doc(rng, pool, doc_id)
         in_spans = [("pdf", b64, "")]
     else:
         in_spans, exp = build_text_doc(rng, pool, doc_id)
@@ -735,6 +798,8 @@ def make_doc(
         "links": [{"text": t, "href": h, "region": r_} for t, h, r_ in links],
         "fmts": [{"text": t, "style": st, "region": r_}
                  for t, st, r_ in fmts],
+        "outline": [{"title": t, "level": lv, "page_no": pg}
+                    for t, lv, pg in outline],
     }
     return input_row, expected_row
 
@@ -762,7 +827,10 @@ def make_corpus(
                       ("region", pa.string())]))),
                  ("fmts", pa.list_(pa.struct(
                      [("text", pa.string()), ("style", pa.string()),
-                      ("region", pa.string())])))]
+                      ("region", pa.string())]))),
+                 ("outline", pa.list_(pa.struct(
+                     [("title", pa.string()), ("level", pa.int32()),
+                      ("page_no", pa.int32())])))]
             ),
         ),
     )
@@ -805,6 +873,12 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
                                      ("region", pa.string())])))
         tbl = tbl.append_column("expected_spans", exp_spans)
         tbl = tbl.append_column("expected_status", exp_status)
+        exp_outline = pa.array(
+            [e["outline"] for e in expecteds],
+            type=pa.list_(pa.struct([("title", pa.string()),
+                                     ("level", pa.int32()),
+                                     ("page_no", pa.int32())])))
         tbl = tbl.append_column("expected_links", exp_links)
         tbl = tbl.append_column("expected_fmts", exp_fmts)
+        tbl = tbl.append_column("expected_outline", exp_outline)
     return tbl

@@ -78,7 +78,8 @@ def test_fixture_roundtrip_many_seeds():
     ok = 0
     for seed in range(25):
         rng = random.Random(seed)
-        b64, exp, status = build_pdf_bytes_doc(rng, VOCAB, f"d{seed}")
+        b64, exp, status, _outline = build_pdf_bytes_doc(rng, VOCAB,
+                                                         f"d{seed}")
         spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
         assert spans == exp, f"seed {seed}"
         if status == S.STATUS_PARTIAL:
@@ -148,3 +149,29 @@ def test_pdf_kind_in_full_pipeline(ray_session):
     for row in exp.to_pylist():
         want = [(s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
         assert got[row["doc_id"]] == want
+
+
+def test_outline_roundtrip_and_nesting():
+    import random
+
+    from docling_ray.synth import build_pdf_bytes_doc
+
+    for seed in range(15):
+        rng = random.Random(seed)
+        b64, exp, status, exp_outline = build_pdf_bytes_doc(
+            rng, VOCAB, f"o{seed}")
+        doc = PdfDocument(base64.b64decode(b64))
+        got = [(o["title"], o["level"], o["page_no"]) for o in doc.outline()]
+        assert got == list(exp_outline)
+
+
+def test_outline_absent_and_cycle_guard():
+    data = pages_to_pdf_bytes(_simple_pages())
+    assert PdfDocument(data).outline() == []
+    # cycle in Next chain must not loop forever
+    pages = _simple_pages()
+    from docling_ray.synth import pages_to_pdf_bytes as w
+
+    data = w(pages, outline=[(0, "A", 0), (0, "B", 0)])
+    doc = PdfDocument(data)
+    assert [o["title"] for o in doc.outline()] == ["A", "B"]
