@@ -62,6 +62,7 @@ OUT_KINDS = (
     "page_header",
     "page_footer",
     "formula",
+    "footnote",
     "checkbox_selected",
     "checkbox_unselected",
 )

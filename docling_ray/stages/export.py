@@ -7,7 +7,8 @@ each export is a pure function of the span sequence.
 
 Mapping (kind → markdown), mirroring the reference's flattened rendering:
 title → ``# ``, section_header → ``## ``, list_item → ``- ``, code →
-fenced block, caption → italic line, picture → image link with media_ref,
+fenced block, caption → italic line, footnote → ``[^]: `` line,
+picture → image link with media_ref,
 table → markdown grid rendered from the serialized grid media_ref,
 page_header/page_footer → skipped (furniture stays out of exports),
 checkbox_* → ``[x]`` / ``[ ]``.
@@ -61,6 +62,8 @@ def spans_to_markdown(spans: list[dict]) -> str:
                 parts.append(md)
         elif kind == "formula":
             parts.append(f"$${text}$$")
+        elif kind == "footnote":
+            parts.append(f"[^]: {text}")
         elif kind == "checkbox_selected":
             parts.append("[x]")
         elif kind == "checkbox_unselected":

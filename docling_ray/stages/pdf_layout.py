@@ -25,6 +25,10 @@ Layout rules (deterministic, shared with the fixture generator):
   * margin bands: a cell fully above ``HEADER_BAND`` → ``page_header``;
     fully below ``height - FOOTER_BAND`` → ``page_footer`` (furniture split,
     page_assemble_model.py splits headers vs body).
+  * footnotes: body cells with ``font_size <= FOOTNOTE_FONT`` are
+    footnote lines, grouped into paragraphs and emitted AFTER the body
+    columns, before the page footer (the reading-order footnote mapping,
+    readingorder_model.py:309-399 — footnotes follow their page's body).
   * heading detection by font size: ``>= TITLE_FONT`` → ``title``,
     ``>= HEADING_FONT`` → ``section_header`` (stand-in for the reference's
     bookmark/numbering/font-size precedence, heading_hierarchy_model.py:1-26).
@@ -64,6 +68,7 @@ COL_GAP = 20.0
 PARA_GAP = 18.0
 CAPTION_GAP = 26.0
 MIN_PARSE_SCORE = 0.5
+FOOTNOTE_FONT = 7.5  # body cells at or below this size are footnotes
 
 
 def parse_page_payload(payload: str) -> dict:
@@ -219,6 +224,11 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
         else:
             mid.append(c)
 
+    footnotes = [c for c in mid
+                 if float(c.get("font_size", 10.0)) <= FOOTNOTE_FONT]
+    mid = [c for c in mid
+           if float(c.get("font_size", 10.0)) > FOOTNOTE_FONT]
+
     regions: list[dict] = []
     for reg in page.get("tables", []):
         regions.append({**reg, "kind": "table", "cells": []})
@@ -302,6 +312,11 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
                     spans.append(("section_header", txt, ""))
                 else:
                     spans.append(("text", txt, ""))
+
+    for c in sorted(footnotes, key=lambda c: (c["t"], c["l"])):
+        txt = sanitize_cell_text([c.get("text", "")])
+        if txt:
+            spans.append(("footnote", txt, ""))
 
     for c in sorted(footers, key=lambda c: (c["t"], c["l"])):
         txt = sanitize_cell_text([c.get("text", "")])

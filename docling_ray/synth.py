@@ -280,7 +280,9 @@ class _PageBuilder:
         self.col_w = 220.0 if two_col else 468.0
         self.exp_cols: list[list[Span]] = [[] for _ in self.col_x]
         self.exp_header: list[Span] = []
+        self.exp_footnotes: list[Span] = []
         self.exp_footer: list[Span] = []
+        self.footnote_y = 700.0
 
     def room(self, h: float) -> bool:
         return self.y + h <= BODY_BOTTOM
@@ -366,6 +368,15 @@ class _PageBuilder:
             self.y += LINE_H
         self.y += PARA_GAP_GEN + 6.0
 
+    def footnote(self, text: str) -> None:
+        """Small-font footnote line near the page bottom (emitted after
+        the body columns in reading order)."""
+        self.cells.append({"text": text, "l": 72.0, "t": self.footnote_y,
+                           "r": 540.0, "b": self.footnote_y + 8.0,
+                           "font_size": 6.5})
+        self.footnote_y += 10.0
+        self.exp_footnotes.append(("footnote", sanitize_cell_text([text]), ""))
+
     def payload(self) -> str:
         return json.dumps(
             {"page_no": self.page_no, "width": PAGE_W, "height": PAGE_H,
@@ -377,6 +388,7 @@ class _PageBuilder:
         out = list(self.exp_header)
         for col in self.exp_cols:
             out.extend(col)
+        out.extend(self.exp_footnotes)
         out.extend(self.exp_footer)
         return out
 
@@ -411,6 +423,9 @@ def build_pdf_page(
         pb.header(f"Running header {doc_id}")
     if rng.random() < 0.7:
         pb.footer(f"Page {page_no}")
+    if rng.random() < 0.25:
+        for k in range(rng.randint(1, 2)):
+            pb.footnote(f"{k + 1}. " + _sentence(rng, pool))
     if first_page:
         pb.heading(_sentence(rng, pool)[:-1], title=True)
     filled = False
