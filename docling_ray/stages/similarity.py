@@ -147,6 +147,120 @@ def lsh_topk(
     return partials.sort(["sim", id_col], descending=[True, False]).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# persisted ANN indexes: the build phase writes the bucketed corpus SORTED
+# by bucket into parquet (tight row-group stats), so the query path reads
+# ONLY the probed buckets via filter pushdown instead of re-hashing the
+# whole corpus per query — the scan-time LSH/IVF variants above remain for
+# ad-hoc one-shot queries.
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(
+    ds: "ray.data.Dataset", path: str, dim: int,
+    n_bits: int = 8, seed: int = 7, vec_col: str = "embedding",
+) -> None:
+    """Build + persist the LSH index: bucket codes materialized as a
+    column, rows sorted by bucket so parquet row-group statistics prune
+    non-probed buckets at read time."""
+    assign_buckets(ds, dim, n_bits=n_bits, seed=seed, vec_col=vec_col) \
+        .sort("bucket").write_parquet(path)
+
+
+def lsh_topk_indexed(
+    path: str, query: np.ndarray, k: int = 10,
+    n_bits: int = 8, max_hamming: int = 2, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Query a persisted LSH index: only row groups whose bucket range
+    intersects the probe set leave storage."""
+    import pyarrow.dataset as pads
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_bits, seed)
+    q_code = int(_bucket_codes(q[None, :], planes)[0])
+    probe = [c for c in range(1 << n_bits)
+             if bin(c ^ q_code).count("1") <= max_hamming]
+    ds = ray.data.read_parquet(
+        path, columns=[id_col, vec_col, "bucket"],
+        filter=pads.field("bucket").isin(probe))
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from docling_ray.state.broadcast import read_broadcast
+
+        qv = read_broadcast(q_ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = _to_matrix(batch[vec_col])
+        sims = _cosine_scores(mat, qv)
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n] if len(sims) > n \
+            else np.arange(len(sims))
+        ids = batch[id_col].combine_chunks()
+        return pa.table({id_col: ids.take(pa.array(idx)),
+                         "sim": pa.array(np.round(sims[idx], 6))})
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return partials.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset", path: str,
+    n_clusters: int = 16, n_iter: int = 8, seed: int = 11,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Build + persist the IVF index (rows sorted by coarse cluster);
+    returns the trained centroids — persist them alongside the index
+    (they are the query-time routing table)."""
+    centroids = ivf_train_centroids(ds, n_clusters=n_clusters,
+                                    n_iter=n_iter, seed=seed,
+                                    vec_col=vec_col)
+    ivf_assign(ds, centroids, vec_col=vec_col).sort("ivf_cluster") \
+        .write_parquet(path)
+    np.save(path.rstrip("/") + "/_centroids.npy", centroids)
+    return centroids
+
+
+def ivf_topk_indexed(
+    path: str, query: np.ndarray, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """Query a persisted IVF index: read only the ``n_probe`` nearest
+    clusters' row groups."""
+    import pyarrow.dataset as pads
+
+    if centroids is None:
+        centroids = np.load(path.rstrip("/") + "/_centroids.npy")
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    ds = ray.data.read_parquet(
+        path, columns=[id_col, vec_col, "ivf_cluster"],
+        filter=pads.field("ivf_cluster").isin(probe))
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from docling_ray.state.broadcast import read_broadcast
+
+        qv = read_broadcast(q_ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = _to_matrix(batch[vec_col])
+        sims = _cosine_scores(mat, qv)
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n] if len(sims) > n \
+            else np.arange(len(sims))
+        ids = batch[id_col].combine_chunks()
+        return pa.table({id_col: ids.take(pa.array(idx)),
+                         "sim": pa.array(np.round(sims[idx], 6))})
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return partials.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
 # per-process hyperplane cache: planes are a pure function of
 # (dim, n_bits, seed), so every worker derives identical matrices locally —
 # no driver-side ``take(1)`` to learn the dim, no broadcast needed

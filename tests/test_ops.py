@@ -312,3 +312,42 @@ def test_ivf_topk_recall(ray_session):
     # determinism: same call → same result
     approx2 = ivf_topk(ds, q, k=10, n_clusters=12, n_probe=4).to_pandas()["vec_id"].tolist()
     assert approx == approx2
+
+
+def test_persisted_lsh_index_matches_scan(ray_session, tmp_path):
+    import numpy as np
+
+    from docling_ray.stages.similarity import (
+        build_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    ds, m = _emb_ds(n=400, dim=16, seed=9)
+    q = m[3].astype(np.float64)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(ds, path, dim=16, n_bits=8)
+    scan = lsh_topk(ds, q, k=10, n_bits=8, max_hamming=2).to_pandas()
+    idx = lsh_topk_indexed(path, q, k=10, n_bits=8, max_hamming=2).to_pandas()
+    # same buckets probed → identical results, but the indexed path reads
+    # only the probed row groups
+    assert idx["vec_id"].tolist() == scan["vec_id"].tolist()
+
+
+def test_persisted_ivf_index_matches_scan(ray_session, tmp_path):
+    import numpy as np
+
+    from docling_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    ds, m = _emb_ds(n=500, dim=16, seed=13)
+    q = m[8].astype(np.float64)
+    path = str(tmp_path / "ivf_index")
+    centroids = build_ivf_index(ds, path, n_clusters=12)
+    scan = ivf_topk(ds, q, k=10, n_clusters=12, n_probe=4,
+                    centroids=centroids).to_pandas()
+    idx = ivf_topk_indexed(path, q, k=10, n_probe=4).to_pandas()
+    assert idx["vec_id"].tolist() == scan["vec_id"].tolist()
