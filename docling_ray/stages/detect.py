@@ -74,8 +74,10 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
 
     # --- extension hints that are unambiguous (reference checks these
     # before any content read: doclang/dclx, document.py:770-774)
-    if name.endswith((".dclg", ".dclg.xml", ".dclx")):
-        return "unknown"  # DocLang/DCLX: not supported by this engine
+    if name.endswith((".dclg", ".dclg.xml")):
+        return "doclang"
+    if name.endswith(".dclx"):
+        return "unknown"  # DCLX packages: not supported by this engine
     # an attached media resource (img:// audio:// ...) makes the span a
     # media unit — its text, if any, is the caption
     if media_ref and "://" in media_ref:
@@ -145,6 +147,8 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
         if root == "article" or "jats-journalpublishing" in dt or \
                 "jats-archive" in dt:
             return "jats"
+        if root == "doclang":
+            return "doclang"
         if root == "mets" or "loc.gov/mets" in low:
             return "mets_gbs"
         if root == "w:document":

@@ -408,6 +408,60 @@ def extract_latex(raw: str) -> list[Span]:
     return spans
 
 
+# ---------------------------------------------------------------------------
+# DocLang — docling's own lossless XML serialization
+# (reference doclang_backend.py:14 delegates to docling_core's
+# DocLangDocDeserializer; the wire format is a flat XML of DocItemLabel
+# elements, read here directly onto the span model)
+# ---------------------------------------------------------------------------
+
+_DOCLANG_KINDS = {
+    "title", "section_header", "text", "paragraph", "list_item", "caption",
+    "code", "formula", "footnote", "page_header", "page_footer",
+    "checkbox_selected", "checkbox_unselected",
+}
+
+
+def extract_doclang(raw: str) -> list[Span]:
+    root = ET.fromstring(raw)
+    if root.tag.rsplit("}", 1)[-1].lower() != "doclang":
+        raise ValueError("not a doclang document")
+    spans: list[Span] = []
+
+    def walk(node: ET.Element) -> None:
+        for el in node:
+            local = el.tag.rsplit("}", 1)[-1].lower()
+            if local in _DOCLANG_KINDS:
+                kind = "text" if local == "paragraph" else local
+                text = collapse_whitespace(clean_unicode(
+                    "".join(el.itertext())))
+                if text or kind.startswith("checkbox"):
+                    spans.append((kind, text, ""))
+            elif local == "picture":
+                spans.append(("picture", "",
+                              el.get("src", el.get("ref", ""))))
+                cap = el.find("caption")
+                if cap is not None:
+                    t = collapse_whitespace(clean_unicode(
+                        "".join(cap.itertext())))
+                    if t:
+                        spans.append(("caption", t, ""))
+            elif local == "table":
+                grid = []
+                for row in el:
+                    if row.tag.rsplit("}", 1)[-1].lower() in ("row", "tr"):
+                        grid.append([
+                            collapse_whitespace(clean_unicode(
+                                "".join(c.itertext())))
+                            for c in row])
+                spans.append(("table", "", grid_media_ref(grid)))
+            else:
+                walk(el)
+
+    walk(root)
+    return spans
+
+
 EXTRA_FORMAT_EXTRACTORS = {
     "pptx_xml": extract_pptx_xml,
     "odt_xml": extract_odt_xml,
@@ -417,4 +471,5 @@ EXTRA_FORMAT_EXTRACTORS = {
     "epub": extract_epub,
     "boxnote": extract_boxnote,
     "latex": extract_latex,
+    "doclang": extract_doclang,
 }

@@ -70,8 +70,9 @@ def test_sniff_media_and_pdf():
     ) == "pdf_cells"
 
 
-def test_sniff_doclang_extension_unsupported():
-    assert sniff_kind("<doclang/>", filename="x.dclg") == "unknown"
+def test_sniff_doclang_extension():
+    assert sniff_kind("<doclang/>", filename="x.dclg") == "doclang"
+    assert sniff_kind("<doclang><text>x</text></doclang>") == "doclang"
     assert sniff_kind("", filename="y.dclx") == "unknown"
 
 

@@ -213,3 +213,31 @@ def test_container_poison_is_data():
                           ("uspto", "PATN\nonly header")]:
         spans, _, _, err = extract_unit(kind, payload, "")
         assert isinstance(spans, list)  # never raises
+
+
+def test_doclang_reader():
+    from docling_ray.stages.formats_extra import extract_doclang
+
+    raw = """<doclang>
+      <title>Doc Title</title>
+      <section_header>Part One</section_header>
+      <paragraph>Some body text.</paragraph>
+      <list><list_item>alpha</list_item><list_item>beta</list_item></list>
+      <table><row><cell>a</cell><cell>b</cell></row>
+             <row><cell>1</cell><cell>2</cell></row></table>
+      <picture src="img://d/1"><caption>A figure</caption></picture>
+      <code>x = 1</code>
+    </doclang>"""
+    spans = extract_doclang(raw)
+    kinds = [s[0] for s in spans]
+    assert kinds == ["title", "section_header", "text", "list_item",
+                     "list_item", "table", "picture", "caption", "code"]
+    import json
+
+    grid = json.loads(spans[5][2][len("grid:"):])
+    assert grid["cells"] == [["a", "b"], ["1", "2"]]
+    from docling_ray.stages.detect import sniff_kind
+
+    assert sniff_kind(raw) == "doclang"
+    assert sniff_kind(raw, filename="x.dclg") == "doclang"
+    assert sniff_kind("", filename="y.dclx") == "unknown"
