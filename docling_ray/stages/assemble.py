@@ -39,10 +39,14 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
     try:
         if kind in ("", "auto"):
             # unlabeled corpora: content-sniff the kind (the reference's
-            # _guess_format entry condition, document.py:763)
-            from docling_ray.stages.detect import sniff_kind
+            # _guess_format entry condition, document.py:763); gated by
+            # the detect.auto_sniff setting
+            from docling_ray.settings import options_for
 
-            kind = sniff_kind(text, media_ref)
+            if options_for("detect").get("auto_sniff", True):
+                from docling_ray.stages.detect import sniff_kind
+
+                kind = sniff_kind(text, media_ref)
         if kind == S.KIND_HTML:
             return extract_html(text), -1, 1.0, None
         if kind == S.KIND_TEXT:

@@ -175,10 +175,17 @@ def extract_asciidoc(raw: str) -> list[Span]:
 # EBCDIC fixed records
 # ---------------------------------------------------------------------------
 
-def extract_ebcdic(raw: str, codepage: str = "cp037", record_len: int = 80) -> list[Span]:
+def extract_ebcdic(raw: str, codepage: str | None = None,
+                   record_len: int | None = None) -> list[Span]:
     """``raw`` is latin-1-escaped EBCDIC bytes (binary travels as a string
     column in the interleaved schema). Decode per codepage, split into
     fixed-width records, emit one text span per non-blank record."""
+    if codepage is None or record_len is None:
+        from docling_ray.settings import options_for
+
+        opts = options_for("ebcdic")
+        codepage = codepage or opts["codepage"]
+        record_len = record_len or int(opts["record_len"])
     data = raw.encode("latin-1", errors="ignore")
     try:
         decoded = data.decode(codepage)

@@ -574,6 +574,19 @@ def extract_formatting(
     return out
 
 
+_CONFIGURED: tuple[tuple, HtmlExtractor] | None = None
+
+
 def extract_html(html: str) -> list[Span]:
-    """Extract spans with default options (module-level convenience)."""
-    return _DEFAULT.extract(html)
+    """Extract spans with the engine's configured html options
+    (docling_ray/settings.py: defaults ∪ DOCLING_RAY_HTML__* env ∪
+    configure()); the extractor instance is rebuilt only when the
+    resolved options change."""
+    global _CONFIGURED
+    from docling_ray.settings import options_for
+
+    opts = options_for("html")
+    key = tuple(sorted(opts.items()))
+    if _CONFIGURED is None or _CONFIGURED[0] != key:
+        _CONFIGURED = (key, HtmlExtractor(**opts))
+    return _CONFIGURED[1].extract(html)

@@ -1,0 +1,68 @@
+"""Settings surface tests: per-format options table + env overrides
+(reference §2.9 format_options + settings.py env prefix)."""
+
+import pytest
+
+from docling_ray import settings
+
+
+@pytest.fixture(autouse=True)
+def _reset_settings(monkeypatch):
+    settings.reset()
+    yield
+    settings.reset()
+
+
+def test_defaults_and_programmatic_override():
+    assert settings.options_for("html")["link_density_max"] == 0.65
+    settings.configure("html", link_density_max=0.5, min_links=2)
+    opts = settings.options_for("html")
+    assert opts["link_density_max"] == 0.5 and opts["min_links"] == 2
+    settings.reset()
+    assert settings.options_for("html")["link_density_max"] == 0.65
+
+
+def test_env_override_with_coercion(monkeypatch):
+    monkeypatch.setenv("DOCLING_RAY_HTML__MIN_LINKS", "7")
+    monkeypatch.setenv("DOCLING_RAY_HTML__STRIP_BOILERPLATE", "false")
+    monkeypatch.setenv("DOCLING_RAY_EBCDIC__CODEPAGE", "cp500")
+    settings.reset()
+    html = settings.options_for("html")
+    assert html["min_links"] == 7 and html["strip_boilerplate"] is False
+    assert settings.options_for("ebcdic")["codepage"] == "cp500"
+
+
+def test_html_extractor_respects_configuration():
+    from docling_ray.stages.html_extract import extract_html
+
+    nav = ('<html><body><nav><a href="/a">a</a><a href="/b">b</a>'
+           '<a href="/c">c</a></nav><p>real body text here</p>'
+           "</body></html>")
+    assert all("a" != s[1] for s in extract_html(nav))  # nav stripped
+    settings.configure("html", strip_boilerplate=False)
+    spans = extract_html(nav)
+    joined = " ".join(s[1] for s in spans)
+    assert "abc" in joined  # boilerplate kept when configured off
+
+
+def test_ebcdic_codepage_option():
+    from docling_ray.stages.formats import extract_ebcdic
+
+    text = "HELLO RECORDS"
+    raw = text.encode("cp500").decode("latin-1")
+    # cp037 and cp500 differ in a few codepoints but share letters — use a
+    # record that includes cp500-specific punctuation to tell them apart
+    raw2 = "WAIT[BRACKET]".encode("cp500").decode("latin-1")
+    settings.configure("ebcdic", codepage="cp500")
+    spans = extract_ebcdic(raw2)
+    assert spans and "[BRACKET]" in spans[0][1]
+
+
+def test_auto_sniff_gate():
+    from docling_ray.stages.assemble import extract_unit
+
+    spans, _, _, err = extract_unit("", "# Title\n\nbody", "")
+    assert any(s[0] == "title" for s in spans)
+    settings.configure("detect", auto_sniff=False)
+    spans, _, _, err = extract_unit("", "# Title\n\nbody", "")
+    assert spans == [] and "unknown input span kind" in (err or "")
