@@ -407,6 +407,28 @@ def _kv_pairs(sf_dir: str):
               .sort(["doc_id", "pair_idx"])
 
 
+def _picture_descriptions(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.enrich import picture_descriptions_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(picture_descriptions_batch,
+                           batch_format="pyarrow").sort(["doc_id", "offset"])
+
+
+def _chart_tables(sf_dir: str):
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.enrich import chart_tables_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(chart_tables_batch,
+                           batch_format="pyarrow").sort(["doc_id", "offset"])
+
+
 def _heading_levels(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -458,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_levels": _heading_levels,
         "code_langs": _code_langs,
         "picture_classes": _picture_classes,
+        "picture_descriptions": _picture_descriptions,
+        "chart_tables": _chart_tables,
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
         "formatting": _formatting,
@@ -622,6 +646,16 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, outline_idx, title, level, page_no "
             f"FROM read_parquet('{exp}/pdf_outline.parquet') "
             "ORDER BY doc_id, outline_idx"
+        ),
+        "picture_descriptions": (
+            'SELECT doc_id, "offset", media_ref, description '
+            f"FROM read_parquet('{exp}/picture_descriptions.parquet') "
+            'ORDER BY doc_id, "offset"'
+        ),
+        "chart_tables": (
+            'SELECT doc_id, "offset", media_ref, chart_type, data '
+            f"FROM read_parquet('{exp}/chart_tables.parquet') "
+            'ORDER BY doc_id, "offset"'
         ),
     }
 

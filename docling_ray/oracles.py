@@ -43,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v8"
+_LAYOUT_VERSION = b"v9"
 
 
 def _fingerprint() -> str:
@@ -113,6 +113,19 @@ _MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
     ("pixel_mean", pa.float64()),
 ])
+_PICDESC_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("media_ref", pa.string()),
+    ("description", pa.string()),
+])
+_CHART_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("media_ref", pa.string()),
+    ("chart_type", pa.string()),
+    ("data", pa.string()),
+])
 _PICCLS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -132,6 +145,8 @@ def ensure_expected_tables(
     from docling_ray.stages.enrich import (
         _iter_pictures_with_captions,
         classify_picture,
+        describe_picture,
+        extract_chart_table,
     )
     from docling_ray.stages.export import spans_to_markdown
     from docling_ray.stages.kv_extract import mine_pairs
@@ -150,7 +165,7 @@ def ensure_expected_tables(
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
-    outlines = []
+    outlines, picdescs, charts = [], [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -215,6 +230,16 @@ def ensure_expected_tables(
                     "media_ref": s["media_ref"],
                     "predicted_class": classify_picture(s["media_ref"],
                                                         cap)})
+                picdescs.append({
+                    "doc_id": row["doc_id"], "offset": s["offset"],
+                    "media_ref": s["media_ref"],
+                    "description": describe_picture(s["media_ref"], cap)})
+                ctype, data = extract_chart_table(s["media_ref"], cap)
+                if ctype:
+                    charts.append({
+                        "doc_id": row["doc_id"], "offset": s["offset"],
+                        "media_ref": s["media_ref"],
+                        "chart_type": ctype, "data": data})
 
     pq.write_table(pa.Table.from_pylist(summaries, schema=_SUMMARY_SCHEMA),
                    os.path.join(out, "extract_summary.parquet"))
@@ -238,6 +263,10 @@ def ensure_expected_tables(
                    os.path.join(out, "formatting.parquet"))
     pq.write_table(pa.Table.from_pylist(outlines, schema=_OUTLINE_SCHEMA),
                    os.path.join(out, "pdf_outline.parquet"))
+    pq.write_table(pa.Table.from_pylist(picdescs, schema=_PICDESC_SCHEMA),
+                   os.path.join(out, "picture_descriptions.parquet"))
+    pq.write_table(pa.Table.from_pylist(charts, schema=_CHART_SCHEMA),
+                   os.path.join(out, "chart_tables.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -110,3 +110,84 @@ def code_languages_batch(batch: pa.Table) -> pa.Table:
         "offset": pa.array(offsets, pa.int32()),
         "code_language": pa.array(langs, pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# picture description + chart extraction — VLM stages in the reference
+# (picture_description_vlm_model.py:24, chart_extraction/granite_vision.py);
+# no VLM exists in this environment, so both are DETERMINISTIC stand-ins:
+# template description from the predicted class + caption, and a
+# hash-seeded data table for chart-classed pictures. The schemas, queries
+# and batch plumbing are real; swap the kernel for a model call when one
+# exists (same registry pattern as stages/ocr.py engines).
+# ---------------------------------------------------------------------------
+
+def describe_picture(media_ref: str, caption: str = "") -> str:
+    cls = classify_picture(media_ref, caption)
+    noun = cls.replace("_", " ")
+    if caption:
+        return f"A {noun} captioned: {caption}"
+    return f"A {noun}"
+
+
+def picture_descriptions_batch(batch: pa.Table) -> pa.Table:
+    """OUTPUT_SCHEMA rows → (doc_id, offset, media_ref, description)."""
+    doc_ids, offsets, refs, descs = [], [], [], []
+    for did, spans in zip(batch["doc_id"].to_pylist(),
+                          batch["spans"].to_pylist()):
+        for s, cap in _iter_pictures_with_captions(spans or []):
+            doc_ids.append(did)
+            offsets.append(s["offset"])
+            refs.append(s["media_ref"])
+            descs.append(describe_picture(s["media_ref"], cap))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "offset": pa.array(offsets, pa.int32()),
+        "media_ref": pa.array(refs, pa.string()),
+        "description": pa.array(descs, pa.string()),
+    })
+
+
+_CHART_CLASSES = {"bar_chart", "line_chart", "pie_chart", "scatter_chart"}
+
+
+def extract_chart_table(media_ref: str, caption: str = "") -> tuple[str, str]:
+    """(chart_type, serialized data grid) for chart-classed pictures —
+    deterministic stand-in for the VLM's chart-to-table transcription.
+    Returns ("", "") for non-chart pictures."""
+    from docling_ray.functions.hashing import stable_hash64
+    from docling_ray.functions.refs import grid_media_ref
+
+    cls = classify_picture(media_ref, caption)
+    if cls not in _CHART_CLASSES:
+        return "", ""
+    h = stable_hash64("chart:" + (media_ref or ""))
+    n_rows = 2 + h % 4
+    grid = [["series", "value"]]
+    for i in range(n_rows):
+        grid.append([f"s{i}", str((h >> (8 * (i % 4))) % 1000)])
+    return cls, grid_media_ref(grid)
+
+
+def chart_tables_batch(batch: pa.Table) -> pa.Table:
+    """OUTPUT_SCHEMA rows → (doc_id, offset, media_ref, chart_type, data)
+    for pictures classed as charts."""
+    doc_ids, offsets, refs, types, datas = [], [], [], [], []
+    for did, spans in zip(batch["doc_id"].to_pylist(),
+                          batch["spans"].to_pylist()):
+        for s, cap in _iter_pictures_with_captions(spans or []):
+            ctype, data = extract_chart_table(s["media_ref"], cap)
+            if not ctype:
+                continue
+            doc_ids.append(did)
+            offsets.append(s["offset"])
+            refs.append(s["media_ref"])
+            types.append(ctype)
+            datas.append(data)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "offset": pa.array(offsets, pa.int32()),
+        "media_ref": pa.array(refs, pa.string()),
+        "chart_type": pa.array(types, pa.string()),
+        "data": pa.array(datas, pa.string()),
+    })

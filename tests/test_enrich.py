@@ -86,3 +86,22 @@ def test_batch_kernels_over_extraction_output():
     pics = picture_classes_batch(batch).to_pylist()
     assert pics == [{"doc_id": "d1", "offset": 2, "media_ref": "img://d1/1",
                      "predicted_class": "pie_chart"}]
+
+
+def test_picture_description_and_chart_stub():
+    from docling_ray.stages.enrich import (
+        describe_picture,
+        extract_chart_table,
+    )
+
+    d = describe_picture("img://d/1", "Figure 2: bar chart of revenue")
+    assert d == "A bar chart captioned: Figure 2: bar chart of revenue"
+    assert describe_picture("img://d/1", "").startswith("A ")
+    ctype, data = extract_chart_table("img://d/1",
+                                      "Figure 2: bar chart of revenue")
+    assert ctype == "bar_chart" and data.startswith("grid:")
+    # non-chart picture → no chart table
+    assert extract_chart_table("img://d/2", "photo of a cat") == ("", "")
+    # determinism
+    assert extract_chart_table("img://d/1", "bar chart") == \
+        extract_chart_table("img://d/1", "bar chart")
