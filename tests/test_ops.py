@@ -351,3 +351,35 @@ def test_persisted_ivf_index_matches_scan(ray_session, tmp_path):
                     centroids=centroids).to_pandas()
     idx = ivf_topk_indexed(path, q, k=10, n_probe=4).to_pandas()
     assert idx["vec_id"].tolist() == scan["vec_id"].tolist()
+
+
+def test_minhash_path_never_gathers_to_driver(ray_session, monkeypatch):
+    """The near-dup pipeline must stay distributed: no Dataset.to_pandas /
+    take_all / iter_rows called from docling_ray code on the driver path
+    (the round-1 anti-pattern). Ray's own scalar-aggregate internals
+    (Dataset.sum fetching its one-row result) are bounded and allowed."""
+    import inspect
+
+    import ray.data
+
+    forbidden = []
+    for name in ("to_pandas", "take_all", "iter_rows"):
+        orig = getattr(ray.data.Dataset, name)
+
+        def make_spy(n, o):
+            def spy(self, *a, **kw):
+                caller = inspect.stack()[1].filename
+                if "docling_ray" in caller:
+                    forbidden.append((n, caller))
+                return o(self, *a, **kw)
+            return spy
+
+        monkeypatch.setattr(ray.data.Dataset, name, make_spy(name, orig))
+
+    from docling_ray.stages.dedup import minhash_lsh_clusters, simhash_clusters
+
+    rows = [(i, f"some words repeated {i % 7} across documents here "
+                f"with shared phrasing patterns") for i in range(40)]
+    minhash_lsh_clusters(_docs_ds(rows), threshold=0.8).materialize()
+    simhash_clusters(_docs_ds(rows), max_hamming=3).materialize()
+    assert forbidden == []
