@@ -396,6 +396,18 @@ def _pdf_outline(sf_dir: str):
                  .sort(["doc_id", "outline_idx"])
 
 
+def _training_corpus(sf_dir: str):
+    """Composite LLM training-data pipeline: quality gate → exact dedup →
+    near-dup drop → surviving doc ids."""
+    import ray
+
+    from docling_ray.pipelines.training_data import training_corpus_survivors
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return training_corpus_survivors(ds, minhash_threshold=0.8)
+
+
 def _kv_pairs(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -469,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
         "jaccard_pairs": _jaccard_pairs,
+        "training_corpus": _training_corpus,
         "doc_chunks": A.doc_chunks,
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
@@ -689,6 +702,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.s, b.s)) <= 3), "
             f"{_CC_SQL}"
+        ),
+        "training_corpus": (
+            "WITH RECURSIVE "
+            "tk AS (SELECT doc_id, text, "
+            f"{_TOKS} AS toks FROM documents), "
+            "q AS (SELECT doc_id, text, toks FROM tk WHERE len(toks) >= 5 "
+            "AND len(toks) <= 100000 AND floor(len(list_filter(toks, "
+            f"x -> list_contains({_STOP_SQL}, x))) * 1000000.0 "
+            "/ greatest(len(toks), 1)) >= 10000), "
+            "ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN "
+            "(CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+            "ELSE [] END) ELSE list_distinct(list_transform("
+            "generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || "
+            "toks[i+1] || ' ' || toks[i+2])) END AS sh FROM q), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            f"WHERE {_JACCARD_EXPR} >= 0.8), "
+            "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p "
+            "UNION SELECT a, a FROM p UNION SELECT b, b FROM p), "
+            "reach AS (SELECT a, b FROM e "
+            "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), "
+            "cl AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach "
+            "GROUP BY a), "
+            "drops AS (SELECT doc_id FROM cl WHERE doc_id != rep_id) "
+            "SELECT q.doc_id FROM q "
+            "WHERE q.doc_id IN (SELECT doc_id FROM ex) "
+            "AND q.doc_id NOT IN (SELECT doc_id FROM drops) "
+            "ORDER BY q.doc_id"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "

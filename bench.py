@@ -147,6 +147,11 @@ def run_bench() -> dict:
         token_stats_batch, batch_format="pyarrow").count())
     timed("minhash_dedup",
           lambda: minhash_lsh_clusters(docs_ds(), threshold=0.8).count())
+
+    from docling_ray.pipelines.training_data import training_corpus_survivors
+
+    timed("training_corpus",
+          lambda: training_corpus_survivors(docs_ds()).count())
     timed("ann_topk", lambda: A.ann_brute_topk(SF_DIR).to_pandas())
     timed("events_hourly", lambda: A.events_hourly_window(SF_DIR).to_pandas())
     timed("q1_lineitem_agg", lambda: A.q1_lineitem_agg(SF_DIR).to_pandas())

@@ -84,14 +84,30 @@ def exact_dedup_survivors(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 # shared machinery
 # ---------------------------------------------------------------------------
 
+# per-process shingle-hash cache: natural-language corpora repeat
+# shingles heavily (Zipf), so memoizing blake2b per distinct shingle cuts
+# the dominant signature-stage cost; bounded to keep worker heaps sane
+_SHINGLE_CACHE: dict[str, int] = {}
+_SHINGLE_CACHE_MAX = 1 << 20
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Sorted unique int64 views of the 64-bit shingle hashes (the set used
     for both MinHash signatures and exact-Jaccard verification)."""
     sh = word_shingles(text or "", k=k)
     if not sh:
         return np.empty(0, dtype=np.int64)
-    arr = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64,
-                      count=len(sh))
+    cache = _SHINGLE_CACHE
+    if len(cache) > _SHINGLE_CACHE_MAX:
+        cache.clear()
+    vals = []
+    for s in sh:
+        h = cache.get(s)
+        if h is None:
+            h = stable_hash64(s)
+            cache[s] = h
+        vals.append(h)
+    arr = np.array(vals, dtype=np.uint64)
     return np.unique(arr.view(np.int64))
 
 

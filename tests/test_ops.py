@@ -383,3 +383,22 @@ def test_minhash_path_never_gathers_to_driver(ray_session, monkeypatch):
     minhash_lsh_clusters(_docs_ds(rows), threshold=0.8).materialize()
     simhash_clusters(_docs_ds(rows), max_hamming=3).materialize()
     assert forbidden == []
+
+
+def test_training_corpus_pipeline(ray_session):
+    from docling_ray.pipelines.training_data import training_corpus_survivors
+
+    rows = [
+        (1, "The cat and the dog play in a box with the toys and the ball"),
+        (2, "The cat and the dog play in a box with the toys and the bell"),
+        (3, "tiny"),                                     # quality-dropped
+        (4, "The cat and the dog play in a box with the toys and the ball"),
+        (5, "An entirely different document about the weather in the north "
+            "and the rain on the coast for a week"),
+    ]
+    got = training_corpus_survivors(_docs_ds(rows),
+                                    minhash_threshold=0.8) \
+        .to_pandas()["doc_id"].tolist()
+    # 3 fails quality; 4 is an exact dup of 1; 2 is a near-dup of 1
+    # (cluster rep = 1) → survivors are 1 and 5
+    assert got == [1, 5]
