@@ -72,3 +72,31 @@ def heading_levels_batch(batch: pa.Table) -> pa.Table:
         "text": pa.array(texts, pa.string()),
         "level": pa.array(levels, pa.int32()),
     })
+
+
+def assign_levels_with_bookmarks(
+    spans: list[dict], outline: list[dict],
+) -> list[tuple[int, str, int]]:
+    """Bookmark-precedence variant (reference precedence: bookmarks >
+    numbering > font size, heading_hierarchy_model.py:1-26 +
+    utils/pdf_outline.py): a heading whose text equals a PDF outline
+    entry's title takes the outline's depth (+1 — outline depth 0 is our
+    title level 0 / section level 1); everything else falls back to the
+    numbering rules."""
+    by_title: dict[str, int] = {}
+    for o in outline:
+        by_title.setdefault(o["title"], int(o["level"]))
+    out: list[tuple[int, str, int]] = []
+    prev = 1
+    for s in spans:
+        if s["kind"] == "title":
+            out.append((s["offset"], s["text"], 0))
+            prev = 1
+        elif s["kind"] == "section_header":
+            if s["text"] in by_title:
+                lvl = max(1, by_title[s["text"]])  # section levels start at 1
+            else:
+                lvl = heading_level(s["text"], prev)
+            out.append((s["offset"], s["text"], lvl))
+            prev = lvl
+    return out

@@ -81,3 +81,27 @@ def test_pdf_adversarial_payloads():
         out = extract_document([{"kind": "pdf_cells", "text": payload,
                                  "media_ref": "", "offset": 0}])
         assert out["status"] in ("success", "partial_success", "failure")
+
+
+@given(st.integers(0, 10_000), st.integers(0, 255), st.integers(1, 40))
+@settings(max_examples=60, deadline=None)
+def test_pdf_parser_total_under_byte_corruption(pos, byte, count):
+    """Random byte smashes over a real PDF must surface as error DATA from
+    the unit extractor, never as an exception."""
+    import base64
+
+    from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
+    from docling_ray.synth import pages_to_pdf_bytes
+
+    data = bytearray(pages_to_pdf_bytes([{
+        "page_no": 1, "width": 612.0, "height": 792.0,
+        "cells": [{"text": "hello fuzzing world", "l": 72.0, "t": 100.0,
+                   "r": 292.0, "b": 111.0, "font_size": 10.0}],
+        "tables": [], "images": [],
+    }]))
+    for i in range(count):
+        data[(pos + i * 37) % len(data)] = byte
+    spans, _pno, score, err = extract_pdf_bytes_unit(
+        base64.b64encode(bytes(data)).decode())
+    assert isinstance(spans, list)
+    assert err is None or isinstance(err, str)

@@ -84,3 +84,25 @@ def test_ocr_stage_batch():
     out = OcrStage(engine="fake")(batch).to_pylist()
     assert len(out) == 1 and out[0]["page_no"] == 3
     assert out[0]["ocr_text"].startswith("ocr_")
+
+
+def test_bookmark_precedence_over_numbering():
+    from docling_ray.stages.heading_hierarchy import (
+        assign_levels,
+        assign_levels_with_bookmarks,
+    )
+
+    spans = [
+        {"kind": "title", "text": "Doc", "media_ref": "", "offset": 0},
+        {"kind": "section_header", "text": "1. Intro", "media_ref": "",
+         "offset": 1},
+        {"kind": "section_header", "text": "Deep Dive", "media_ref": "",
+         "offset": 2},
+    ]
+    # numbering alone: "Deep Dive" is unnumbered → sibling of previous (1)
+    assert assign_levels(spans)[2][2] == 1
+    # the outline says Deep Dive sits at depth 2 → bookmarks win
+    outline = [{"title": "Deep Dive", "level": 2, "page_no": 3}]
+    got = assign_levels_with_bookmarks(spans, outline)
+    assert got[1][2] == 1  # numbering fallback unchanged
+    assert got[2][2] == 2  # bookmark precedence
