@@ -408,6 +408,41 @@ def _training_corpus(sf_dir: str):
     return training_corpus_survivors(ds, minhash_threshold=0.8)
 
 
+def _list_markers(sf_dir: str):
+    """Ordered-list marker annotations (ol start enumeration) from every
+    html input span — oracle = the generator's recorded markers."""
+    import pyarrow as pa
+
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.html_extract import extract_list_markers
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, marks = [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            j = 0
+            for s in spans or []:
+                if s["kind"] != "html":
+                    continue
+                for text, marker in extract_list_markers(s["text"] or ""):
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    texts.append(text)
+                    marks.append(marker)
+                    j += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "marker_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "marker": pa.array(marks, pa.string()),
+        })
+
+    return corpus.map_batches(kernel, batch_format="pyarrow") \
+                 .sort(["doc_id", "marker_idx"])
+
+
 def _kv_pairs(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -498,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
         "formatting": _formatting,
+        "list_markers": _list_markers,
         "pdf_outline": _pdf_outline,
         # exports
         "export_markdown": _export_markdown,
@@ -654,6 +690,11 @@ def _expected_table_sql() -> dict[str, str]:
             "SELECT doc_id, fmt_idx, text, style, region "
             f"FROM read_parquet('{exp}/formatting.parquet') "
             "ORDER BY doc_id, fmt_idx"
+        ),
+        "list_markers": (
+            "SELECT doc_id, marker_idx, text, marker "
+            f"FROM read_parquet('{exp}/list_markers.parquet') "
+            "ORDER BY doc_id, marker_idx"
         ),
         "pdf_outline": (
             "SELECT doc_id, outline_idx, title, level, page_no "

@@ -43,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v9"
+_LAYOUT_VERSION = b"v10"
 
 
 def _fingerprint() -> str:
@@ -93,6 +93,12 @@ _OUTLINE_SCHEMA = pa.schema([
     ("title", pa.string()),
     ("level", pa.int32()),
     ("page_no", pa.int32()),
+])
+_MARKERS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("marker_idx", pa.int32()),
+    ("text", pa.string()),
+    ("marker", pa.string()),
 ])
 _FMTS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -165,7 +171,7 @@ def ensure_expected_tables(
                          columns=["doc_id", "text"])
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
-    outlines, picdescs, charts = [], [], []
+    outlines, picdescs, charts, markers = [], [], [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -208,6 +214,9 @@ def ensure_expected_tables(
                 outlines.append({"doc_id": row["doc_id"], "outline_idx": j,
                                  "title": ol["title"], "level": ol["level"],
                                  "page_no": ol["page_no"]})
+            for j, mk in enumerate(row.get("expected_markers") or []):
+                markers.append({"doc_id": row["doc_id"], "marker_idx": j,
+                                "text": mk["text"], "marker": mk["marker"]})
             for j, fm in enumerate(row.get("expected_fmts") or []):
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
@@ -267,6 +276,8 @@ def ensure_expected_tables(
                    os.path.join(out, "picture_descriptions.parquet"))
     pq.write_table(pa.Table.from_pylist(charts, schema=_CHART_SCHEMA),
                    os.path.join(out, "chart_tables.parquet"))
+    pq.write_table(pa.Table.from_pylist(markers, schema=_MARKERS_SCHEMA),
+                   os.path.join(out, "list_markers.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -537,6 +537,51 @@ _FORMAT_TAGS = {
 }
 
 
+def extract_list_markers(html: str) -> list[tuple[str, str]]:
+    """Ordered-list marker annotations: (item_text, marker) in document
+    order — the reference enumerates ``<ol>`` items honoring the ``start``
+    attribute (fixture example_01.html "ordered list start 42"); the span
+    model keeps item text clean, so markers ride in this companion stream.
+    Unordered/definition items are not enumerated (no entry)."""
+    dom = build_dom(html)
+    out: list[tuple[str, str]] = []
+
+    def item_text(li: _Node) -> str:
+        buf: list[str] = []
+        for cc in li.children:
+            if isinstance(cc, str):
+                buf.append(cc)
+            elif isinstance(cc, _Node) and cc.tag not in ("ul", "ol", "dl") \
+                    and cc.tag in _INLINE:
+                buf.append(_inline_text(cc))
+        segs = _norm_flow("".join(buf))
+        return " ".join(segs)
+
+    def walk(node: _Node) -> None:
+        for c in node.children:
+            if not isinstance(c, _Node):
+                continue
+            if c.tag in _DROP or _is_hidden(c):
+                continue
+            if c.tag == "ol":
+                try:
+                    counter = int(c.attrs.get("start", "1") or "1")
+                except ValueError:
+                    counter = 1
+                for li in c.children:
+                    if isinstance(li, _Node) and li.tag == "li":
+                        text = item_text(li)
+                        if text:
+                            out.append((text, f"{counter}."))
+                            counter += 1
+                        walk(li)  # nested lists inside the item
+            else:
+                walk(c)
+
+    walk(dom)
+    return out
+
+
 def extract_formatting(
     html: str, extractor: "HtmlExtractor | None" = None,
 ) -> list[tuple[str, str, str]]:

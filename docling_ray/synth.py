@@ -81,6 +81,7 @@ def build_html_doc(
     exp: list[Span] = []
     links_exp: list[tuple[str, str, str]] = []
     fmt_exp: list[tuple[str, str, str]] = []
+    marker_exp: list[tuple[str, str]] = []
     media_n = 0
     has_headings = rng.random() < 0.9
 
@@ -146,6 +147,11 @@ def build_html_doc(
                     html_items.append(f"<li>{it}</li>")
                     exp.append(("list_item", it, ""))
             frags.append(f"<{tag}{start}>" + "".join(html_items) + f"</{tag}>")
+            if tag == "ol":
+                counter = 42 if start else 1
+                for it in items:
+                    marker_exp.append((it, f"{counter}."))
+                    counter += 1
         elif r < 0.62:
             # definition list
             pairs = [(w.capitalize(), _sentence(rng, pool))
@@ -213,7 +219,7 @@ def build_html_doc(
         fmt_exp.append((w3, "italic", "body"))
         fmt_exp.append((w4, "underline", "body"))
     frags.append("</body></html>")
-    return "".join(frags), exp, links_exp, fmt_exp
+    return "".join(frags), exp, links_exp, fmt_exp, marker_exp
 
 
 def _build_html_table(
@@ -787,9 +793,10 @@ def make_doc(
     status = S.STATUS_SUCCESS
     links: list[tuple[str, str, str]] = []
     fmts: list[tuple[str, str, str]] = []
+    markers: list[tuple[str, str]] = []
     outline: list[tuple[str, int, int]] = []
     if r < 0.60:
-        html, exp, links, fmts = build_html_doc(rng, pool, doc_id)
+        html, exp, links, fmts, markers = build_html_doc(rng, pool, doc_id)
         in_spans = [("html", html, "")]
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
@@ -815,6 +822,7 @@ def make_doc(
                  for t, st, r_ in fmts],
         "outline": [{"title": t, "level": lv, "page_no": pg}
                     for t, lv, pg in outline],
+        "markers": [{"text": t, "marker": m} for t, m in markers],
     }
     return input_row, expected_row
 
@@ -845,7 +853,9 @@ def make_corpus(
                       ("region", pa.string())]))),
                  ("outline", pa.list_(pa.struct(
                      [("title", pa.string()), ("level", pa.int32()),
-                      ("page_no", pa.int32())])))]
+                      ("page_no", pa.int32())]))),
+                 ("markers", pa.list_(pa.struct(
+                     [("text", pa.string()), ("marker", pa.string())])))]
             ),
         ),
     )
@@ -893,7 +903,12 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
             type=pa.list_(pa.struct([("title", pa.string()),
                                      ("level", pa.int32()),
                                      ("page_no", pa.int32())])))
+        exp_markers = pa.array(
+            [e["markers"] for e in expecteds],
+            type=pa.list_(pa.struct([("text", pa.string()),
+                                     ("marker", pa.string())])))
         tbl = tbl.append_column("expected_links", exp_links)
         tbl = tbl.append_column("expected_fmts", exp_fmts)
         tbl = tbl.append_column("expected_outline", exp_outline)
+        tbl = tbl.append_column("expected_markers", exp_markers)
     return tbl

@@ -187,8 +187,27 @@ def test_hyperlink_generator_roundtrip():
 
     for seed in range(40):
         rng = random.Random(seed)
-        html, _exp, links, fmts = build_html_doc(rng, VOCAB, f"d{seed}")
+        html, _exp, links, fmts, markers = build_html_doc(
+            rng, VOCAB, f"d{seed}")
         assert extract_links(html) == links
         from docling_ray.stages.html_extract import extract_formatting
 
         assert extract_formatting(html) == fmts
+        from docling_ray.stages.html_extract import extract_list_markers
+
+        assert extract_list_markers(html) == markers
+
+
+def test_ordered_list_markers_honor_start():
+    from docling_ray.stages.html_extract import extract_list_markers
+
+    html = (
+        "<html><body>"
+        "<ul><li>no marker</li></ul>"
+        '<ol start="42"><li>first</li><li>second</li></ol>'
+        "<ol><li>one</li><li>two<ol start=\"7\"><li>seven</li></ol></li></ol>"
+        "</body></html>"
+    )
+    got = extract_list_markers(html)
+    assert got == [("first", "42."), ("second", "43."),
+                   ("one", "1."), ("two", "2."), ("seven", "7.")]
