@@ -33,6 +33,16 @@ if _REPO_ROOT not in sys.path:
 
 SEED = 42
 
+
+def read_sf_table(sf_dir: str, table: str, columns=None, **kwargs):
+    """Metadata-stripped parquet read of a testdata table (the files carry
+    pandas schema metadata that breaks Ray's schema-hash dedup — see
+    docling_ray/sources/tables.py). Lazy import: Ray is driver-owned."""
+    from docling_ray.sources.tables import read_sf_table as _read
+
+    return _read(sf_dir, table, columns, **kwargs)
+
+
 _STOP_SQL = "['the','and','of','a','to','in','is','for','on','with']"
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -104,7 +114,7 @@ def _lang_id(sf_dir: str):
 
     from docling_ray.stages.text_quality import LangIdModel
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return ds.map_batches(
         LangIdModel, batch_format="pyarrow", batch_size=256, concurrency=2
@@ -116,7 +126,7 @@ def _minhash_dedup(sf_dir: str):
 
     from docling_ray.stages.dedup import minhash_lsh_clusters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return minhash_lsh_clusters(ds, threshold=0.8)
 
@@ -126,7 +136,7 @@ def _simhash_dedup(sf_dir: str):
 
     from docling_ray.stages.dedup import simhash_clusters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return simhash_clusters(ds, max_hamming=3)
 
@@ -148,7 +158,7 @@ def _jaccard_pairs(sf_dir: str):
 
     from docling_ray.stages.dedup import jaccard_neardup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return jaccard_neardup_pairs(ds, threshold=0.8)
 
@@ -159,7 +169,7 @@ def _embedding_neardup(sf_dir: str):
 
     from docling_ray.stages.similarity import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_sf_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     out = embedding_neardup_pairs(ds, threshold=0.95)
     if out.count() == 0:
@@ -177,7 +187,7 @@ def _ann_lsh(sf_dir: str):
     from docling_ray.pipelines.analytics import _query_vector
     from docling_ray.stages.similarity import lsh_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_sf_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     return lsh_topk(ds, _query_vector(sf_dir), k=10)
 
@@ -188,7 +198,7 @@ def _ann_ivf(sf_dir: str):
     from docling_ray.pipelines.analytics import _query_vector
     from docling_ray.stages.similarity import ivf_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_sf_table(sf_dir, "embeddings",
                                columns=["vec_id", "embedding"])
     return ivf_topk(ds, _query_vector(sf_dir), k=10)
 
@@ -218,7 +228,7 @@ def _exact_dedup(sf_dir: str):
 
     from docling_ray.stages.dedup import exact_dedup_survivors
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return exact_dedup_survivors(ds).sort("doc_id")
 
@@ -228,7 +238,7 @@ def _fingerprint(sf_dir: str):
 
     from docling_ray.stages.text_quality import fingerprint_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").sort("doc_id")
 
@@ -238,7 +248,7 @@ def _token_stats(sf_dir: str):
 
     from docling_ray.stages.text_quality import token_stats_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return ds.map_batches(token_stats_batch, batch_format="pyarrow").sort("doc_id")
 
@@ -248,7 +258,7 @@ def _quality(sf_dir: str):
 
     from docling_ray.stages.text_quality import quality_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow").sort("doc_id")
 
@@ -403,7 +413,7 @@ def _training_corpus(sf_dir: str):
 
     from docling_ray.pipelines.training_data import training_corpus_survivors
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_sf_table(sf_dir, "documents",
                                columns=["doc_id", "text"])
     return training_corpus_survivors(ds, minhash_threshold=0.8)
 

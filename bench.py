@@ -139,9 +139,9 @@ def run_bench() -> dict:
         path, hyb_dir, big_threshold=1 << 19, parallelism=par))
 
     def docs_ds():
-        return ray.data.read_parquet(
-            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
-        )
+        from docling_ray.sources.tables import read_sf_table
+
+        return read_sf_table(SF_DIR, "documents", columns=["doc_id", "text"])
 
     timed("token_stats", lambda: docs_ds().map_batches(
         token_stats_batch, batch_format="pyarrow").count())

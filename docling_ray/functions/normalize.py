@@ -137,8 +137,17 @@ def merge_hyphenated_lines(lines: list[str]) -> str:
 
 def sanitize_cell_text(lines: list[str]) -> str:
     """Full PDF cell/cluster text sanitation: hyphen merge → punctuation
-    normalization → ligature expansion → strip (page_assemble_model.py:112-157)."""
-    text = merge_hyphenated_lines(lines)
+    normalization → ligature expansion → strip (page_assemble_model.py:112-157).
+
+    Fast paths are exact: every punctuation-table key and ligature char is
+    non-ASCII, so ASCII text (the overwhelming majority of PDF cells) skips
+    both passes; a single line needs no hyphen merge."""
+    if len(lines) == 1:
+        text = lines[0]
+    else:
+        text = merge_hyphenated_lines(lines)
+    if text.isascii():
+        return text.strip()
     text = text.translate(_PDF_PUNCT_TABLE)
     text = expand_ligatures(text)
     return text.strip()

@@ -32,7 +32,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from docling_ray.sources.tables import read_sf_table
+
+    return read_sf_table(sf_dir, table, columns)
 
 
 # ---------------------------------------------------------------------------
@@ -135,9 +137,21 @@ def mktsegment_order_stats(sf_dir: str):
 
 
 def topk_orders(sf_dir: str, k: int = 10):
-    """Top-k by total price (distributed sort prunes to k via limit)."""
+    """Top-k by total price: per-batch partial top-k (vectorized lexsort)
+    so the final sort sees k rows per batch, not the whole table — the
+    same prune pattern as ``ann_brute_topk``; a full global sort for 10
+    rows is an all-to-all shuffle of everything."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price))[: min(k, len(price))]
+        return batch.take(pa.array(order)).combine_chunks()
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
 def events_hourly_window(sf_dir: str):
@@ -354,27 +368,49 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     ).sort("o_orderpriority")
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+def sessionize_events(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     """Sessionization: per-user event stream → session count with a
     ``gap_minutes`` inactivity cutoff. The streaming-shaped custom op
-    (SURVEY.md §2.8 "windows"): ``groupby(user_id).map_groups`` sorts the
-    group by ts and counts gaps — ordering is re-established inside the
-    group, never assumed from block order."""
+    (SURVEY.md §2.8 "windows"), partitioned by ``hash(user) % B`` so the
+    per-group kernel runs once per BUCKET, not once per user: inside a
+    bucket one mergesort by (user, ts) + one ``np.diff`` pass counts
+    session starts for every user at once — ordering is re-established
+    inside the bucket, never assumed from block order. Scale knob:
+    ``num_buckets`` grows with the event volume; a bucket only needs to
+    hold its users' (user_id, ts) pairs."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(group) -> pa.Table:
-        ts = group["ts"].sort_values().to_numpy()
-        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["user_id"], pa.int64())
+        return batch.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32()))
+
+    def per_bucket(group) -> pa.Table:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        start = np.ones(n, dtype=bool)
+        start[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        users, first_idx, counts = np.unique(uid, return_index=True,
+                                             return_counts=True)
+        n_sessions = np.add.reduceat(start.astype(np.int64), first_idx)
         return pa.table({
-            "user_id": pa.array([int(group["user_id"].iloc[0])], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "user_id": pa.array(users.astype(np.int64)),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "n_sessions": pa.array(n_sessions),
         })
 
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
-    ).sort("user_id")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+             .groupby("bucket") \
+             .map_groups(per_bucket, batch_format="pandas") \
+             .sort("user_id")
 
 
 def asof_join_events_orders(sf_dir: str, num_buckets: int = 16):

@@ -29,9 +29,9 @@ def derive_corpus(
     docs_per_row: int = 1,
 ) -> "ray.data.Dataset":
     """documents.parquet → interleaved corpus Dataset (doc_id, spans[, byte_size])."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from docling_ray.sources.tables import read_sf_table
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def render(batch: pa.Table) -> pa.Table:
         return add_byte_size(render_docs_batch(batch, seed=seed,

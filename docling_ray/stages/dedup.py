@@ -202,33 +202,25 @@ def connected_components(
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
     prev_sum = labels.sum("label")
 
-    def lab_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["node"],
-                         "nbr": pa.nulls(t.num_rows, pa.int64()),
-                         "label": t["label"]})
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["key"], "nbr": t["nbr"],
-                         "label": pa.nulls(t.num_rows, pa.int64())})
-
-    def propagate(group: pa.Table) -> pa.Table:
-        lbl = pc.min(group["label"]).as_py()
-        if lbl is None:  # node with edges but no label row — cannot happen
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64())})
-        nbrs = group["nbr"].drop_null().to_numpy(zero_copy_only=False)
-        nodes = np.concatenate([nbrs, group["key"][:1].to_numpy(
-            zero_copy_only=False)])
-        return pa.table({"node": pa.array(nodes),
-                         "label": pa.array(np.full(len(nodes), lbl,
-                                                   dtype=np.int64))})
+    # Each round: new_label[v] = min(label[v], min_{u∈N(v)} label[u]).
+    # Expressed as two vectorized all-to-all steps — a hash join attaching
+    # label[key] to every (key, nbr) edge, then a min-groupby over the
+    # receiving endpoint — no per-group Python kernel anywhere (each round
+    # used to be one `map_groups` Python call per node; at 10^9 duplicate
+    # nodes that is the slowest possible shape for what is algebraically
+    # two joins).
+    def nbr_to_node(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["nbr"], "label": t["label"]})
 
     for _ in range(max_rounds):
-        tagged = labels.map_batches(lab_rows, batch_format="pyarrow").union(
-            sym_edges.map_batches(edge_rows, batch_format="pyarrow"))
-        msgs = tagged.groupby("key").map_groups(
-            propagate, batch_format="pyarrow")
-        labels = msgs.groupby("node").aggregate(
+        joined = sym_edges.join(
+            labels, join_type="inner", num_partitions=n_blocks,
+            on=("key",), right_on=("node",))
+        nbr_min = joined.select_columns(["nbr", "label"]) \
+                        .groupby("nbr") \
+                        .aggregate(Min("label", alias_name="label")) \
+                        .map_batches(nbr_to_node, batch_format="pyarrow")
+        labels = labels.union(nbr_min).groupby("node").aggregate(
             Min("label", alias_name="label")).repartition(n_blocks) \
             .materialize()
         cur = labels.sum("label")

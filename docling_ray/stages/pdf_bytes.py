@@ -62,10 +62,8 @@ class Stream(NamedTuple):
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_SCAN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
-
-
-def _is_ws(b: int) -> bool:
-    return b in _WS
+_NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*")
+_WS_RUN_RE = re.compile(rb"(?:[\x00\t\n\x0c\r\x20]+|%[^\r\n]*)*")
 
 
 class _Lexer:
@@ -75,17 +73,8 @@ class _Lexer:
         self.data = data
 
     def skip_ws(self, i: int) -> int:
-        d = self.data
-        n = len(d)
-        while i < n:
-            if d[i] in _WS:
-                i += 1
-            elif d[i : i + 1] == b"%":  # comment to EOL
-                while i < n and d[i] not in b"\r\n":
-                    i += 1
-            else:
-                break
-        return i
+        # one C-level regex pass over the whitespace/comment run
+        return _WS_RUN_RE.match(self.data, i).end()
 
     def parse(self, i: int) -> tuple[Any, int]:
         d = self.data
@@ -127,9 +116,7 @@ class _Lexer:
     def _parse_name(self, i: int) -> tuple[str, int]:
         d = self.data
         i += 1
-        j = i
-        while j < len(d) and not _is_ws(d[j]) and d[j] not in _DELIM:
-            j += 1
+        j = _NAME_BODY_RE.match(d, i).end()
         raw = d[i:j]
         # #xx hex escapes in names
         if b"#" in raw:
@@ -423,18 +410,46 @@ class PdfDocument:
 # content-stream interpretation → cells / tables / images
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(
-    rb"""(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
-       | /(?P<name>[^\s()<>\[\]{}/%]*)
+# Master content-stream tokenizer: one regex consumes leading whitespace +
+# the next token, so the interpreter loop is one `match` per token instead
+# of a byte-wise `skip_ws` + per-class scanner (the round-2 hot loop —
+# 2.7x of the pdf parse wall was spent under skip_ws/_parse_lit_string).
+# The `lit` alternative only matches strings whose parens are balanced via
+# escapes; a *nested unescaped* "(" makes the whole alternative fail, and
+# the interpreter falls back to the slow exact `_parse_lit_string`.
+# DOTALL so `\\.` covers backslash-newline line continuations.
+_CS_TOKEN_RE = re.compile(
+    rb"""[\x00\t\n\x0c\r\x20]*
+     (?: (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+       | \((?P<lit>(?:[^()\\]|\\.)*)\)
+       | /(?P<name>[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*)
        | (?P<op>[A-Za-z'"*]+)
-       | (?P<lparen>\()
-       | (?P<lhex><(?!<))
+       | (?P<ldict><<)
+       | <(?P<hex>[^>]*)>
        | (?P<larr>\[)
        | (?P<rarr>\])
-       | (?P<ddict><<|>>)
-    """,
-    re.VERBOSE,
+       | (?P<cmt>%[^\r\n]*)
+     )""",
+    re.VERBOSE | re.DOTALL,
 )
+
+_LIT_ESCAPE_RE = re.compile(rb"\\(\d{1,3}|\r\n|.)", re.DOTALL)
+_LIT_ESCAPE_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                   b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\",
+                   b"\n": b"", b"\r": b"", b"\r\n": b""}
+
+
+def _unescape_lit(raw: bytes) -> bytes:
+    """Decode PDF literal-string escapes (same table as _parse_lit_string)."""
+    def sub(m: "re.Match[bytes]") -> bytes:
+        e = m.group(1)
+        hit = _LIT_ESCAPE_MAP.get(e)
+        if hit is not None:
+            return hit
+        if e.isdigit():
+            return bytes([int(e, 8) & 0xFF])
+        return e
+    return _LIT_ESCAPE_RE.sub(sub, raw)
 
 
 def _advance_width(text: str, font: float) -> float:
@@ -468,12 +483,13 @@ def interpret_content(
             return
         b = height - y
         h = leading if leading > 0 else font
+        w = _advance_width(text, font)
         cells.append({
             "text": text, "l": x, "t": b - h,
-            "r": x + _advance_width(text, font), "b": b,
+            "r": x + w, "b": b,
             "font_size": font,
         })
-        x += _advance_width(text, font)
+        x += w
 
     def flush_rects() -> None:
         for (rx, ry, rw, rh) in pending_rects:
@@ -483,43 +499,51 @@ def interpret_content(
 
     i = 0
     n = len(content)
+    match_token = _CS_TOKEN_RE.match
     while i < n:
-        i = lex.skip_ws(i)
-        if i >= n:
-            break
-        c = content[i : i + 1]
-        if c == b"(":
-            s, i = lex._parse_lit_string(i)
-            stack.append(s)
+        m = match_token(content, i)
+        if m is None:
+            # nested unescaped parens (lit alternative gave up) → exact
+            # slow-path string parse; anything else: skip one byte.
+            j = lex.skip_ws(i)
+            if j < n and content[j : j + 1] == b"(":
+                s, i = lex._parse_lit_string(j)
+                stack.append(s)
+            else:
+                i = j + 1
             continue
-        if content[i : i + 2] == b"<<":
-            dct, i = lex.parse(i)
-            stack.append(dct)
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "num":
+            stack.append(float(m.group("num")))
             continue
-        if c == b"<":
-            s, i = lex._parse_hex_string(i)
-            stack.append(s)
+        if kind == "lit":
+            raw = m.group("lit")
+            if b"\\" in raw:
+                raw = _unescape_lit(raw)
+            stack.append(_decode_pdf_text(raw))
             continue
-        if c == b"[":
-            arr, i = lex._parse_array(i)
-            stack.append(arr)
-            continue
-        if c == b"/":
-            name, i = lex._parse_name(i)
+        if kind == "name":
+            raw = m.group("name")
+            if b"#" in raw:
+                name, _ = lex._parse_name(m.start("name") - 1)
+            else:
+                name = raw.decode("latin-1")
             stack.append(("__name__", name))
             continue
-        m = _NUM_RE.match(content, i)
-        if m:
-            tok = m.group()
-            stack.append(float(tok) if b"." in tok else float(int(tok)))
-            i = m.end()
+        if kind != "op":
+            if kind == "hex":
+                s, i = lex._parse_hex_string(m.start("hex") - 1)
+                stack.append(s)
+            elif kind == "larr":
+                arr, i = lex._parse_array(m.start("larr"))
+                stack.append(arr)
+            elif kind == "ldict":
+                dct, i = lex.parse(m.start("ldict"))
+                stack.append(dct)
+            # rarr (stray "]") and cmt: skip
             continue
-        # operator token
-        j = i
-        while j < n and content[j] not in _WS and content[j] not in b"()<>[]{}/%":
-            j += 1
-        op = content[i:j].decode("latin-1", errors="replace")
-        i = j
+        op = m.group("op").decode("latin-1")
 
         try:
             if op == "BT":

@@ -237,8 +237,12 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
 
     body: list[dict] = []
     for c in mid:
+        # inlined _in_region/_center: this is cells × regions, the page's
+        # hottest loop — function-call overhead dominates at ~30 cells/page
+        x = 0.5 * (c["l"] + c["r"])
+        y = 0.5 * (c["t"] + c["b"])
         for reg in regions:
-            if _in_region(c, reg):
+            if reg["l"] <= x <= reg["r"] and reg["t"] <= y <= reg["b"]:
                 reg["cells"].append(c)
                 break
         else:
