@@ -15,8 +15,8 @@ by a full SQL re-computation of the classifier; extraction-derived queries
 (extract_summary / heading_levels / export_markdown) against generator-
 expected parquet tables (docling_ray/oracles.py). Rows-only remainder:
 ``extract_selfcheck`` (it IS a check — reports the span-equality pass
-rate), ``media_features`` (stubbed decode), ``ann_lsh``/``ann_ivf``
-(approximate by design; recall pinned vs brute force in tests/test_ops).
+rate) and ``ann_lsh``/``ann_ivf`` (approximate by design; recall pinned
+vs brute force in tests/test_ops).
 """
 
 from __future__ import annotations
@@ -639,15 +639,17 @@ def _lang_id_sql() -> str:
     )
 
 
-def _expected_table_sql() -> dict[str, str]:
+def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Oracles for the extraction-derived queries: expected tables built
     from the generator's hand-computed spans (docling_ray/oracles.py),
-    never by running the extractors. Paths are pinned to sf0.01 — the sf
-    the driver's correctness gate runs at."""
+    never by running the extractors. Defaults to sf0.01 — the sf the
+    driver's correctness gate runs at; ``oracle_sql(sf_dir)`` threads a
+    different sf through so tools/check_oracles.py compares like with
+    like at any scale."""
     try:
         from docling_ray.oracles import ensure_expected_tables
 
-        exp = ensure_expected_tables("/root/testdata/sf0.01", seed=SEED)
+        exp = ensure_expected_tables(sf_dir, seed=SEED)
     except Exception:
         return {}
     return {
@@ -724,9 +726,11 @@ def _expected_table_sql() -> dict[str, str]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Driver contract: zero-arg call compares at sf0.01 (the driver's
+    gate); the optional ``sf_dir`` lets local tooling check other scales."""
     return {
-        **_expected_table_sql(),
+        **_expected_table_sql(sf_dir),
         "lang_id": _lang_id_sql(),
         "minhash_dedup": (
             # brute-force exact-Jaccard pairs + recursive-CTE connected

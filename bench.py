@@ -53,11 +53,17 @@ def ensure_corpus(path: str) -> None:
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return
-    shutil.rmtree(path, ignore_errors=True)
+    # atomic publish: a concurrent run never reads a half-written corpus
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     ds = derive_corpus(SF_DIR, seed=SEED, docs_per_row=DOCS_PER_ROW)
-    write_corpus(ds, path)
-    with open(marker, "w") as f:
+    write_corpus(ds, tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_bench() -> dict:

@@ -161,10 +161,14 @@ def ensure_expected_tables(
     from docling_ray.synth import render_docs_batch
 
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(root, f"{tag}-s{seed}-{_fingerprint()}")
-    marker = os.path.join(out, "_SUCCESS")
+    final = os.path.join(root, f"{tag}-s{seed}-{_fingerprint()}")
+    marker = os.path.join(final, "_SUCCESS")
     if os.path.exists(marker):
-        return out
+        return final
+    # atomic publish: build under a per-process temp dir, then rename into
+    # place — a concurrent bench/oracle run either sees the complete
+    # published dir or none of it, never a half-written parquet set
+    out = f"{final}.tmp-{os.getpid()}"
     os.makedirs(out, exist_ok=True)
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -278,6 +282,13 @@ def ensure_expected_tables(
                    os.path.join(out, "chart_tables.parquet"))
     pq.write_table(pa.Table.from_pylist(markers, schema=_MARKERS_SCHEMA),
                    os.path.join(out, "list_markers.parquet"))
-    with open(marker, "w") as f:
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
-    return out
+    try:
+        os.rename(out, final)
+    except OSError:
+        # another process published first; ours is equivalent — discard
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    return final

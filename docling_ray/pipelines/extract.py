@@ -67,8 +67,14 @@ def add_byte_size(batch: pa.Table) -> pa.Table:
 # fast path
 # ---------------------------------------------------------------------------
 
-def extract_docs_batch(batch: pa.Table) -> pa.Table:
-    """Whole-document extraction kernel (fast path)."""
+def extract_docs_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
+    """Whole-document extraction kernel (fast path). ``settings_overrides``
+    is the driver's ``settings.snapshot()`` shipped via ``fn_kwargs`` so a
+    driver-side ``configure()`` reaches every worker process."""
+    if settings_overrides is not None:
+        from docling_ray import settings
+
+        settings.ensure(settings_overrides)
     if "byte_size" not in batch.column_names:
         batch = add_byte_size(batch)
     doc_ids = batch["doc_id"].to_pylist()
@@ -151,11 +157,15 @@ def explode_units_raw(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(out, schema=_RAW_UNIT_SCHEMA)
 
 
-def extract_units_batch(batch: pa.Table) -> pa.Table:
+def extract_units_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
     """RAW unit rows → extracted unit rows. Stateless, runs after the unit
     redistribution — payloads are dropped here, so only extracted spans
     reach the reassembly shuffle (the analogue of the reference's eager
     ``_release_page_resources``, standard_pdf_pipeline.py:689-699)."""
+    if settings_overrides is not None:
+        from docling_ray import settings
+
+        settings.ensure(settings_overrides)
     out = []
     for row in batch.to_pylist():
         if row["n_units"] == 0:
@@ -226,8 +236,11 @@ def extract_corpus(
         giant ones (> big_threshold), union (the skew split).
     """
     if mode == "fast":
+        from docling_ray import settings
+
         return ds.map_batches(
-            extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
+            extract_docs_batch, batch_format="pyarrow", batch_size=batch_size,
+            fn_kwargs={"settings_overrides": settings.snapshot()},
         )
     if mode == "explode":
         return _explode_pipeline(ds, batch_size)
@@ -261,16 +274,23 @@ def _explode_pipeline(ds, batch_size: int):
 
     n_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
     raw = raw.repartition(n_blocks)
+    from docling_ray import settings
+
     units = raw.map_batches(extract_units_batch, batch_format="pyarrow",
-                            batch_size=4)
+                            batch_size=4,
+                            fn_kwargs={"settings_overrides":
+                                       settings.snapshot()})
     return units.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pandas"
     )
 
 
 def _hybrid_union(small, big, batch_size: int):
+    from docling_ray import settings
+
     small_out = small.map_batches(
-        extract_docs_batch, batch_format="pyarrow", batch_size=batch_size
+        extract_docs_batch, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"settings_overrides": settings.snapshot()},
     )
     return small_out.union(_explode_pipeline(big, batch_size))
 

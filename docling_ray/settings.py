@@ -100,6 +100,27 @@ def reset() -> None:
     _resolved = None
 
 
+def snapshot() -> dict[str, dict[str, Any]]:
+    """The programmatic overrides as a plain picklable dict — captured on
+    the DRIVER at pipeline-build time and shipped to workers through the
+    batch-fn closure (``configure()`` mutates this process only; Ray
+    worker processes never see a driver-side call unless the pipeline
+    ships the snapshot)."""
+    return {k: dict(v) for k, v in _overrides.items()}
+
+
+def ensure(snap: dict[str, dict[str, Any]] | None) -> None:
+    """Worker-side: adopt a driver snapshot. Idempotent and cheap (a dict
+    compare per batch); re-resolution only happens when the snapshot
+    actually differs from this process's overrides."""
+    global _resolved
+    if snap is None or snap == _overrides:
+        return
+    _overrides.clear()
+    _overrides.update({k: dict(v) for k, v in snap.items()})
+    _resolved = None
+
+
 def options_for(kind: str) -> dict[str, Any]:
     """The resolved options dict for a format kind (defaults ∪ env ∪
     configure())."""

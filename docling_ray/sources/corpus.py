@@ -100,9 +100,17 @@ def derive_corpus_stored(
     if not os.path.exists(marker):
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        # atomic publish (see oracles.ensure_expected_tables): write into a
+        # per-process temp dir, rename into place; concurrent callers never
+        # read a half-written corpus
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         write_corpus(derive_corpus(sf_dir, seed=seed,
-                                   docs_per_row=docs_per_row), path)
-        with open(marker, "w") as f:
+                                   docs_per_row=docs_per_row), tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return path

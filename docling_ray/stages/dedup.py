@@ -143,20 +143,41 @@ def _distinct_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
                 .select_columns(["a", "b"])
 
 
-def _bucket_pairs_kernel(group: pa.Table, max_allpairs: int) -> pa.Table:
+def _bucket_pairs_kernel(
+    group: pa.Table, max_allpairs: int, on_overflow: str = "chain",
+    hard_cap: int = 4096,
+) -> pa.Table:
     """One ≥2-doc bucket → candidate pairs. Above ``max_allpairs`` docs the
-    quadratic blowup falls back to chain pairs over sorted ids (n-1 edges —
-    connectivity preserved for clustering) and the event is logged."""
+    quadratic blowup is handled per ``on_overflow``:
+
+    * ``"chain"`` (clustering path): n-1 chain pairs over sorted ids —
+      connectivity preserved, logged. Incomplete as a PAIRS answer but
+      exactly right for connected components.
+    * ``"full"`` (pairs path, whose contract is every pair): all pairs up
+      to ``hard_cap`` docs (bounded: hard_cap²/2 int64 pairs per bucket),
+      logged; beyond that the bucket is quadratically degenerate and the
+      kernel raises rather than silently under-reporting — the caller
+      should use the clustering operator on such a corpus."""
     ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
     n = len(ids)
     if n < 2:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
     if n > max_allpairs:
+        if on_overflow == "chain":
+            print(f"[dedup] bucket {group['bucket_key'][0]} has {n} docs "
+                  f"> max_allpairs={max_allpairs}: chain-pair fallback "
+                  f"({n - 1} edges instead of {n * (n - 1) // 2})")
+            return pa.table({"a": pa.array(ids[:-1]), "b": pa.array(ids[1:])})
+        if n > hard_cap:
+            raise ValueError(
+                f"bucket {group['bucket_key'][0]} has {n} docs > "
+                f"hard_cap={hard_cap}: the exact-pairs output would be "
+                f"quadratically degenerate ({n * (n - 1) // 2} pairs); "
+                f"use the clustering operator for this corpus")
         print(f"[dedup] bucket {group['bucket_key'][0]} has {n} docs "
-              f"> max_allpairs={max_allpairs}: chain-pair fallback "
-              f"({n - 1} edges instead of {n * (n - 1) // 2})")
-        return pa.table({"a": pa.array(ids[:-1]), "b": pa.array(ids[1:])})
+              f"> max_allpairs={max_allpairs}: emitting all "
+              f"{n * (n - 1) // 2} pairs (pairs-contract completeness)")
     ia, ib = np.triu_indices(n, k=1)
     return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
 
@@ -399,11 +420,13 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     max_allpairs: int = 256,
     m_bits: int = 1 << 23,
+    on_overflow: str = "chain",
 ) -> "ray.data.Dataset":
     """LSH candidate (a, b) pairs, deduped. Defaults are high-recall
     (rows-per-band 3: a true 0.8-Jaccard pair escapes all 21 bands with
     probability (1-0.8³)²¹ ≈ 3e-7), trading extra candidates — which the
-    exact verifier removes — for near-certain recall."""
+    exact verifier removes — for near-certain recall. ``on_overflow``
+    picks the degenerate-bucket policy (see _bucket_pairs_kernel)."""
     buckets = ds.map_batches(
         _minhash_buckets_batch, batch_format="pyarrow",
         fn_kwargs={"num_perm": num_perm, "n_bands": n_bands,
@@ -411,7 +434,7 @@ def minhash_candidate_pairs(
     ).materialize()  # 2 int64s per band-row; persist to parquet at PB scale
     hot = _hot_bucket_rows(buckets, m_bits=m_bits)
     pairs = hot.groupby("bucket_key").map_groups(
-        lambda g: _bucket_pairs_kernel(g, max_allpairs),
+        lambda g: _bucket_pairs_kernel(g, max_allpairs, on_overflow),
         batch_format="pyarrow",
     )
     return _distinct_pairs(pairs)
@@ -428,10 +451,12 @@ def jaccard_neardup_pairs(
     """Exact n-gram-Jaccard near-duplicate pairs (a < b, j_ppm), computed
     as LSH candidates + exact distributed verification. Oracle-checkable:
     equals the brute-force shingle-Jaccard self-join at/above threshold
-    (recall argument in minhash_candidate_pairs)."""
+    (recall argument in minhash_candidate_pairs). Degenerate buckets emit
+    ALL their pairs (``on_overflow="full"``) — the pairs contract is
+    completeness; the n-1 chain shortcut stays clustering-only."""
     pairs = minhash_candidate_pairs(
         ds, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k,
-        text_col=text_col,
+        text_col=text_col, on_overflow="full",
     ).materialize()
     return jaccard_verified_pairs(
         ds, pairs, threshold, shingle_k=shingle_k, text_col=text_col,

@@ -66,3 +66,27 @@ def test_auto_sniff_gate():
     settings.configure("detect", auto_sniff=False)
     spans, _, _, err = extract_unit("", "# Title\n\nbody", "")
     assert spans == [] and "unknown input span kind" in (err or "")
+
+
+def test_configure_reaches_ray_workers(ray_session):
+    """Driver-side configure() must affect DISTRIBUTED extraction: the
+    pipeline ships settings.snapshot() through the batch-fn closure, so
+    worker processes (which never saw the driver's configure call) resolve
+    the override. Uses detect.auto_sniff: an unlabeled html payload is
+    sniffed+extracted by default, and must fail when sniffing is off."""
+    import pyarrow as pa
+    import ray
+
+    from docling_ray.pipelines.extract import extract_corpus
+
+    corpus = pa.table({
+        "doc_id": ["u1"],
+        "spans": [[{"kind": "", "text": "<html><body><h1>T</h1>"
+                    "<p>body text</p></body></html>",
+                    "media_ref": "", "offset": 0}]],
+    })
+    by_default = extract_corpus(ray.data.from_arrow(corpus)).to_pandas()
+    assert by_default["status"][0] == "success"
+    settings.configure("detect", auto_sniff=False)
+    sniff_off = extract_corpus(ray.data.from_arrow(corpus)).to_pandas()
+    assert sniff_off["status"][0] == "failure"

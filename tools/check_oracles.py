@@ -50,7 +50,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entry.queries()
-    sqls = entry.oracle_sql()
+    # thread the sf under test into the expected-table oracles so checking
+    # any sf compares that sf's output to that sf's expectations
+    sqls = entry.oracle_sql(sf_dir)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
