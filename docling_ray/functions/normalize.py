@@ -162,13 +162,24 @@ _FRAG_RE = re.compile(r"(?:\b\w\b ){4,}")
 # one cheap pre-scan: clean text (the overwhelming majority) takes a single
 # regex search instead of three finditer passes
 _SUSPECT_RE = re.compile(r"GLYPH<|�|/G\d|(?:\b\w\b ){4,}")
+# frag proxy: any match of _FRAG_RE contains a "a b c d" shape, so this
+# \b-free pattern is a strict superset and ~3x faster to scan
+_FRAG_PROXY_RE = re.compile(r"\w \w \w \w")
+
+
+def is_suspect_text(text: str) -> bool:
+    """Cheap conservative garbage pre-scan: literal membership tests (C
+    memchr speed) + a boundary-free fragment proxy. Superset of
+    _SUSPECT_RE's matches — a True only routes to the exact scorer."""
+    return ("GLYPH<" in text or "�" in text or "/G" in text
+            or _FRAG_PROXY_RE.search(text) is not None)
 
 
 def text_quality_score(text: str) -> float:
     """Heuristic parse quality in [0,1]; low for glyph-garbage PDF text."""
     if not text:
         return 0.0
-    if _SUSPECT_RE.search(text) is None:
+    if not is_suspect_text(text):
         return 1.0
     n = len(text)
     bad = 0

@@ -55,10 +55,21 @@ import json
 
 import numpy as np
 
-from docling_ray.functions.normalize import sanitize_cell_text, text_quality_score
+from operator import itemgetter
+
+from docling_ray.functions.normalize import (
+    is_suspect_text,
+    sanitize_cell_text,
+    text_quality_score,
+)
 from docling_ray.stages.html_extract import grid_media_ref
 
 Span = tuple[str, str, str]
+
+# C-level sort keys (tuple-building lambdas dominate the page sorts)
+_BY_T_L = itemgetter("t", "l")
+_BY_L_T = itemgetter("l", "t")
+_BY_TOP_L = itemgetter("top", "l")
 
 HEADER_BAND = 50.0
 FOOTER_BAND = 50.0
@@ -87,10 +98,20 @@ def parse_page_payload(payload: str) -> dict:
 def page_parse_score(cells: list[dict]) -> float:
     """10th-percentile per-cell text quality (page_preprocessing parity).
     Linear-interpolated quantile computed in plain Python — numpy call
-    overhead dominates at ~30 cells/page."""
+    overhead dominates at ~30 cells/page.
+
+    Fast path: one suspect-marker regex scan over the page's JOINED cell
+    text. Any per-cell match also matches in the join (each cell appears
+    contiguously), so a clean join proves every cell scores 1.0 → the
+    percentile is 1.0 without per-cell scoring. Empty cells score 0.0, so
+    the fast path also requires every text non-empty. A cross-cell false
+    positive in the join merely falls through to the exact per-cell path."""
     if not cells:
         return 1.0
-    scores = sorted(text_quality_score(c.get("text", "")) for c in cells)
+    texts = [c.get("text", "") for c in cells]
+    if all(texts) and not is_suspect_text("\n".join(texts)):
+        return 1.0
+    scores = sorted(text_quality_score(t) for t in texts)
     pos = 0.1 * (len(scores) - 1)
     lo = int(pos)
     frac = pos - lo
@@ -142,7 +163,8 @@ def table_grid_from_cells(cells: list[dict]) -> list[list[str]]:
     for c in cells:
         ci = _nearest_index(col_pos, c["l"])
         ri = _nearest_index(row_pos, c["t"])
-        txt = sanitize_cell_text([c.get("text", "")])
+        t = c.get("text", "")
+        txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if grid[ri][ci]:
             grid[ri][ci] += " " + txt
         else:
@@ -155,7 +177,7 @@ def _split_columns(cells: list[dict]) -> list[list[dict]]:
     cell starts right of the running max right edge + COL_GAP."""
     if not cells:
         return []
-    ordered = sorted(cells, key=lambda c: (c["l"], c["t"]))
+    ordered = sorted(cells, key=_BY_L_T)
     cols: list[list[dict]] = [[ordered[0]]]
     max_r = ordered[0]["r"]
     for c in ordered[1:]:
@@ -173,7 +195,7 @@ def _paragraphs(col_cells: list[dict]) -> list[dict]:
     and font-size change. Returns items: {top, l, r, b, font, lines}."""
     items: list[dict] = []
     cur: dict | None = None
-    for c in sorted(col_cells, key=lambda c: (c["t"], c["l"])):
+    for c in sorted(col_cells, key=_BY_T_L):
         font = float(c.get("font_size", 10.0))
         if (
             cur is not None
@@ -249,8 +271,9 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
             body.append(c)
 
     spans: list[Span] = []
-    for c in sorted(headers, key=lambda c: (c["t"], c["l"])):
-        txt = sanitize_cell_text([c.get("text", "")])
+    for c in sorted(headers, key=_BY_T_L):
+        t = c.get("text", "")
+        txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("page_header", txt, ""))
 
@@ -274,7 +297,7 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
         col_items.append(items)
 
     for items in col_items:
-        items.sort(key=lambda it: (it["top"], it["l"]))
+        items.sort(key=_BY_TOP_L)
         # caption matching: paragraph starting just below a region, overlapping it
         consumed: set[int] = set()
         caption_of: dict[int, int] = {}  # region item idx -> caption item idx
@@ -317,13 +340,15 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
                 else:
                     spans.append(("text", txt, ""))
 
-    for c in sorted(footnotes, key=lambda c: (c["t"], c["l"])):
-        txt = sanitize_cell_text([c.get("text", "")])
+    for c in sorted(footnotes, key=_BY_T_L):
+        t = c.get("text", "")
+        txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("footnote", txt, ""))
 
-    for c in sorted(footers, key=lambda c: (c["t"], c["l"])):
-        txt = sanitize_cell_text([c.get("text", "")])
+    for c in sorted(footers, key=_BY_T_L):
+        t = c.get("text", "")
+        txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("page_footer", txt, ""))
     return spans, score
