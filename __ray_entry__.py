@@ -498,6 +498,45 @@ def _heading_levels(sf_dir: str):
     )
 
 
+def _image_meta(sf_dir: str):
+    """Decoded raster-image geometry/mode/pixel-fingerprint per image doc
+    (the image backend, stages/image_codec.py — reference
+    image_backend.py:26,127). The extractor decodes real PNG/BMP/PNM bytes;
+    the oracle is the generator's expected table computed from the SOURCE
+    pixels — hash equality proves the from-scratch decode."""
+    import pyarrow as pa
+
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, ws, hs, modes, fps = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            for s in spans or []:
+                ref = s["media_ref"] or ""
+                if s["kind"] == "picture" and ref.startswith("imgpx://"):
+                    geom, mode, fp = ref[8:].split("/")
+                    w, h = geom.split("x")
+                    doc_ids.append(did)
+                    ws.append(int(w))
+                    hs.append(int(h))
+                    modes.append(mode)
+                    fps.append(fp)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "mode": pa.array(modes, pa.string()),
+            "fingerprint": pa.array(fps, pa.string()),
+        })
+
+    return out.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
+
+
 def _export_markdown(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -545,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "formatting": _formatting,
         "list_markers": _list_markers,
         "pdf_outline": _pdf_outline,
+        "image_meta": _image_meta,
         # exports
         "export_markdown": _export_markdown,
         # relational coverage
@@ -712,6 +752,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, outline_idx, title, level, page_no "
             f"FROM read_parquet('{exp}/pdf_outline.parquet') "
             "ORDER BY doc_id, outline_idx"
+        ),
+        "image_meta": (
+            "SELECT doc_id, width, height, mode, fingerprint "
+            f"FROM read_parquet('{exp}/image_meta.parquet') "
+            "ORDER BY doc_id"
         ),
         "picture_descriptions": (
             'SELECT doc_id, "offset", media_ref, description '

@@ -25,3 +25,16 @@ def grid_media_ref(grid: list[list[str]]) -> str:
          "cells": grid},
         separators=(",", ":"), ensure_ascii=False,
     )
+
+
+def image_media_ref(width: int, height: int, mode: str,
+                    rgb_bytes: bytes) -> str:
+    """Canonical media_ref for a DECODED raster image (``picture`` span
+    emitted by the image backend, stages/image_codec.py): geometry +
+    original color mode + a 64-bit fingerprint of the RGB-converted pixel
+    bytes. The generator computes this from its source pixel array and the
+    decoder from its reconstruction — equality proves the decode."""
+    from docling_ray.functions.hashing import stable_hash64
+
+    return (f"imgpx://{width}x{height}/{mode}/"
+            f"{stable_hash64(rgb_bytes) & 0xFFFFFFFFFFFFFFFF:016x}")

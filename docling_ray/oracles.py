@@ -43,7 +43,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v10"
+_LAYOUT_VERSION = b"v11"
 
 
 def _fingerprint() -> str:
@@ -132,6 +132,13 @@ _CHART_SCHEMA = pa.schema([
     ("chart_type", pa.string()),
     ("data", pa.string()),
 ])
+_IMAGE_META_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("mode", pa.string()),
+    ("fingerprint", pa.string()),
+])
 _PICCLS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -176,6 +183,7 @@ def ensure_expected_tables(
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
+    imgmeta = []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -225,6 +233,14 @@ def ensure_expected_tables(
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
                              "region": fm["region"]})
+            for s_ in spans:
+                ref = s_["media_ref"] or ""
+                if s_["kind"] == "picture" and ref.startswith("imgpx://"):
+                    geom, mode_, fp = ref[8:].split("/")
+                    w_, h_ = geom.split("x")
+                    imgmeta.append({"doc_id": row["doc_id"],
+                                    "width": int(w_), "height": int(h_),
+                                    "mode": mode_, "fingerprint": fp})
             pic_rows = pa.table({
                 "doc_id": pa.array(
                     [row["doc_id"]] * sum(1 for s in spans
@@ -282,6 +298,8 @@ def ensure_expected_tables(
                    os.path.join(out, "chart_tables.parquet"))
     pq.write_table(pa.Table.from_pylist(markers, schema=_MARKERS_SCHEMA),
                    os.path.join(out, "list_markers.parquet"))
+    pq.write_table(pa.Table.from_pylist(imgmeta, schema=_IMAGE_META_SCHEMA),
+                   os.path.join(out, "image_meta.parquet"))
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:

@@ -351,8 +351,11 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
         li = li.assign(o_orderpriority=li["key"].map(prio_by_key))
         g = li.groupby("o_orderpriority", as_index=False).agg(
             rev=("rev", "sum"), n_items=("n", "sum"))
-        return pa.Table.from_pandas(g[["o_orderpriority", "rev", "n_items"]],
-                                    preserve_index=False)
+        return pa.table({
+            "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+            "rev": pa.array(g["rev"], pa.float64()),
+            "n_items": pa.array(g["n_items"], pa.int64()),
+        })
 
     partials = both.groupby("bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")
@@ -471,7 +474,11 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 16):
         m = m[m["okey"].notna()]
         g = m.groupby("event_type", as_index=False).agg(
             n_matched=("okey", "size"), sum_price=("price", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n_matched": pa.array(g["n_matched"], pa.int64()),
+            "sum_price": pa.array(g["sum_price"], pa.float64()),
+        })
 
     partials = both.groupby("bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")

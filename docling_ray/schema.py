@@ -45,6 +45,7 @@ KIND_HTML = "html"
 KIND_TEXT = "text"
 KIND_PDF_CELLS = "pdf_cells"
 KIND_PDF = "pdf"  # base64 of a real PDF file (stages/pdf_bytes.py)
+KIND_IMAGE = "image"  # base64 of a raster image (stages/image_codec.py)
 KIND_MEDIA = "media"
 
 # Output-span kinds — the DocItemLabel subset the extractor emits

@@ -59,6 +59,10 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
             from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
 
             return extract_pdf_bytes_unit(text)
+        if kind == S.KIND_IMAGE:
+            from docling_ray.stages.image_codec import extract_image_unit
+
+            return extract_image_unit(text)
         if kind == "csv":
             from docling_ray.stages.csv_extract import extract_csv
 

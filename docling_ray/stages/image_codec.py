@@ -1,0 +1,395 @@
+"""Raster image decoders built from scratch on stdlib zlib + numpy.
+
+The reference's image backend (``docling/backend/image_backend.py:26,127``)
+wraps PIL: an image file becomes a sequence of pages with no text cells and
+one full-page bitmap rect, which the OCR stage then consumes. This module
+rebuilds the decode layer without an imaging stack — the same playbook as
+``stages/pdf_bytes.py`` (zlib is stdlib; PNG filter reconstruction is
+arithmetic) — and :func:`image_to_page` reproduces the page-wrapping shape
+(`_ImagePageBackend.get_bitmap_rects` yields the full page,
+image_backend.py:79-91).
+
+Supported containers (decode → HxWx3 uint8 RGB, like the reference's
+eager ``.convert("RGB")``, image_backend.py:168):
+
+* **PNG** — bit depth 8 and 16 (high byte) for gray/RGB/RGBA/gray+alpha,
+  palette at bit depth 1/2/4/8, all five scanline filters, tRNS ignored
+  (RGB conversion drops alpha, PIL parity). Adam7 interlace is rejected
+  with a clear error.
+* **BMP** — uncompressed BI_RGB 24/32-bit, bottom-up or top-down rows.
+* **PNM** — binary P5 (gray) / P6 (RGB), maxval ≤ 65535 (16-bit scaled
+  down by high byte), plus ASCII P2/P3.
+
+Out of scope in this container (documented, poison-safe): JPEG (DCT
+stack), TIFF/GIF (LZW), WEBP/HEIC — these raise :class:`ImageError`,
+which the extract path converts to a ``status="failure"`` row, never an
+exception (ConversionStatus parity, base_models.py:85-91).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from docling_ray.functions.refs import image_media_ref
+
+
+class ImageError(ValueError):
+    """Malformed or unsupported image payload."""
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, payload) chunks; validates lengths + CRC."""
+    i = 8
+    n = len(data)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        end = i + 8 + length
+        if end + 4 > n:
+            raise ImageError("PNG chunk truncated")
+        payload = data[i + 8 : end]
+        (crc,) = struct.unpack(">I", data[end : end + 4])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ImageError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, payload
+        i = end + 4
+        if ctype == b"IEND":
+            return
+    raise ImageError("PNG missing IEND")
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct PNG scanlines (filters 0-4). ``raw`` is the inflated
+    byte stream as uint8 of shape (height, 1 + stride); returns (height,
+    stride). Sequential in rows (each row depends on the previous — the
+    format's data dependency), vectorized across the row where the filter
+    allows (None/Up are whole-row ops; Sub/Average/Paeth walk columns in
+    steps of bpp with numpy slices)."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            rec = row.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ImageError(f"PNG unknown filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _unpack_bits(row_bytes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Sub-byte sample depths (palette/gray 1/2/4) → one sample per entry."""
+    bits = np.unpackbits(row_bytes, axis=-1)
+    if depth == 1:
+        samples = bits
+    else:
+        per = 8 // depth
+        shaped = bits.reshape(bits.shape[0], -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        samples = (shaped * weights).sum(axis=-1)
+        del per
+    return samples[:, :width].astype(np.uint8)
+
+
+def decode_png(data: bytes) -> tuple[np.ndarray, str]:
+    """PNG bytes → (HxWx3 uint8 RGB array, original mode string)."""
+    if data[:8] != PNG_SIG:
+        raise ImageError("not a PNG (bad signature)")
+    width = height = -1
+    depth = ctype = interlace = 0
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    seen_ihdr = False
+    for tag, payload in _png_chunks(data):
+        if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ImageError("PNG bad IHDR length")
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0:
+                raise ImageError("PNG unknown compression/filter method")
+            seen_ihdr = True
+        elif tag == b"PLTE":
+            if len(payload) % 3:
+                raise ImageError("PNG bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+    if not seen_ihdr:
+        raise ImageError("PNG missing IHDR")
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ImageError(f"PNG bad dimensions {width}x{height}")
+    if interlace:
+        raise ImageError("PNG Adam7 interlace not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ImageError(f"PNG unknown color type {ctype}")
+    channels = _PNG_CHANNELS[ctype]
+    if ctype == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ImageError(f"PNG palette bit depth {depth} invalid")
+        if palette is None:
+            raise ImageError("PNG palette image missing PLTE")
+    elif depth not in (8, 16):
+        raise ImageError(f"PNG bit depth {depth} not supported")
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ImageError(f"PNG IDAT inflate failed: {e}") from None
+
+    sample_bits = depth * channels
+    stride = (width * sample_bits + 7) // 8
+    if len(raw) != height * (1 + stride):
+        raise ImageError(
+            f"PNG pixel data length {len(raw)} != expected {height * (1 + stride)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    bpp = max(1, sample_bits // 8)
+    recon = _unfilter(arr, height, stride, bpp)
+
+    if ctype == 3:
+        if depth < 8:
+            idx = _unpack_bits(recon, depth, width)
+        else:
+            idx = recon[:, :width]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ImageError("PNG palette index out of range")
+        rgb = palette[idx]
+        return rgb, "P"
+    if depth == 16:
+        # high byte (PIL I;16→L convention for display purposes)
+        px = recon.reshape(height, width, channels, 2)[:, :, :, 0]
+    else:
+        px = recon.reshape(height, width, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2), "L"
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2), "LA"
+    if ctype == 2:
+        return np.ascontiguousarray(px), "RGB"
+    # ctype 6: RGBA → drop alpha (PIL convert("RGB") parity)
+    return np.ascontiguousarray(px[:, :, :3]), "RGBA"
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
+    """BMP bytes → (HxWx3 uint8 RGB, mode). BI_RGB 24/32-bit only."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ImageError("not a BMP")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ImageError(f"BMP core header {hdr_size} not supported")
+    width, height_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise ImageError(f"BMP compression {compression} not supported")
+    if bpp not in (24, 32):
+        raise ImageError(f"BMP {bpp}-bit not supported")
+    if width <= 0 or height_raw == 0 or width * abs(height_raw) > 64_000_000:
+        raise ImageError(f"BMP bad dimensions {width}x{height_raw}")
+    height = abs(height_raw)
+    bytes_px = bpp // 8
+    row_bytes = (width * bytes_px + 3) & ~3
+    need = pix_off + row_bytes * height
+    if len(data) < need:
+        raise ImageError(f"BMP pixel data truncated ({len(data)} < {need})")
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=row_bytes * height, offset=pix_off)
+    rows = raw.reshape(height, row_bytes)[:, : width * bytes_px]
+    px = rows.reshape(height, width, bytes_px)
+    if height_raw > 0:  # bottom-up storage
+        px = px[::-1]
+    # BGR(A) → RGB
+    rgb = np.ascontiguousarray(px[:, :, 2::-1])
+    return rgb, "RGB" if bpp == 24 else "RGBA"
+
+
+# ---------------------------------------------------------------------------
+# PNM (PPM/PGM)
+# ---------------------------------------------------------------------------
+
+def _pnm_header(data: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse PNM header fields after the magic, skipping comments.
+    Returns (fields, offset-of-raster)."""
+    fields: list[int] = []
+    i = 2
+    n = len(data)
+    while len(fields) < n_fields:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ImageError("PNM truncated header")
+        try:
+            fields.append(int(data[i:j]))
+        except ValueError:
+            raise ImageError(f"PNM bad header token {data[i:j]!r}") from None
+        i = j
+    return fields, i + 1  # single whitespace after last field
+
+
+def decode_pnm(data: bytes) -> tuple[np.ndarray, str]:
+    """P5/P6 (binary) and P2/P3 (ASCII) → (HxWx3 uint8 RGB, mode)."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ImageError("not a PNM")
+    gray = magic in (b"P2", b"P5")
+    ascii_ = magic in (b"P2", b"P3")
+    (width, height, maxval), off = _pnm_header(data, 3)
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ImageError(f"PNM bad dimensions {width}x{height}")
+    if not 0 < maxval < 65536:
+        raise ImageError(f"PNM bad maxval {maxval}")
+    nsamp = width * height * (1 if gray else 3)
+    if ascii_:
+        try:
+            vals = np.array(data[off - 1 :].split()[:nsamp], dtype=np.int64)
+        except ValueError:
+            raise ImageError("PNM bad ASCII sample") from None
+        if len(vals) < nsamp:
+            raise ImageError("PNM ASCII raster truncated")
+        px = vals
+    elif maxval < 256:
+        if len(data) < off + nsamp:
+            raise ImageError("PNM raster truncated")
+        px = np.frombuffer(data, dtype=np.uint8, count=nsamp,
+                           offset=off).astype(np.int64)
+    else:
+        if len(data) < off + 2 * nsamp:
+            raise ImageError("PNM raster truncated")
+        px = np.frombuffer(data, dtype=">u2", count=nsamp,
+                           offset=off).astype(np.int64)
+    if px.max(initial=0) > maxval:
+        raise ImageError("PNM sample exceeds maxval")
+    # scale to 8-bit (ties to PIL's point transform for non-255 maxval)
+    if maxval != 255:
+        px = (px * 255 + maxval // 2) // maxval
+    px = px.astype(np.uint8)
+    if gray:
+        arr = px.reshape(height, width, 1)
+        return np.repeat(arr, 3, axis=2), "L"
+    return np.ascontiguousarray(px.reshape(height, width, 3)), "RGB"
+
+
+# ---------------------------------------------------------------------------
+# dispatch + page wrapping
+# ---------------------------------------------------------------------------
+
+_UNSUPPORTED_MAGICS = (
+    (b"\xff\xd8\xff", "JPEG"),
+    (b"II*\x00", "TIFF"),
+    (b"MM\x00*", "TIFF"),
+    (b"GIF8", "GIF"),
+    (b"RIFF", "WEBP"),
+)
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str, str]:
+    """Magic-dispatch decode → (HxWx3 uint8 RGB, mode, container format)."""
+    if data[:8] == PNG_SIG:
+        arr, mode = decode_png(data)
+        return arr, mode, "png"
+    if data[:2] == b"BM":
+        arr, mode = decode_bmp(data)
+        return arr, mode, "bmp"
+    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        arr, mode = decode_pnm(data)
+        return arr, mode, "pnm"
+    for magic, name in _UNSUPPORTED_MAGICS:
+        if data[: len(magic)] == magic:
+            raise ImageError(
+                f"{name} decode requires an imaging stack not present in "
+                "this environment"
+            )
+    raise ImageError("unrecognized image container (bad magic)")
+
+
+def image_to_page(arr: np.ndarray, media_ref: str) -> dict:
+    """Wrap a decoded frame as a pdf_cells-schema page with no text cells
+    and one full-page bitmap region — exactly what the OCR stage consumes
+    (the reference's ``get_bitmap_rects`` yields the full page for raw
+    images, image_backend.py:79-91)."""
+    h, w = arr.shape[:2]
+    return {
+        "page_no": 1,
+        "width": float(w),
+        "height": float(h),
+        "cells": [],
+        "tables": [],
+        "images": [{"l": 0.0, "t": 0.0, "r": float(w), "b": float(h),
+                    "media_ref": media_ref}],
+    }
+
+
+def extract_image_unit(
+    payload_b64: str,
+) -> tuple[list[tuple[str, str, str]], int, float, str | None]:
+    """One ``image`` input span (base64 of an image file) → a single
+    ``picture`` span whose media_ref carries the decoded geometry, mode
+    and a pixel fingerprint (the span-schema analogue of the reference's
+    full-page bitmap page). Returns (spans, page_no=-1, score, error)."""
+    import base64
+    import binascii
+
+    try:
+        data = base64.b64decode(payload_b64, validate=True)
+    except (binascii.Error, ValueError) as e:
+        return [], -1, 0.0, f"image base64 decode error: {e}"
+    try:
+        arr, mode, fmt = decode_image(data)
+    except ImageError as e:
+        return [], -1, 0.0, f"image decode error: {e}"
+    ref = image_media_ref(arr.shape[1], arr.shape[0], mode, arr.tobytes())
+    return [("picture", "", ref)], -1, 1.0, None

@@ -779,6 +779,123 @@ def build_text_doc(
 
 
 # ======================================================================
+# Image documents (raster files)
+# ======================================================================
+# stages/image_codec.py is the independent decoder — this writer is the
+# other half of the round trip (the same discipline as pages_to_pdf_bytes
+# above). Filter-0 PNG scanlines here; the decoder handles all filters
+# (pinned by literal tests). The expected media_ref is hand-computed from
+# the SOURCE pixel array via the shared functions/refs serialization.
+
+import struct as _struct
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (_struct.pack(">I", len(payload)) + tag + payload
+            + _struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def pixels_to_png(scanlines: list[bytes], width: int, height: int,
+                  color_type: int, bit_depth: int = 8,
+                  palette: bytes | None = None) -> bytes:
+    """Minimal PNG writer: filter byte 0 per scanline, one IDAT."""
+    ihdr = _struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                        0, 0, 0)
+    body = b"".join(b"\x00" + ln for ln in scanlines)
+    out = [b"\x89PNG\r\n\x1a\n", _png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        out.append(_png_chunk(b"PLTE", palette))
+    out.append(_png_chunk(b"IDAT", zlib.compress(body)))
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def pixels_to_bmp(rgb_rows: list[bytes], width: int, height: int) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte padding).
+    ``rgb_rows`` are top-down RGB byte rows; storage converts to BGR."""
+    pad = (-(width * 3)) % 4
+    raster = bytearray()
+    for row in reversed(rgb_rows):
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            bgr += bytes((b, g, r))
+        raster += bgr + b"\x00" * pad
+    pix_off = 54
+    file_size = pix_off + len(raster)
+    header = (b"BM" + _struct.pack("<IHHI", file_size, 0, 0, pix_off)
+              + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                             0, len(raster), 2835, 2835, 0, 0))
+    return header + bytes(raster)
+
+
+def pixels_to_pnm(rows: list[bytes], width: int, height: int,
+                  gray: bool) -> bytes:
+    """Binary P5 (gray) / P6 (RGB) writer."""
+    magic = b"P5" if gray else b"P6"
+    return (magic + b"\n" + f"{width} {height}\n255\n".encode("ascii")
+            + b"".join(rows))
+
+
+def build_image_doc(
+    rng: random.Random, doc_id: str,
+) -> tuple[str, list[Span], str]:
+    """One raster-image document → (base64 payload, expected spans, status).
+    Pixels come from the seeded byte stream (stable across versions), so
+    the expected fingerprint is computable without the decoder."""
+    w = rng.randrange(8, 49)
+    h = rng.randrange(8, 41)
+    variant = rng.randrange(7)
+    from docling_ray.functions.refs import image_media_ref
+
+    if variant == 0 or variant == 4:  # RGB png / bmp
+        rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]
+        rgb = b"".join(rgb_rows)
+        if variant == 0:
+            data = pixels_to_png(rgb_rows, w, h, color_type=2)
+        else:
+            data = pixels_to_bmp(rgb_rows, w, h)
+        ref = image_media_ref(w, h, "RGB", rgb)
+    elif variant == 1:  # grayscale png
+        g_rows = [rng.randbytes(w) for _ in range(h)]
+        rgb = b"".join(bytes(v for b_ in row for v in (b_, b_, b_))
+                       for row in g_rows)
+        data = pixels_to_png(g_rows, w, h, color_type=0)
+        ref = image_media_ref(w, h, "L", rgb)
+    elif variant == 2:  # palette png (8-bit indices)
+        n_colors = rng.randrange(2, 17)
+        palette = rng.randbytes(3 * n_colors)
+        idx_rows = [bytes(rng.randrange(n_colors) for _ in range(w))
+                    for _ in range(h)]
+        rgb = b"".join(
+            bytes(v for i in row for v in palette[3 * i: 3 * i + 3])
+            for row in idx_rows)
+        data = pixels_to_png(idx_rows, w, h, color_type=3, palette=palette)
+        ref = image_media_ref(w, h, "P", rgb)
+    elif variant == 3:  # RGBA png (alpha dropped on RGB conversion)
+        rgba_rows = [rng.randbytes(4 * w) for _ in range(h)]
+        rgb = b"".join(bytes(v for x in range(w)
+                             for v in row[4 * x: 4 * x + 3])
+                       for row in rgba_rows)
+        data = pixels_to_png(rgba_rows, w, h, color_type=6)
+        ref = image_media_ref(w, h, "RGBA", rgb)
+    elif variant == 5:  # binary PPM
+        rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]
+        rgb = b"".join(rgb_rows)
+        data = pixels_to_pnm(rgb_rows, w, h, gray=False)
+        ref = image_media_ref(w, h, "RGB", rgb)
+    else:  # binary PGM
+        g_rows = [rng.randbytes(w) for _ in range(h)]
+        rgb = b"".join(bytes(v for b_ in row for v in (b_, b_, b_))
+                       for row in g_rows)
+        data = pixels_to_pnm(g_rows, w, h, gray=True)
+        ref = image_media_ref(w, h, "L", rgb)
+
+    b64 = base64.b64encode(data).decode("ascii")
+    return b64, [("picture", "", ref)], S.STATUS_SUCCESS
+
+
+# ======================================================================
 # Document / corpus assembly
 # ======================================================================
 
@@ -801,9 +918,12 @@ def make_doc(
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
         in_spans = [("pdf_cells", p, "") for p in payloads]
-    elif r < 0.92:
+    elif r < 0.915:
         b64, exp, status, outline = build_pdf_bytes_doc(rng, pool, doc_id)
         in_spans = [("pdf", b64, "")]
+    elif r < 0.945:
+        b64, exp, status = build_image_doc(rng, doc_id)
+        in_spans = [("image", b64, "")]
     else:
         in_spans, exp = build_text_doc(rng, pool, doc_id)
     input_row = {

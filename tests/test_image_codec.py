@@ -1,0 +1,260 @@
+"""Image backend tests (stages/image_codec.py vs reference
+image_backend.py:26,127 semantics).
+
+Three independent legs, mirroring the pdf_bytes discipline:
+  1. hand-written literal containers (every PNG filter type constructed
+     byte-by-byte here, never by the writer under test);
+  2. fresh-seed writer↔decoder round trips (synth writer is the
+     independent implementation);
+  3. poison inputs → errors-as-data, never exceptions.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from docling_ray.stages.image_codec import (
+    ImageError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_pnm,
+    extract_image_unit,
+    image_to_page,
+)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _png(width, height, depth, ctype, raw_scanlines, palette=None):
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
+    out = [b"\x89PNG\r\n\x1a\n", _chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        out.append(_chunk(b"PLTE", palette))
+    out.append(_chunk(b"IDAT", zlib.compress(b"".join(raw_scanlines))))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+# --- PNG filter reconstruction, one literal per filter type ---------------
+
+def test_png_filter_none():
+    # 2x2 RGB, filter 0: stored bytes are the pixels
+    rows = [b"\x00" + bytes([10, 20, 30, 40, 50, 60]),
+            b"\x00" + bytes([70, 80, 90, 100, 110, 120])]
+    arr, mode = decode_png(_png(2, 2, 8, 2, rows))
+    assert mode == "RGB"
+    assert arr.tolist() == [[[10, 20, 30], [40, 50, 60]],
+                            [[70, 80, 90], [100, 110, 120]]]
+
+
+def test_png_filter_sub():
+    # filter 1: out[x] = stored[x] + out[x-bpp]; bpp=3 for RGB
+    # want pixels (10,20,30),(15,25,35) → deltas (10,20,30),(5,5,5)
+    rows = [b"\x01" + bytes([10, 20, 30, 5, 5, 5])]
+    arr, _ = decode_png(_png(2, 1, 8, 2, rows))
+    assert arr.tolist() == [[[10, 20, 30], [15, 25, 35]]]
+
+
+def test_png_filter_up():
+    # filter 2: out[x] = stored[x] + prev_row[x]
+    rows = [b"\x00" + bytes([100, 100, 100]),
+            b"\x02" + bytes([1, 2, 3])]
+    arr, _ = decode_png(_png(1, 2, 8, 2, rows))
+    assert arr.tolist() == [[[100, 100, 100]], [[101, 102, 103]]]
+
+
+def test_png_filter_average():
+    # filter 3: out[x] = stored[x] + floor((left + up)/2)
+    # row0 filter0 = (100,2,8); row1 stored (10,10,10):
+    #   x0: left=0 up=100 → 10+50=60 ; x1: left=0 up=2 → 10+1=11
+    #   x2: left=0 up=8 → 10+4=14   (bpp=3: first 3 bytes have left=0)
+    rows = [b"\x00" + bytes([100, 2, 8]),
+            b"\x03" + bytes([10, 10, 10])]
+    arr, _ = decode_png(_png(1, 2, 8, 2, rows))
+    assert arr.tolist() == [[[100, 2, 8]], [[60, 11, 14]]]
+
+
+def test_png_filter_paeth():
+    # filter 4 on first row: a=left, b=0, c=0 → predictor = a (p = a)
+    # gray 8-bit, width 3: stored (5, 5, 5) → out (5, 10, 15)
+    rows = [b"\x04" + bytes([5, 5, 5])]
+    arr, mode = decode_png(_png(3, 1, 8, 0, rows))
+    assert mode == "L"
+    assert arr[:, :, 0].tolist() == [[5, 10, 15]]
+
+
+def test_png_paeth_second_row():
+    # full Paeth: row1 with up/left/up-left all live.
+    # row0 = (10, 20); row1 stored = (1, 1) gray bpp=1
+    #   x0: a=0 b=10 c=0 → p=10 closest to b → pred=10 → out=11
+    #   x1: a=11 b=20 c=10 → p=21: pa=10 pb=1 pc=11 → pred=b=20 → out=21
+    rows = [b"\x00" + bytes([10, 20]), b"\x04" + bytes([1, 1])]
+    arr, _ = decode_png(_png(2, 2, 8, 0, rows))
+    assert arr[:, :, 0].tolist() == [[10, 20], [11, 21]]
+
+
+def test_png_palette_subbyte_depths():
+    # 1-bit palette: 4 px/row packed into 1 byte (0b1010....)
+    pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    rows = [b"\x00" + bytes([0b10100000])]
+    arr, mode = decode_png(_png(4, 1, 1, 3, rows, palette=pal))
+    assert mode == "P"
+    assert arr.tolist() == [[[0, 0, 255], [255, 0, 0], [0, 0, 255],
+                             [255, 0, 0]]]
+    # 4-bit palette, 2 px in 1 byte
+    pal = bytes(range(48))  # 16 colors
+    rows = [b"\x00" + bytes([0x21])]
+    arr, _ = decode_png(_png(2, 1, 4, 3, rows, palette=pal))
+    assert arr.tolist() == [[[6, 7, 8], [3, 4, 5]]]
+
+
+def test_png_16bit_high_byte():
+    # 16-bit gray: sample 0xABCD → high byte 0xAB
+    rows = [b"\x00" + bytes([0xAB, 0xCD])]
+    arr, _ = decode_png(_png(1, 1, 16, 0, rows))
+    assert arr.tolist() == [[[0xAB, 0xAB, 0xAB]]]
+
+
+def test_png_rgba_drops_alpha():
+    rows = [b"\x00" + bytes([1, 2, 3, 200])]
+    arr, mode = decode_png(_png(1, 1, 8, 6, rows))
+    assert mode == "RGBA"
+    assert arr.tolist() == [[[1, 2, 3]]]
+
+
+# --- BMP ------------------------------------------------------------------
+
+def _bmp24(width, height_field, bgr_raster):
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(bgr_raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height_field, 1, 24,
+                            0, len(bgr_raster), 0, 0, 0, 0))
+    return header + bgr_raster
+
+
+def test_bmp_bottom_up_and_padding():
+    # 1x2 bottom-up: rows stored last-first; row stride pads 3→4 bytes
+    raster = bytes([30, 20, 10, 0,     # bottom row BGR + pad
+                    60, 50, 40, 0])    # top row
+    arr, mode = decode_bmp(_bmp24(1, 2, raster))
+    assert mode == "RGB"
+    assert arr.tolist() == [[[40, 50, 60]], [[10, 20, 30]]]
+
+
+def test_bmp_top_down():
+    raster = bytes([3, 2, 1, 0, 6, 5, 4, 0])
+    arr, _ = decode_bmp(_bmp24(1, -2, raster))
+    assert arr.tolist() == [[[1, 2, 3]], [[4, 5, 6]]]
+
+
+# --- PNM ------------------------------------------------------------------
+
+def test_pnm_p6_and_comment_header():
+    data = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    arr, mode = decode_pnm(data)
+    assert mode == "RGB"
+    assert arr.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_pnm_ascii_and_16bit_maxval():
+    arr, mode = decode_pnm(b"P2\n2 1\n255\n0 128\n")
+    assert mode == "L"
+    assert arr[:, :, 0].tolist() == [[0, 128]]
+    # maxval 65535: 16-bit big-endian samples, scaled to 8-bit
+    data = b"P5\n1 1\n65535\n" + bytes([0xFF, 0xFF])
+    arr, _ = decode_pnm(data)
+    assert arr.tolist() == [[[255, 255, 255]]]
+
+
+# --- round trip vs the independent writer ---------------------------------
+
+def test_writer_decoder_round_trip_fresh_seeds():
+    from docling_ray.synth import build_image_doc
+
+    for i in range(60):
+        rng = random.Random(77_000 + i)
+        b64, exp, status = build_image_doc(rng, f"rt-{i}")
+        spans, _, score, err = extract_image_unit(b64)
+        assert err is None and score == 1.0
+        assert [tuple(s) for s in spans] == [tuple(e) for e in exp]
+
+
+# --- poison: errors are data ----------------------------------------------
+
+@pytest.mark.parametrize("payload", [
+    "not base64 at all!!",
+    base64.b64encode(b"\x89PNG\r\n\x1a\n" + b"garbage").decode(),
+    base64.b64encode(b"\xff\xd8\xff\xe0 jpeg here").decode(),     # JPEG
+    base64.b64encode(b"II*\x00tiff").decode(),                    # TIFF
+    base64.b64encode(b"random junk that is long enough").decode(),
+    base64.b64encode(b"BM" + b"\x00" * 20).decode(),              # short BMP
+    base64.b64encode(b"P6\n4 4\n255\n" + b"\x00" * 5).decode(),   # truncated
+])
+def test_poison_becomes_error_string(payload):
+    spans, page_no, score, err = extract_image_unit(payload)
+    assert spans == [] and err is not None
+
+
+def test_png_crc_and_interlace_rejected():
+    rows = [b"\x00" + bytes([1, 2, 3])]
+    good = _png(1, 1, 8, 2, rows)
+    bad_crc = good[:-8] + b"\x00\x00\x00\x00" + good[-4:]
+    with pytest.raises(ImageError):
+        decode_png(bad_crc)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # interlace=1
+    interlaced = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                  + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+                  + _chunk(b"IEND", b""))
+    with pytest.raises(ImageError, match="interlace"):
+        decode_png(interlaced)
+
+
+def test_decode_image_dispatch():
+    rows = [b"\x00" + bytes([9, 9, 9])]
+    arr, mode, fmt = decode_image(_png(1, 1, 8, 2, rows))
+    assert fmt == "png"
+    with pytest.raises(ImageError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xdb rest")
+    with pytest.raises(ImageError, match="magic"):
+        decode_image(b"totally unknown bytes")
+
+
+# --- OCR-path wrapping (reference: whole page is one bitmap rect) ---------
+
+def test_image_to_page_feeds_ocr_stage():
+    import json
+
+    import pyarrow as pa
+
+    from docling_ray.stages.ocr import OcrStage, select_ocr_rects
+
+    arr = np.zeros((10, 20, 3), dtype=np.uint8)
+    page = image_to_page(arr, "imgpx://20x10/RGB/0000000000000000")
+    assert page["cells"] == [] and page["width"] == 20.0
+    rects = select_ocr_rects(page)
+    assert len(rects) == 1 and rects[0]["r"] == 20.0
+    stage = OcrStage(engine="fake")
+    out = stage(pa.table({
+        "doc_id": ["d1"], "payload": [json.dumps(page)]}))
+    assert out.num_rows == 1
+    assert out["ocr_text"][0].as_py().startswith("ocr_")
+
+
+def test_detect_image_kind():
+    from docling_ray.stages.detect import sniff_kind
+
+    rows = [b"\x00" + bytes([9, 9, 9])]
+    png_b64 = base64.b64encode(_png(1, 1, 8, 2, rows)).decode()
+    assert sniff_kind(png_b64) == "image"
+    bmp_b64 = base64.b64encode(
+        _bmp24(1, 1, bytes([1, 2, 3, 0]))).decode()
+    assert sniff_kind(bmp_b64) == "image"
