@@ -498,6 +498,22 @@ def _heading_levels(sf_dir: str):
     )
 
 
+def _doc_chunks_hybrid(sf_dir: str):
+    """Structure-aware chunks (stages/chunker.py — the HybridChunker
+    analogue, docling/chunking/__init__.py): heading-path metadata,
+    grouped lists, serialized tables, token-budget split + peer merge.
+    Oracle = the same chunker applied to the generator's expected spans
+    (validates extraction + distributed plumbing end-to-end)."""
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.chunker import chunk_docs_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(chunk_docs_batch, batch_format="pyarrow") \
+              .sort(["doc_id", "chunk_idx"])
+
+
 def _image_meta(sf_dir: str):
     """Decoded raster-image geometry/mode/pixel-fingerprint per image doc
     (the image backend, stages/image_codec.py — reference
@@ -567,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "training_corpus": _training_corpus,
         "doc_chunks": A.doc_chunks,
+        "doc_chunks_hybrid": _doc_chunks_hybrid,
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
         "ann_lsh": _ann_lsh,
@@ -757,6 +774,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, width, height, mode, fingerprint "
             f"FROM read_parquet('{exp}/image_meta.parquet') "
             "ORDER BY doc_id"
+        ),
+        "doc_chunks_hybrid": (
+            "SELECT doc_id, chunk_idx, text, headings, n_tokens "
+            f"FROM read_parquet('{exp}/doc_chunks_hybrid.parquet') "
+            "ORDER BY doc_id, chunk_idx"
         ),
         "picture_descriptions": (
             'SELECT doc_id, "offset", media_ref, description '

@@ -33,6 +33,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "synth.py"),
     os.path.join(_PKG, "stages", "export.py"),
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
+    os.path.join(_PKG, "stages", "chunker.py"),
     os.path.join(_PKG, "stages", "enrich.py"),
     os.path.join(_PKG, "stages", "kv_extract.py"),
     os.path.join(_PKG, "stages", "multimodal.py"),
@@ -43,7 +44,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v11"
+_LAYOUT_VERSION = b"v12"
 
 
 def _fingerprint() -> str:
@@ -132,6 +133,13 @@ _CHART_SCHEMA = pa.schema([
     ("chart_type", pa.string()),
     ("data", pa.string()),
 ])
+_CHUNKS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("chunk_idx", pa.int32()),
+    ("text", pa.string()),
+    ("headings", pa.string()),
+    ("n_tokens", pa.int32()),
+])
 _IMAGE_META_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("width", pa.int32()),
@@ -161,6 +169,7 @@ def ensure_expected_tables(
         describe_picture,
         extract_chart_table,
     )
+    from docling_ray.stages.chunker import hybrid_chunks
     from docling_ray.stages.export import spans_to_markdown
     from docling_ray.stages.kv_extract import mine_pairs
     from docling_ray.stages.multimodal import MediaFeatureExtractor
@@ -183,7 +192,7 @@ def ensure_expected_tables(
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
-    imgmeta = []
+    imgmeta, hybchunks = [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -233,6 +242,12 @@ def ensure_expected_tables(
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
                              "region": fm["region"]})
+            for j, c in enumerate(hybrid_chunks(spans)):
+                hybchunks.append({
+                    "doc_id": row["doc_id"], "chunk_idx": j,
+                    "text": c["text"],
+                    "headings": " / ".join(c["headings"]),
+                    "n_tokens": c["n_tokens"]})
             for s_ in spans:
                 ref = s_["media_ref"] or ""
                 if s_["kind"] == "picture" and ref.startswith("imgpx://"):
@@ -300,6 +315,8 @@ def ensure_expected_tables(
                    os.path.join(out, "list_markers.parquet"))
     pq.write_table(pa.Table.from_pylist(imgmeta, schema=_IMAGE_META_SCHEMA),
                    os.path.join(out, "image_meta.parquet"))
+    pq.write_table(pa.Table.from_pylist(hybchunks, schema=_CHUNKS_SCHEMA),
+                   os.path.join(out, "doc_chunks_hybrid.parquet"))
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
