@@ -145,7 +145,7 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
         if "http://www.xbrl.org/2003/instance" in head and "<xbrl" in low:
             return "xbrl"
         if root in ("us-patent-grant", "us-patent-application",
-                    "patent-application-publication") or any(
+                    "patent-application-publication", "patdoc") or any(
                 sig in dt for sig in ("us-patent-application-v4",
                                       "us-patent-grant-v4", "us-grant-025",
                                       "patent-application-publication")):

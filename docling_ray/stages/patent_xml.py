@@ -20,6 +20,7 @@ Rebuilds of the reference's remaining XML backends (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 from docling_ray.functions.normalize import clean_unicode, collapse_whitespace
@@ -128,12 +129,219 @@ def _clean(text: str) -> str:
     return collapse_whitespace(clean_unicode(text))
 
 
+# --- CALS/OASIS exchange tables (soextblx.dtd) -----------------------------
+# GrantV2 and AppV1 embed <table><tgroup><tbody><row><entry> markup (the
+# reference parses them with XmlTable, uspto_backend.py:1496-1816). Rebuilt
+# as a row/entry grid walk; column spans (namest/nameend) are out of scope
+# and collapse into the entry's own cell.
+
+def _cals_table_grid(tbl: ET.Element) -> list[list[str]]:
+    rows: list[list[str]] = []
+    for row in _findall_local(tbl, "row"):
+        cells = [_text_of(e) for e in row if _local(e.tag) == "entry"]
+        if cells:
+            rows.append(cells)
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+_V2_SKIP_TEXT = {"CWU"}  # tables/chemicals/formulas never join paragraph text
+
+
+def _v2_text(el: ET.Element) -> str:
+    """Joined PDAT descendant text, skipping CWU complex work units — the
+    GrantV2 handler only accumulates characters inside PDAT wrappers
+    (uspto_backend.py:630-646,788-799)."""
+    parts: list[str] = []
+
+    def walk(e: ET.Element) -> None:
+        name = _local(e.tag)
+        if name in _V2_SKIP_TEXT or name == "table":
+            return
+        if name == "PDAT" and e.text:
+            parts.append(e.text)
+        for ch in e:
+            walk(ch)
+
+    walk(el)
+    return _clean("".join(parts))
+
+
+def _extract_uspto_grant_v2(root: ET.Element) -> list[Span]:
+    """USPTO Grant Full Text v2.5 (2002-2004, <PATDOC> root) — behavior
+    parity with PatentUsptoGrantV2 (uspto_backend.py:567-924): B540 →
+    title, SDOAB → ABSTRACT heading + one merged paragraph, PARA → text,
+    H (outside SDOCL) → section_header, CL/CLM → CLAIMS heading + one
+    text item per claim, <table> → grid span via the CALS parser."""
+    spans: list[Span] = []
+    # NB: explicit None test — an ET.Element with no children is falsy
+    title_el = _find_local(root, "B540")
+    title = _v2_text(title_el) if title_el is not None else ""
+    if title:
+        spans.append(("title", title, ""))
+    abstract_el = _find_local(root, "SDOAB")
+    if abstract_el is not None:
+        abstract = _v2_text(abstract_el)
+        if abstract:
+            spans.append(("section_header", "ABSTRACT", ""))
+            spans.append(("text", abstract, ""))
+
+    def walk_body(el: ET.Element, in_sdocl: bool) -> None:
+        for ch in el:
+            name = _local(ch.tag)
+            if name in ("SDOAB", "B500", "B100", "B200"):  # biblio/abstract
+                continue
+            if name == "SDOCL":
+                walk_body(ch, True)
+                continue
+            if name == "CL":
+                claims = [t for t in (_v2_text(c)
+                                      for c in _findall_local(ch, "CLM")) if t]
+                if claims:
+                    spans.append(("section_header", "CLAIMS", ""))
+                    spans.extend(("text", c, "") for c in claims)
+                continue
+            if name == "H":
+                t = _v2_text(ch)
+                if t and not in_sdocl:  # claims-statement headings skipped
+                    spans.append(("section_header", t, ""))
+                continue
+            if name == "PARA":
+                t = _v2_text(ch)
+                if t:
+                    spans.append(("text", t, ""))
+                # tables ride inside paragraphs
+                for tbl in _findall_local(ch, "table"):
+                    grid = _cals_table_grid(tbl)
+                    if grid:
+                        spans.append(("table", "", grid_media_ref(grid)))
+                continue
+            if name == "table":
+                grid = _cals_table_grid(ch)
+                if grid:
+                    spans.append(("table", "", grid_media_ref(grid)))
+                continue
+            walk_body(ch, in_sdocl)
+
+    walk_body(root, False)
+    return spans
+
+
+def _app_v1_text(el: ET.Element, *, skip: tuple[str, ...] = ("table",
+                                                             "math-cwu")) -> str:
+    """Joined text excluding embedded tables/formulas (the AppV1 handler
+    registers table and math-cwu as non-text, uspto_backend.py:1216-1224)."""
+    parts: list[str] = []
+
+    def walk(e: ET.Element) -> None:
+        if _local(e.tag) in skip:
+            return
+        if e.text:
+            parts.append(e.text)
+        for ch in e:
+            walk(ch)
+            if ch.tail:
+                parts.append(ch.tail)
+
+    walk(el)
+    return _clean("".join(parts))
+
+
+def _extract_uspto_app_v1(root: ET.Element) -> list[Span]:
+    """USPTO Application Full Text v1.x (2001-2004,
+    <patent-application-publication> root) — parity with PatentUsptoAppV1
+    (uspto_backend.py:1141-1494): title-of-invention → title,
+    subdoc-abstract → ABSTRACT heading + one merged paragraph, heading →
+    section_header, paragraph → text, subdoc-claims → CLAIMS heading +
+    one text item per claim (claim-text joined), tables → grid spans."""
+    spans: list[Span] = []
+    title_el = _find_local(root, "title-of-invention")
+    title = _app_v1_text(title_el) if title_el is not None else ""
+    if title:
+        spans.append(("title", title, ""))
+    abstract_el = _find_local(root, "subdoc-abstract")
+    if abstract_el is not None:
+        abstract = _app_v1_text(abstract_el)
+        if abstract:
+            spans.append(("section_header", "ABSTRACT", ""))
+            spans.append(("text", abstract, ""))
+
+    def walk_body(el: ET.Element) -> None:
+        for ch in el:
+            name = _local(ch.tag)
+            if name in ("subdoc-abstract", "subdoc-bibliographic-information"):
+                continue
+            if name == "subdoc-claims":
+                claims = []
+                for c in _findall_local(ch, "claim"):
+                    # only DIRECT claim-text children: a nested claim-text's
+                    # text is already inside its parent's subtree join
+                    t = _clean(" ".join(
+                        _app_v1_text(ct) for ct in c
+                        if _local(ct.tag) == "claim-text"))
+                    if t:
+                        claims.append(t)
+                if claims:
+                    spans.append(("section_header", "CLAIMS", ""))
+                    spans.extend(("text", c, "") for c in claims)
+                continue
+            if name == "heading":
+                t = _app_v1_text(ch)
+                if t:
+                    spans.append(("section_header", t, ""))
+                continue
+            if name == "paragraph":
+                t = _app_v1_text(ch)
+                if t:
+                    spans.append(("text", t, ""))
+                for tbl in _findall_local(ch, "table"):
+                    grid = _cals_table_grid(tbl)
+                    if grid:
+                        spans.append(("table", "", grid_media_ref(grid)))
+                continue
+            if name == "table":
+                grid = _cals_table_grid(ch)
+                if grid:
+                    spans.append(("table", "", grid_media_ref(grid)))
+                continue
+            walk_body(ch)
+
+    walk_body(root)
+    return spans
+
+
+_ENTITY_RE = re.compile(r"&(?!amp;|lt;|gt;|quot;|apos;|#)(\w+);")
+
+
+def _parse_lenient(raw: str) -> ET.Element:
+    """USPTO v1/v2 files lean on DTD entities (&num;, &excl;, Greek names)
+    that ElementTree rejects; on an undefined-entity parse error, unescape
+    the known HTML names and drop the rest, then retry."""
+    try:
+        return ET.fromstring(raw)
+    except ET.ParseError:
+        import html as _html
+
+        def sub(m: re.Match) -> str:
+            un = _html.unescape(m.group(0))
+            return un if un != m.group(0) else ""
+
+        return ET.fromstring(_ENTITY_RE.sub(sub, raw))
+
+
 def extract_uspto(raw: str) -> list[Span]:
     """USPTO dispatcher: APS plain text (PATN header) vs XML dialects —
-    the reference's doctype probe (uspto_backend.py:112-155)."""
+    the reference's doctype probe (uspto_backend.py:112-155). All four
+    reference dialects are covered: ICE grant/application v4.x (generic
+    shape below), Grant APS, Grant v2.5 (PATDOC), Application v1.x."""
     if raw.lstrip().startswith("PATN"):
         return _extract_uspto_aps(raw)
-    root = ET.fromstring(raw)
+    root = _parse_lenient(raw)
+    root_name = _local(root.tag)
+    if root_name == "PATDOC":
+        return _extract_uspto_grant_v2(root)
+    if root_name == "patent-application-publication":
+        return _extract_uspto_app_v1(root)
     spans: list[Span] = []
     title = _text_of(_find_local(root, "invention-title"))
     if title:

@@ -84,3 +84,96 @@ def test_through_kernel():
     assert out["status"] == "partial_success"
     assert out["spans"][0] == {"kind": "title", "text": "X", "media_ref": "",
                                "offset": 0}
+
+
+def test_uspto_grant_v2_patdoc():
+    """Grant v2.5 (2002-2004): PATDOC root, PDAT-wrapped text, SDOAB
+    abstract, CL/CLM claims, H headings, CALS table, undefined DTD
+    entities tolerated (uspto_backend.py:567-924)."""
+    from docling_ray.stages.patent_xml import extract_uspto
+
+    raw = """<!DOCTYPE PATDOC SYSTEM "ST32-US-Grant-025xml.dtd">
+    <PATDOC>
+      <SDOBI><B500><B540><STEXT><PDAT>Widget Device</PDAT></STEXT></B540>
+      </B500></SDOBI>
+      <SDOAB><BTEXT><PARA><PTEXT><PDAT>An abstract about widgets&excl;
+      </PDAT></PTEXT></PARA></BTEXT></SDOAB>
+      <SDODE>
+        <H LVL="1"><STEXT><PDAT>FIELD OF THE INVENTION</PDAT></STEXT></H>
+        <PARA><PTEXT><PDAT>Widgets are described.</PDAT></PTEXT></PARA>
+        <PARA><PTEXT><PDAT>See results:</PDAT></PTEXT>
+          <table><tgroup cols="2"><tbody>
+            <row><entry>k</entry><entry>v</entry></row>
+            <row><entry>a</entry><entry>1</entry></row>
+          </tbody></tgroup></table>
+        </PARA>
+      </SDODE>
+      <SDOCL>
+        <H LVL="1"><STEXT><PDAT>What is claimed is:</PDAT></STEXT></H>
+        <CL>
+          <CLM><PARA><PTEXT><PDAT>1. A widget.</PDAT></PTEXT></PARA></CLM>
+          <CLM><PARA><PTEXT><PDAT>2. The widget of claim 1.</PDAT></PTEXT></PARA></CLM>
+        </CL>
+      </SDOCL>
+    </PATDOC>"""
+    spans = extract_uspto(raw)
+    kinds_texts = [(k, t) for k, t, _ in spans]
+    assert kinds_texts[0] == ("title", "Widget Device")
+    assert ("section_header", "ABSTRACT") in kinds_texts
+    assert ("text", "An abstract about widgets!") in kinds_texts
+    assert ("section_header", "FIELD OF THE INVENTION") in kinds_texts
+    assert ("text", "Widgets are described.") in kinds_texts
+    # claims present, the "What is claimed is:" SDOCL heading skipped
+    assert ("section_header", "What is claimed is:") not in kinds_texts
+    assert ("section_header", "CLAIMS") in kinds_texts
+    assert ("text", "1. A widget.") in kinds_texts
+    assert ("text", "2. The widget of claim 1.") in kinds_texts
+    # CALS table became a grid span
+    tables = [m for k, _, m in spans if k == "table"]
+    assert len(tables) == 1 and '"cells":[["k","v"],["a","1"]]' in tables[0]
+
+
+def test_uspto_app_v1():
+    """Application v1.x (2001-2004): patent-application-publication root,
+    subdoc sections, claim-text items (uspto_backend.py:1141-1494)."""
+    from docling_ray.stages.patent_xml import extract_uspto
+
+    raw = """<!DOCTYPE patent-application-publication SYSTEM "pap-v15-2001-01-31.dtd">
+    <patent-application-publication>
+      <subdoc-bibliographic-information>
+        <title-of-invention>Gadget Method</title-of-invention>
+      </subdoc-bibliographic-information>
+      <subdoc-abstract>
+        <paragraph>A method for gadgets.</paragraph>
+      </subdoc-abstract>
+      <subdoc-description>
+        <heading lvl="1">BACKGROUND</heading>
+        <paragraph>Gadgets exist.</paragraph>
+        <paragraph>More detail <superscript>2</superscript> here.</paragraph>
+      </subdoc-description>
+      <subdoc-claims>
+        <claim><claim-text>1. A method comprising
+          <claim-text>providing a gadget.</claim-text>
+        </claim-text></claim>
+        <claim><claim-text>2. The method of claim 1.</claim-text></claim>
+      </subdoc-claims>
+    </patent-application-publication>"""
+    spans = extract_uspto(raw)
+    kinds_texts = [(k, t) for k, t, _ in spans]
+    assert kinds_texts[0] == ("title", "Gadget Method")
+    assert ("section_header", "ABSTRACT") in kinds_texts
+    assert ("text", "A method for gadgets.") in kinds_texts
+    assert ("section_header", "BACKGROUND") in kinds_texts
+    assert ("text", "Gadgets exist.") in kinds_texts
+    assert ("text", "More detail 2 here.") in kinds_texts
+    assert ("section_header", "CLAIMS") in kinds_texts
+    assert ("text", "1. A method comprising providing a gadget.") in kinds_texts
+    assert ("text", "2. The method of claim 1.") in kinds_texts
+
+
+def test_uspto_dialect_detection():
+    from docling_ray.stages.detect import sniff_kind
+
+    assert sniff_kind("<PATDOC><SDOBI/></PATDOC>") == "uspto"
+    assert sniff_kind(
+        "<patent-application-publication/>") == "uspto"
