@@ -77,7 +77,7 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
     if name.endswith((".dclg", ".dclg.xml")):
         return "doclang"
     if name.endswith(".dclx"):
-        return "unknown"  # DCLX packages: not supported by this engine
+        return "dclx"
     # an attached media resource (img:// audio:// ...) makes the span a
     # media unit — its text, if any, is the caption
     if media_ref and "://" in media_ref:
@@ -101,10 +101,13 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
             if blob[:2] == b"\x1f\x8b":
                 return "mets_gbs"  # gzipped tar container
             if blob[:4] == b"PK\x03\x04":
-                # EPUB stores an uncompressed "mimetype" member first
+                # first local-file header names the anchor member:
+                # document.dclg → dclx archive; else epub container
+                if b"document.dclg" in blob or b".dclg" in blob[:128]:
+                    return "dclx"
                 if b"application/epub" in blob or b"container.xml" in blob:
                     return "epub"
-                return "epub"  # zip payloads we support are epub containers
+                return "epub"  # remaining zip payloads are epub containers
         except Exception:
             pass
 

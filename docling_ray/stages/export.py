@@ -89,10 +89,245 @@ def spans_to_doctags(spans: list[dict]) -> str:
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# HTML (+ split-page) — reference OutputFormat.HTML / HTML_SPLIT_PAGE
+# (base_models.py:133-134). The rendering is chosen so extract_html
+# re-extracts the same span sequence (round-trip pytest): h1/h2, p, one
+# <ul> per list-item run, <pre>, <math>, <table><caption>, <figure>.
+# Canonicalization: a caption adjacent to a table serializes INSIDE the
+# table element (re-extracting caption-before-table, the HTML-source
+# order); a caption after a picture serializes as its figcaption.
+# Footnotes render as <p> (the HTML extractor has no footnote tag — a
+# documented lossy mapping, like furniture which is skipped entirely).
+# ---------------------------------------------------------------------------
+
+import html as _html_mod
+
+
+def _esc(t: str) -> str:
+    return _html_mod.escape(t, quote=False)
+
+
+def _grid_to_html(media_ref: str, caption: str) -> str:
+    try:
+        cells = json.loads(media_ref[len("grid:"):]).get("cells") or []
+    except (json.JSONDecodeError, AttributeError):
+        cells = []
+    parts = ["<table>"]
+    if caption:
+        parts.append(f"<caption>{_esc(caption)}</caption>")
+    for row in cells:
+        parts.append("<tr>" + "".join(f"<td>{_esc(c)}</td>" for c in row)
+                     + "</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
+
+def _spans_to_html_body(spans: list[dict]) -> list[str]:
+    parts: list[str] = []
+    i = 0
+    n = len(spans)
+    while i < n:
+        s = spans[i]
+        kind, text, ref = s["kind"], s["text"], s["media_ref"]
+        nxt = spans[i + 1] if i + 1 < n else None
+        if kind == "title":
+            parts.append(f"<h1>{_esc(text)}</h1>")
+        elif kind == "section_header":
+            parts.append(f"<h2>{_esc(text)}</h2>")
+        elif kind == "text":
+            parts.append(f"<p>{_esc(text)}</p>")
+        elif kind == "list_item":
+            items = [text]
+            while i + 1 < n and spans[i + 1]["kind"] == "list_item":
+                i += 1
+                items.append(spans[i]["text"])
+            parts.append("<ul>" + "".join(f"<li>{_esc(t)}</li>"
+                                          for t in items) + "</ul>")
+        elif kind == "code":
+            parts.append(f"<pre>{_esc(text)}</pre>")
+        elif kind == "formula":
+            parts.append(f"<math>{_esc(text)}</math>")
+        elif kind == "caption" and nxt is not None and nxt["kind"] == "table":
+            parts.append(_grid_to_html(nxt["media_ref"], text))
+            i += 1
+        elif kind == "table":
+            cap = ""
+            if nxt is not None and nxt["kind"] == "caption":
+                cap = nxt["text"]
+                i += 1
+            parts.append(_grid_to_html(ref, cap))
+        elif kind == "picture":
+            cap = ""
+            if nxt is not None and nxt["kind"] == "caption":
+                cap = nxt["text"]
+                i += 1
+            fc = f"<figcaption>{_esc(cap)}</figcaption>" if cap else ""
+            parts.append(f'<figure><img src="{_html_mod.escape(ref)}"/>'
+                         f"{fc}</figure>")
+        elif kind == "caption":
+            parts.append(f"<p>{_esc(text)}</p>")  # orphan caption: lossy
+        elif kind == "footnote":
+            parts.append(f"<p>{_esc(text)}</p>")  # lossy (no footnote tag)
+        elif kind == "checkbox_selected":
+            parts.append('<input type="checkbox" checked/>')
+        elif kind == "checkbox_unselected":
+            parts.append('<input type="checkbox"/>')
+        # page_header / page_footer: furniture, skipped
+        i += 1
+    return parts
+
+
+def spans_to_html(spans: list[dict]) -> str:
+    body = "\n".join(_spans_to_html_body(spans))
+    return f"<html><body>\n{body}\n</body></html>"
+
+
+def spans_to_html_split_page(spans: list[dict]) -> str:
+    """One <section class="page"> per page, split at page_header spans
+    (the page boundary marker the extractors emit); documents without
+    page furniture render as a single section."""
+    pages: list[list[dict]] = [[]]
+    for s in spans:
+        if s["kind"] == "page_header" and pages[-1]:
+            pages.append([])
+        pages[-1].append(s)
+    sections = []
+    for pg in pages:
+        if not pg:
+            continue
+        body = "\n".join(_spans_to_html_body(pg))
+        sections.append(f'<section class="page">\n{body}\n</section>')
+    return "<html><body>\n" + "\n".join(sections) + "\n</body></html>"
+
+
+# ---------------------------------------------------------------------------
+# VTT — reference OutputFormat.VTT (base_models.py:137). Spans that carry
+# vtt:// timing media_refs (the WebVTT/ASR extraction shape) round-trip
+# through extract_vtt; untimed spans get deterministic 5-second cues.
+# ---------------------------------------------------------------------------
+
+def _cue_ts(idx: int) -> str:
+    start = idx * 5
+    end = start + 5
+
+    def fmt(t: int) -> str:
+        return f"{t // 3600:02d}:{t % 3600 // 60:02d}:{t % 60:02d}.000"
+
+    return f"{fmt(start)}-->{fmt(end)}"
+
+
+def spans_to_vtt(spans: list[dict]) -> str:
+    parts = ["WEBVTT"]
+    idx = 0
+    for s in spans:
+        if s["kind"] in ("page_header", "page_footer") or not s["text"]:
+            continue
+        ref = s["media_ref"] or ""
+        timing = ref[len("vtt://"):] if ref.startswith("vtt://") \
+            else _cue_ts(idx)
+        parts.append(timing.replace("-->", " --> ") + "\n" + s["text"])
+        idx += 1
+    return "\n\n".join(parts) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# chunks — reference OutputFormat.CHUNKS (base_models.py:140): the
+# structure-aware chunker's output as one JSON array per document.
+# ---------------------------------------------------------------------------
+
+def spans_to_chunks(spans: list[dict]) -> str:
+    from docling_ray.stages.chunker import hybrid_chunks
+
+    return json.dumps(hybrid_chunks(spans), ensure_ascii=False,
+                      separators=(",", ":"))
+
+
+# ---------------------------------------------------------------------------
+# JSON — the lossless spans_json serialization; extract_spans_json is the
+# reload inverse (reference save_as_json / docling_json_backend.py:13).
+# ---------------------------------------------------------------------------
+
+def spans_to_json(spans: list[dict]) -> str:
+    return json.dumps(
+        [{"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+         for s in spans],
+        ensure_ascii=False, separators=(",", ":"))
+
+
+# ---------------------------------------------------------------------------
+# DocLang XML + .dclx archive — reference OutputFormat.DOCLANG / DCLX
+# (base_models.py:138-139); extract_doclang / extract_dclx are the reload
+# inverses (formats_extra.py).
+# ---------------------------------------------------------------------------
+
+def spans_to_doclang(spans: list[dict]) -> str:
+    parts = ["<doclang>"]
+    i = 0
+    n = len(spans)
+    while i < n:
+        s = spans[i]
+        kind, text, ref = s["kind"], s["text"], s["media_ref"]
+        nxt = spans[i + 1] if i + 1 < n else None
+        if kind == "table" and ref.startswith("grid:"):
+            try:
+                cells = json.loads(ref[5:]).get("cells") or []
+            except json.JSONDecodeError:
+                cells = []
+            parts.append("<table>" + "".join(
+                "<row>" + "".join(f"<cell>{_esc(c)}</cell>" for c in row)
+                + "</row>" for row in cells) + "</table>")
+        elif kind == "picture":
+            cap = ""
+            if nxt is not None and nxt["kind"] == "caption":
+                cap = nxt["text"]
+                i += 1
+            inner = f"<caption>{_esc(cap)}</caption>" if cap else ""
+            parts.append(f'<picture src="{_html_mod.escape(ref)}">'
+                         f"{inner}</picture>")
+        else:
+            tag = "paragraph" if kind == "text" else kind
+            parts.append(f"<{tag}>{_esc(text)}</{tag}>")
+        i += 1
+    parts.append("</doclang>")
+    return "".join(parts)
+
+
+def spans_to_dclx(spans: list[dict]) -> str:
+    """Base64 of a .dclx zip archive: ``document.dclg`` first (the sniff
+    anchor), referenced media listed under ``artifacts/`` as placeholder
+    members. Deterministic (fixed timestamps, no compression jitter)."""
+    import base64
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo("document.dclg", date_time=(1980, 1, 1,
+                                                           0, 0, 0))
+        zf.writestr(info, spans_to_doclang(spans))
+        for s in spans:
+            ref = s["media_ref"] or ""
+            if s["kind"] == "picture" and ref:
+                name = "artifacts/" + ref.replace("://", "_").replace(
+                    "/", "_")
+                ainfo = zipfile.ZipInfo(name, date_time=(1980, 1, 1,
+                                                         0, 0, 0))
+                zf.writestr(ainfo, ref)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
 _EXPORTERS = {
     "markdown": spans_to_markdown,
     "text": spans_to_text,
     "doctags": spans_to_doctags,
+    "html": spans_to_html,
+    "html_split_page": spans_to_html_split_page,
+    "vtt": spans_to_vtt,
+    "chunks": spans_to_chunks,
+    "json": spans_to_json,
+    "doclang": spans_to_doclang,
+    "dclx": spans_to_dclx,
 }
 
 

@@ -462,6 +462,25 @@ def extract_doclang(raw: str) -> list[Span]:
     return spans
 
 
+def extract_dclx(b64: str) -> list[Span]:
+    """.dclx DocLang archive (reference doclang_archive_backend.py:17 —
+    the zip counterpart of the DocLang XML reader): ``document.dclg`` is
+    the document; ``artifacts/`` members carry referenced media. The
+    writer half is stages/export.spans_to_dclx (round-trip tested)."""
+    import base64
+    import io
+    import zipfile
+
+    data = base64.b64decode(b64, validate=True)
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = zf.namelist()
+        doc_name = next((n for n in names if n.endswith(".dclg")), None)
+        if doc_name is None:
+            raise ValueError("dclx archive has no .dclg document member")
+        raw = zf.read(doc_name).decode("utf-8")
+    return extract_doclang(raw)
+
+
 EXTRA_FORMAT_EXTRACTORS = {
     "pptx_xml": extract_pptx_xml,
     "odt_xml": extract_odt_xml,
@@ -472,4 +491,5 @@ EXTRA_FORMAT_EXTRACTORS = {
     "boxnote": extract_boxnote,
     "latex": extract_latex,
     "doclang": extract_doclang,
+    "dclx": extract_dclx,
 }

@@ -73,7 +73,8 @@ def test_sniff_media_and_pdf():
 def test_sniff_doclang_extension():
     assert sniff_kind("<doclang/>", filename="x.dclg") == "doclang"
     assert sniff_kind("<doclang><text>x</text></doclang>") == "doclang"
-    assert sniff_kind("", filename="y.dclx") == "unknown"
+    # .dclx archives are now supported (export/reload round trip)
+    assert sniff_kind("", filename="y.dclx") == "dclx"
 
 
 def test_corpus_detection_matches_generator_labels():

@@ -240,4 +240,4 @@ def test_doclang_reader():
 
     assert sniff_kind(raw) == "doclang"
     assert sniff_kind(raw, filename="x.dclg") == "doclang"
-    assert sniff_kind("", filename="y.dclx") == "unknown"
+    assert sniff_kind("", filename="y.dclx") == "dclx"
