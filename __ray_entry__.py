@@ -553,14 +553,26 @@ def _image_meta(sf_dir: str):
     return out.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
 
 
-def _export_markdown(sf_dir: str):
+def _export_fmt(sf_dir: str, fmt: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
     from docling_ray.stages.export import export_corpus
 
     corpus = derive_corpus(sf_dir, seed=SEED)
     out = extract_corpus(corpus, mode="fast")
-    return export_corpus(out, fmt="markdown").sort("doc_id")
+    return export_corpus(out, fmt=fmt).sort("doc_id")
+
+
+def _export_markdown(sf_dir: str):
+    return _export_fmt(sf_dir, "markdown")
+
+
+def _export_html(sf_dir: str):
+    return _export_fmt(sf_dir, "html")
+
+
+def _export_chunks(sf_dir: str):
+    return _export_fmt(sf_dir, "chunks")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -604,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _image_meta,
         # exports
         "export_markdown": _export_markdown,
+        "export_html": _export_html,
+        "export_chunks": _export_chunks,
         # relational coverage
         "q1_lineitem_agg": A.q1_lineitem_agg,
         "order_priority_revenue": A.order_priority_revenue,
@@ -719,6 +733,16 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             'SELECT doc_id, "offset", text, level '
             f"FROM read_parquet('{exp}/heading_levels.parquet') "
             'ORDER BY doc_id, "offset"'
+        ),
+        "export_html": (
+            "SELECT doc_id, content "
+            f"FROM read_parquet('{exp}/export_html.parquet') "
+            "ORDER BY doc_id"
+        ),
+        "export_chunks": (
+            "SELECT doc_id, content "
+            f"FROM read_parquet('{exp}/export_chunks.parquet') "
+            "ORDER BY doc_id"
         ),
         "export_markdown": (
             "SELECT doc_id, content "

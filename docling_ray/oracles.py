@@ -44,7 +44,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v12"
+_LAYOUT_VERSION = b"v13"
 
 
 def _fingerprint() -> str:
@@ -170,7 +170,11 @@ def ensure_expected_tables(
         extract_chart_table,
     )
     from docling_ray.stages.chunker import hybrid_chunks
-    from docling_ray.stages.export import spans_to_markdown
+    from docling_ray.stages.export import (
+        spans_to_chunks,
+        spans_to_html,
+        spans_to_markdown,
+    )
     from docling_ray.stages.kv_extract import mine_pairs
     from docling_ray.stages.multimodal import MediaFeatureExtractor
     from docling_ray.stages.heading_hierarchy import assign_levels
@@ -192,7 +196,7 @@ def ensure_expected_tables(
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
-    imgmeta, hybchunks = [], []
+    imgmeta, hybchunks, exp_html, exp_chunks = [], [], [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -215,6 +219,10 @@ def ensure_expected_tables(
                                  "text": text, "level": lvl})
             exports.append({"doc_id": row["doc_id"],
                             "content": spans_to_markdown(spans)})
+            exp_html.append({"doc_id": row["doc_id"],
+                             "content": spans_to_html(spans)})
+            exp_chunks.append({"doc_id": row["doc_id"],
+                               "content": spans_to_chunks(spans)})
             for idx, s in enumerate(spans):
                 if s["kind"] == "code":
                     ref = s["media_ref"] or ""
@@ -317,6 +325,10 @@ def ensure_expected_tables(
                    os.path.join(out, "image_meta.parquet"))
     pq.write_table(pa.Table.from_pylist(hybchunks, schema=_CHUNKS_SCHEMA),
                    os.path.join(out, "doc_chunks_hybrid.parquet"))
+    pq.write_table(pa.Table.from_pylist(exp_html, schema=_EXPORT_SCHEMA),
+                   os.path.join(out, "export_html.parquet"))
+    pq.write_table(pa.Table.from_pylist(exp_chunks, schema=_EXPORT_SCHEMA),
+                   os.path.join(out, "export_chunks.parquet"))
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
