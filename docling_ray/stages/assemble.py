@@ -84,6 +84,45 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
         return [], -1, 0.0, f"{kind} extraction error: {type(e).__name__}: {e}"
 
 
+_SOFT_HYPHEN = "­"
+_PAGE_TAIL_FURNITURE = ("footnote", "page_footer")
+
+
+def merge_page_boundary(
+    prev_spans: list[Span], next_spans: list[Span],
+) -> tuple[list[Span], list[Span]] | None:
+    """Cross-page hyphenated-word merge (the reading-order model's merge
+    application, readingorder_model.py:589-621): the last body text span
+    of page P joins the first body text span of page P+1 when P's text
+    ends with a soft hyphen, or ends with "-" and the continuation starts
+    lowercase — the split-word case; the hyphen is dropped and the texts
+    concatenated directly. Page furniture (header before, footnotes and
+    footer after) is skipped when locating the boundary pair. Returns the
+    rewritten (prev, next) span lists, or None when the rule does not
+    apply."""
+    ia = len(prev_spans) - 1
+    while ia >= 0 and prev_spans[ia][0] in _PAGE_TAIL_FURNITURE:
+        ia -= 1
+    if ia < 0 or prev_spans[ia][0] != "text":
+        return None
+    ib = 0
+    while ib < len(next_spans) and next_spans[ib][0] == "page_header":
+        ib += 1
+    if ib >= len(next_spans) or next_spans[ib][0] != "text":
+        return None
+    a = prev_spans[ia][1]
+    b = next_spans[ib][1]
+    if not b or not (
+        a.endswith(_SOFT_HYPHEN) or (a.endswith("-") and b[0].islower())
+    ):
+        return None
+    new_prev = list(prev_spans)
+    new_next = list(next_spans)
+    new_prev[ia] = ("text", a[:-1] + b, "")
+    del new_next[ib]
+    return new_prev, new_next
+
+
 def assemble_units(
     units: list[tuple[int, str, list[Span], int, float, str | None]],
 ) -> dict:
@@ -104,11 +143,29 @@ def assemble_units(
             return (first_pdf_offset, page_no, off)
         return (off, -1, off)
 
+    ordered = sorted(units, key=sort_key)
+
+    # cross-page hyphen merge between consecutive non-empty pdf pages
+    # (page-parallel safe: runs on the page_no-ordered gather, so the
+    # explode path reassembly sees the same result as the fast path)
+    for i in range(len(ordered) - 1):
+        off_a, kind_a, spans_a, page_a, score_a, err_a = ordered[i]
+        off_b, kind_b, spans_b, page_b, score_b, err_b = ordered[i + 1]
+        if (
+            kind_a == S.KIND_PDF_CELLS and kind_b == S.KIND_PDF_CELLS
+            and page_b == page_a + 1 and spans_a and spans_b
+        ):
+            merged = merge_page_boundary(spans_a, spans_b)
+            if merged is not None:
+                ordered[i] = (off_a, kind_a, merged[0], page_a, score_a, err_a)
+                ordered[i + 1] = (off_b, kind_b, merged[1], page_b, score_b,
+                                  err_b)
+
     spans: list[Span] = []
     errors: list[str] = []
     scores: list[float] = []
     n_failed = 0
-    for off, kind, unit_spans, page_no, score, err in sorted(units, key=sort_key):
+    for off, kind, unit_spans, page_no, score, err in ordered:
         spans.extend(unit_spans)
         scores.append(score)
         if err is not None:

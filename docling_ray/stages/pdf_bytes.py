@@ -648,11 +648,27 @@ def extract_pdf_bytes_unit(
     score = 1.0
     from docling_ray.stages.pdf_layout import MIN_PARSE_SCORE
 
+    page_lists: list[tuple[int, list[Span]]] = []
     for page in pages:
         p_spans, p_score = extract_page(page)
         score = min(score, p_score)
         if not p_spans and p_score < MIN_PARSE_SCORE:
             errs.append(f"page {page['page_no']} dropped: "
                         f"parse_score={p_score:.3f}")
+        if p_spans:
+            page_lists.append((int(page["page_no"]), p_spans))
+    # cross-page hyphen merge between consecutive pages (same rule as the
+    # pdf_cells assembly — see assemble.merge_page_boundary)
+    from docling_ray.stages.assemble import merge_page_boundary
+
+    for i in range(len(page_lists) - 1):
+        pa_, la = page_lists[i]
+        pb_, lb = page_lists[i + 1]
+        if pb_ == pa_ + 1:
+            merged = merge_page_boundary(la, lb)
+            if merged is not None:
+                page_lists[i] = (pa_, merged[0])
+                page_lists[i + 1] = (pb_, merged[1])
+    for _pno, p_spans in page_lists:
         spans.extend(p_spans)
     return spans, -1, score, ("; ".join(errs) or None)

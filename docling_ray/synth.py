@@ -478,6 +478,56 @@ def build_pdf_page(
     return pb.payload(), pb.expected(), False
 
 
+def build_hyphen_pair(
+    rng: random.Random, pool: list[str], doc_id: str,
+    p1: int, first_page: bool,
+) -> tuple[list[str], list[Span]]:
+    """Two simple single-column pages whose boundary splits a word with a
+    hyphen: the last body paragraph of page ``p1`` ends ``...transfor-``
+    and page ``p1+1`` opens with ``mation ...``. The expected spans are
+    hand-computed ALREADY MERGED (the cross-page hyphen rule the engine's
+    assembly applies, readingorder_model.py:589-621) — one text span that
+    concatenates the halves without the hyphen, the continuation paragraph
+    absent from page two. Furniture is sprinkled on both sides so the
+    boundary search has to skip footnotes/footers and headers."""
+    word_a, word_b = "transfor", "mation"
+    a_para = _sentence(rng, pool)[:-1] + f" {word_a}-"
+    b_rest = _sentence(rng, pool)
+    b_para = f"{word_b} continues the {b_rest[:-1].lower()}."
+
+    pa_b = _PageBuilder(p1, two_col=False)
+    if rng.random() < 0.7:
+        pa_b.header(f"Running header {doc_id}")
+    if rng.random() < 0.5:
+        pa_b.footer(f"Page {p1}")
+    if rng.random() < 0.4:
+        pa_b.footnote("1. " + _sentence(rng, pool))
+    if first_page:
+        pa_b.heading(_sentence(rng, pool)[:-1], title=True)
+    for _ in range(rng.randint(0, 2)):
+        pa_b.paragraph([_sentence(rng, pool)])
+    pa_b.paragraph([a_para])
+
+    pb_b = _PageBuilder(p1 + 1, two_col=False)
+    if rng.random() < 0.7:
+        pb_b.header(f"Running header {doc_id}")
+    if rng.random() < 0.5:
+        pb_b.footer(f"Page {p1 + 1}")
+    pb_b.paragraph([b_para])
+    for _ in range(rng.randint(1, 2)):
+        pb_b.paragraph([_sentence(rng, pool)])
+
+    # hand-computed merge: drop the hyphen, concatenate the halves
+    merged_text = a_para[:-1] + b_para
+    exp_a = pa_b.expected()
+    ia = max(i for i, s in enumerate(exp_a) if s[0] == "text")
+    exp_a[ia] = ("text", merged_text, "")
+    exp_b = pb_b.expected()
+    ib = min(i for i, s in enumerate(exp_b) if s[0] == "text")
+    del exp_b[ib]
+    return [pa_b.payload(), pb_b.payload()], exp_a + exp_b
+
+
 def build_pdf_doc(
     rng: random.Random, pool: list[str], doc_id: str, heavy_tail: bool = True
 ) -> tuple[list[str], list[Span], str]:
@@ -493,10 +543,26 @@ def build_pdf_doc(
         n_pages = rng.randint(1, 8)
     media_seq = [0]
     garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
+    # cross-page hyphen pair: two consecutive non-garbage pages whose
+    # boundary splits a word (expected spans carry the merged text)
+    hyph_at = -1
+    if n_pages >= 2 and rng.random() < 0.25:
+        cand = [i for i in range(n_pages - 1)
+                if i != garbage_at and i + 1 != garbage_at]
+        if cand:
+            hyph_at = cand[rng.randrange(len(cand))]
     payloads: list[str] = []
     expected: list[Span] = []
     any_garbage = False
-    for p in range(n_pages):
+    p = 0
+    while p < n_pages:
+        if p == hyph_at:
+            pair_payloads, pair_exp = build_hyphen_pair(
+                rng, pool, doc_id, p1=p + 1, first_page=(p == 0))
+            payloads.extend(pair_payloads)
+            expected.extend(pair_exp)
+            p += 2
+            continue
         payload, exp, is_garbage = build_pdf_page(
             rng, pool, doc_id, page_no=p + 1, media_seq=media_seq,
             garbage=(p == garbage_at), first_page=(p == 0),
@@ -504,6 +570,7 @@ def build_pdf_doc(
         payloads.append(payload)
         expected.extend(exp)
         any_garbage |= is_garbage
+        p += 1
     if rng.random() < 0.2 and n_pages > 1:
         order = list(range(n_pages))
         rng.shuffle(order)
@@ -677,11 +744,29 @@ def build_pdf_bytes_doc(
     n_pages = rng.randint(1, 10)
     media_seq = [0]
     garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
+    hyph_at = -1
+    if n_pages >= 2 and rng.random() < 0.25:
+        cand = [i for i in range(n_pages - 1)
+                if i != garbage_at and i + 1 != garbage_at]
+        if cand:
+            hyph_at = cand[rng.randrange(len(cand))]
     page_dicts: list[dict] = []
     expected: list[Span] = []
     per_page_exp: list[list[Span]] = []
     any_garbage = False
-    for p in range(n_pages):
+    p = 0
+    while p < n_pages:
+        if p == hyph_at:
+            pair_payloads, pair_exp = build_hyphen_pair(
+                rng, pool, doc_id, p1=p + 1, first_page=(p == 0))
+            page_dicts.extend(json.loads(pl) for pl in pair_payloads)
+            expected.extend(pair_exp)
+            # keep physical page indexing for the outline: the pair's spans
+            # land on its first page, the second page gets an empty slot
+            per_page_exp.append(pair_exp)
+            per_page_exp.append([])
+            p += 2
+            continue
         payload, exp, is_garbage = build_pdf_page(
             rng, pool, doc_id, page_no=p + 1, media_seq=media_seq,
             garbage=(p == garbage_at), first_page=(p == 0),
@@ -691,6 +776,7 @@ def build_pdf_bytes_doc(
         expected.extend(exp)
         per_page_exp.append(exp)
         any_garbage |= is_garbage
+        p += 1
     # outline = the document's headings (title level 0, sections level 1),
     # recorded as the expected TOC — the parser must recover it from the
     # /Outlines tree (bookmarks are the authoritative hierarchy signal)
