@@ -153,22 +153,50 @@ def _nearest_index(pos: list[float], v: float) -> int:
     return i if pos[i] - v < v - pos[i - 1] else i - 1
 
 
-def table_grid_from_cells(cells: list[dict]) -> list[list[str]]:
-    """Row/col clustering of region cells into a canonical text grid."""
+def table_grid_from_cells(
+    cells: list[dict], rich_pics: list[dict] | None = None,
+) -> list[list[str]]:
+    """Row/col clustering of region cells into a canonical text grid.
+
+    ``rich_pics`` are picture regions matched INTO this table (the
+    reference's picture-in-table-cell rich cells,
+    readingorder_model.py:162-302): each is located at the text cell
+    containing (else nearest to) its center, and its media_ref is
+    appended to that cell's text as a ``[ref]`` marker — the string-grid
+    analogue of a rich cell holding a FigureElement."""
     if not cells:
         return []
     col_pos = _cluster_positions([c["l"] for c in cells], tol=4.0)
     row_pos = _cluster_positions([c["t"] for c in cells], tol=4.0)
     grid = [["" for _ in col_pos] for _ in row_pos]
+    coords: list[tuple[int, int, dict]] = []
     for c in cells:
         ci = _nearest_index(col_pos, c["l"])
         ri = _nearest_index(row_pos, c["t"])
+        coords.append((ri, ci, c))
         t = c.get("text", "")
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if grid[ri][ci]:
             grid[ri][ci] += " " + txt
         else:
             grid[ri][ci] = txt
+    for pic in rich_pics or ():
+        px = 0.5 * (pic["l"] + pic["r"])
+        py = 0.5 * (pic["t"] + pic["b"])
+        host = None
+        for ri, ci, c in coords:
+            if c["l"] <= px <= c["r"] and c["t"] <= py <= c["b"]:
+                host = (ri, ci)
+                break
+        if host is None:  # no containing text cell: nearest by center
+            host = min(
+                ((ri, ci) for ri, ci, c in coords),
+                key=lambda rc: abs(col_pos[rc[1]] - px)
+                + abs(row_pos[rc[0]] - py),
+            )
+        ri, ci = host
+        marker = f"[{pic.get('media_ref', '')}]"
+        grid[ri][ci] = (grid[ri][ci] + " " + marker).strip()
     return grid
 
 
@@ -253,9 +281,22 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
 
     regions: list[dict] = []
     for reg in page.get("tables", []):
-        regions.append({**reg, "kind": "table", "cells": []})
+        regions.append({**reg, "kind": "table", "cells": [],
+                        "rich_pics": []})
+    # a picture mostly inside a table region becomes that table's rich
+    # cell, not an independent flow item (readingorder_model.py:162-302)
     for reg in page.get("images", []):
-        regions.append({**reg, "kind": "picture", "cells": []})
+        cx = 0.5 * (reg["l"] + reg["r"])
+        cy = 0.5 * (reg["t"] + reg["b"])
+        host = None
+        for tr in regions:
+            if tr["l"] <= cx <= tr["r"] and tr["t"] <= cy <= tr["b"]:
+                host = tr
+                break
+        if host is not None:
+            host["rich_pics"].append(reg)
+        else:
+            regions.append({**reg, "kind": "picture", "cells": []})
 
     body: list[dict] = []
     for c in mid:
@@ -320,7 +361,8 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
             if "region" in it:
                 reg = it["region"]
                 if reg["kind"] == "table":
-                    grid = table_grid_from_cells(reg["cells"])
+                    grid = table_grid_from_cells(reg["cells"],
+                                                 reg.get("rich_pics"))
                     spans.append(("table", "", grid_media_ref(grid)))
                 else:
                     spans.append(("picture", "", reg.get("media_ref", "")))

@@ -335,7 +335,12 @@ class _PageBuilder:
         kind = "title" if title else "section_header"
         self.exp_cols[self.col].append((kind, sanitize_cell_text([text]), ""))
 
-    def table(self, grid: list[list[str]], caption: str | None) -> None:
+    def table(self, grid: list[list[str]], caption: str | None,
+              rich_cell: tuple[int, int, str] | None = None) -> None:
+        """``rich_cell=(ri, ci, media_ref)`` places an image region INSIDE
+        that cell's box — the expected grid hand-appends the ``[ref]``
+        marker (picture-in-table-cell rich cells,
+        readingorder_model.py:162-302)."""
         nrows, ncols = len(grid), len(grid[0])
         rh, x0 = 16.0, self.col_x[self.col]
         cw = self.col_w / ncols
@@ -351,6 +356,14 @@ class _PageBuilder:
         self.tables.append({"l": x0 - 2.0, "t": y0 - 2.0,
                             "r": x0 + self.col_w + 2.0, "b": reg_b})
         exp_grid = [[sanitize_cell_text([t]) for t in row] for row in grid]
+        if rich_cell is not None:
+            ri, ci, ref = rich_cell
+            self.images.append({
+                "l": x0 + ci * cw + 4.0, "t": y0 + ri * rh + 1.0,
+                "r": x0 + (ci + 1) * cw - 4.0, "b": y0 + ri * rh + 11.0,
+                "media_ref": ref,
+            })
+            exp_grid[ri][ci] = (exp_grid[ri][ci] + f" [{ref}]").strip()
         self.exp_cols[self.col].append(("table", "", grid_media_ref(exp_grid)))
         self.y = reg_b
         if caption:
@@ -460,7 +473,12 @@ def build_pdf_page(
             if not pb.room(item_h):
                 filled = not pb.next_col()
                 continue
-            pb.table(grid, cap)
+            rich = None
+            if rng.random() < 0.25:
+                media_seq[0] += 1
+                rich = (rng.randrange(nrows), rng.randrange(ncols),
+                        f"img://{doc_id}/{media_seq[0]}")
+            pb.table(grid, cap, rich_cell=rich)
         elif r < 0.95:
             media_seq[0] += 1
             ref = f"img://{doc_id}/{media_seq[0]}"
