@@ -498,6 +498,20 @@ def _heading_levels(sf_dir: str):
     )
 
 
+def _render_bboxes(sf_dir: str):
+    """Render-layout bbox provenance per span (stages/html_render.py —
+    deterministic fixed-metric stand-in for the reference's headless-
+    Chromium render provenance, html_backend.py:640-900)."""
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.html_render import render_bboxes_batch
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+    return out.map_batches(render_bboxes_batch, batch_format="pyarrow") \
+              .sort(["doc_id", "offset"])
+
+
 def _doc_chunks_hybrid(sf_dir: str):
     """Structure-aware chunks (stages/chunker.py — the HybridChunker
     analogue, docling/chunking/__init__.py): heading-path metadata,
@@ -596,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus": _training_corpus,
         "doc_chunks": A.doc_chunks,
         "doc_chunks_hybrid": _doc_chunks_hybrid,
+        "render_bboxes": _render_bboxes,
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
         "ann_lsh": _ann_lsh,
@@ -803,6 +818,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, chunk_idx, text, headings, n_tokens "
             f"FROM read_parquet('{exp}/doc_chunks_hybrid.parquet') "
             "ORDER BY doc_id, chunk_idx"
+        ),
+        "render_bboxes": (
+            'SELECT doc_id, "offset", page_no, l, t, r, b '
+            f"FROM read_parquet('{exp}/render_bboxes.parquet') "
+            'ORDER BY doc_id, "offset"'
         ),
         "picture_descriptions": (
             'SELECT doc_id, "offset", media_ref, description '

@@ -34,6 +34,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "stages", "export.py"),
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
     os.path.join(_PKG, "stages", "chunker.py"),
+    os.path.join(_PKG, "stages", "html_render.py"),
     os.path.join(_PKG, "stages", "enrich.py"),
     os.path.join(_PKG, "stages", "kv_extract.py"),
     os.path.join(_PKG, "stages", "multimodal.py"),
@@ -44,7 +45,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v13"
+_LAYOUT_VERSION = b"v14"
 
 
 def _fingerprint() -> str:
@@ -133,6 +134,15 @@ _CHART_SCHEMA = pa.schema([
     ("chart_type", pa.string()),
     ("data", pa.string()),
 ])
+_BBOX_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("page_no", pa.int32()),
+    ("l", pa.float64()),
+    ("t", pa.float64()),
+    ("r", pa.float64()),
+    ("b", pa.float64()),
+])
 _CHUNKS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("chunk_idx", pa.int32()),
@@ -170,6 +180,7 @@ def ensure_expected_tables(
         extract_chart_table,
     )
     from docling_ray.stages.chunker import hybrid_chunks
+    from docling_ray.stages.html_render import layout_spans
     from docling_ray.stages.export import (
         spans_to_chunks,
         spans_to_html,
@@ -196,7 +207,7 @@ def ensure_expected_tables(
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
-    imgmeta, hybchunks, exp_html, exp_chunks = [], [], [], []
+    imgmeta, hybchunks, exp_html, exp_chunks, bboxes = [], [], [], [], []
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -250,6 +261,8 @@ def ensure_expected_tables(
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
                              "region": fm["region"]})
+            for rect in layout_spans(spans):
+                bboxes.append({"doc_id": row["doc_id"], **rect})
             for j, c in enumerate(hybrid_chunks(spans)):
                 hybchunks.append({
                     "doc_id": row["doc_id"], "chunk_idx": j,
@@ -329,6 +342,8 @@ def ensure_expected_tables(
                    os.path.join(out, "export_html.parquet"))
     pq.write_table(pa.Table.from_pylist(exp_chunks, schema=_EXPORT_SCHEMA),
                    os.path.join(out, "export_chunks.parquet"))
+    pq.write_table(pa.Table.from_pylist(bboxes, schema=_BBOX_SCHEMA),
+                   os.path.join(out, "render_bboxes.parquet"))
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
