@@ -329,6 +329,7 @@ def jaccard_verified_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     m_bits: int = 1 << 23,
+    emit_j: bool = True,
 ) -> "ray.data.Dataset":
     """Exact-Jaccard verification of candidate (a, b) pairs, distributed:
     shingle arrays are attached to each pair via two keyed co-group
@@ -403,6 +404,12 @@ def jaccard_verified_pairs(
                     out_a.append(a_ids[i])
                     out_b.append(b_ids[i])
                     out_j.append(int(np.floor(j * 1_000_000.0)))
+        if not emit_j:
+            # clusters path consumes only the edge — emitting (a, b)
+            # directly keeps every output bundle on one schema (no
+            # downstream projection, no executor schema-drift warning)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64())})
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
                          "j_ppm": pa.array(out_j, pa.int64())})
@@ -480,7 +487,8 @@ def minhash_lsh_clusters(
     ).materialize()
     edges = jaccard_verified_pairs(
         ds, pairs, threshold, shingle_k=shingle_k, text_col=text_col,
-    ).select_columns(["a", "b"])
+        emit_j=False,
+    )
     return connected_components(edges).sort("doc_id")
 
 
