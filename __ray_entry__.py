@@ -567,6 +567,71 @@ def _image_meta(sf_dir: str):
     return out.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
 
 
+def _pii_scrub(sf_dir: str):
+    """PII redaction over documents (stages/scrub.py): synthetic email +
+    IPv4 columns are appended deterministically per doc (the documents
+    table carries no PII), then scrubbed — the oracle runs the SAME
+    regexes through DuckDB regexp_replace/regexp_extract_all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.scrub import pii_scrub_batch
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        aug = [
+            f"{t or ''} contact doc{i}@example.com from "
+            f"10.0.{i % 256}.{(i // 7) % 256}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug, pa.string())})
+
+    return ds.map_batches(augment, batch_format="pyarrow") \
+             .map_batches(pii_scrub_batch, batch_format="pyarrow") \
+             .sort("doc_id")
+
+
+_CONTAM_PASSAGE = ("benchmark passage {j} shares these exact tokens "
+                   "alpha beta gamma delta epsilon zeta")
+
+
+def _contamination(sf_dir: str):
+    """Benchmark-contamination flags (stages/scrub.py): docs sharing any
+    8-word-gram with the doc_id%97==0 benchmark slice; broadcast exact
+    gram set, no corpus shuffle. The synthetic corpus has no natural
+    8-gram overlap, so the query appends deterministic shared passages
+    (benchmark docs get passage doc_id%5, some non-benchmark docs get
+    passage doc_id%7 — overlap iff the indices collide) — the SAME
+    augmentation runs in the SQL oracle, whose n-gram self-join then
+    independently recomputes the flags and hit counts."""
+    import pyarrow as pa
+
+    from docling_ray.stages.scrub import contamination_flags
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 97 == 0:
+                t = f"{t} " + _CONTAM_PASSAGE.format(j=i % 5)
+            elif i % 13 == 0:
+                t = f"{t} " + _CONTAM_PASSAGE.format(j=i % 7)
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return contamination_flags(
+        ds.map_batches(augment, batch_format="pyarrow")).sort("doc_id")
+
+
 def _export_fmt(sf_dir: str, fmt: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -609,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "training_corpus": _training_corpus,
         "doc_chunks": A.doc_chunks,
+        "pii_scrub": _pii_scrub,
+        "contamination": _contamination,
         "doc_chunks_hybrid": _doc_chunks_hybrid,
         "render_bboxes": _render_bboxes,
         # embeddings / similarity
@@ -843,6 +910,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         **_expected_table_sql(sf_dir),
         "lang_id": _lang_id_sql(),
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, COALESCE(text, '') || "
+            "' contact doc' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.' || CAST((doc_id // 7) % 256 AS VARCHAR) AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[EMAIL]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'[IP]', 'g') AS text_redacted, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS n_emails, "
+            "len(regexp_extract_all(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[EMAIL]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS n_ips "
+            "FROM aug ORDER BY doc_id"
+        ),
+        "contamination": (
+            "WITH aug AS (SELECT doc_id, COALESCE(text, '') || "
+            "CASE WHEN doc_id % 97 = 0 THEN "
+            "' benchmark passage ' || CAST(doc_id % 5 AS VARCHAR) || "
+            "' shares these exact tokens alpha beta gamma delta epsilon"
+            " zeta' WHEN doc_id % 13 = 0 THEN "
+            "' benchmark passage ' || CAST(doc_id % 7 AS VARCHAR) || "
+            "' shares these exact tokens alpha beta gamma delta epsilon"
+            " zeta' ELSE '' END AS text FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS ws "
+            "FROM aug), "
+            "grams AS (SELECT doc_id, ws[i:i+7] AS gl "
+            "FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)), "
+            "gs AS (SELECT doc_id, array_to_string(gl, ' ') AS g "
+            "FROM grams) "
+            "SELECT a.doc_id, COUNT(DISTINCT a.g) AS n_hits "
+            "FROM gs a JOIN (SELECT DISTINCT g FROM gs "
+            "WHERE doc_id % 97 = 0) b ON a.g = b.g "
+            "WHERE a.doc_id % 97 != 0 "
+            "GROUP BY a.doc_id ORDER BY a.doc_id"
+        ),
         "minhash_dedup": (
             # brute-force exact-Jaccard pairs + recursive-CTE connected
             # components; the Ray side equals this because LSH recall at the
