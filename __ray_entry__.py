@@ -709,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": A.distinct_event_types,
         "sessionize": A.sessionize_events,
         "asof_join": A.asof_join_events_orders,
+        "range_join": A.range_join_events_orders,
+        "train_split": A.train_split,
         "docs_by_lang_source": A.docs_by_lang_source,
     }
 
@@ -910,6 +912,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         **_expected_table_sql(sf_dir),
         "lang_id": _lang_id_sql(),
+        "range_join": (
+            # order dates mapped into the events month (same epoch-us
+            # arithmetic as the Ray side) so the interval is non-vacuous
+            "WITH o2 AS (SELECT o_custkey, "
+            "TIMESTAMP '2024-01-01' + to_microseconds("
+            "(epoch_us(o_orderdate::TIMESTAMP) - "
+            "epoch_us(TIMESTAMP '1995-01-01')) % "
+            "(30::BIGINT * 86400 * 1000000)) AS odate FROM orders) "
+            "SELECT e.event_type, COUNT(*)::BIGINT AS n_matched "
+            "FROM events e WHERE EXISTS (SELECT 1 FROM o2 o "
+            "WHERE o.o_custkey = e.user_id "
+            "AND e.ts >= o.odate "
+            "AND e.ts <= o.odate + INTERVAL 7 DAY) "
+            "GROUP BY e.event_type ORDER BY e.event_type"
+        ),
+        "train_split": (
+            "SELECT doc_id, CASE "
+            "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::UBIGINT % 100 < 80 THEN 'train' "
+            "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::UBIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents ORDER BY doc_id"
+        ),
         "pii_scrub": (
             "WITH aug AS (SELECT doc_id, COALESCE(text, '') || "
             "' contact doc' || CAST(doc_id AS VARCHAR) || "

@@ -416,6 +416,109 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64)
              .sort("user_id")
 
 
+def range_join_events_orders(sf_dir: str, days: int = 7,
+                             num_buckets: int = 16):
+    """Bounded range join (SURVEY §2.8 custom-op list, next to as-of):
+    events that fall within ``days`` after SOME order by the same
+    customer (exists semantics), aggregated per event type. Same
+    bucketed co-group shape as the as-of join; inside a bucket one
+    ``merge_asof`` with a tolerance answers the interval-exists test
+    vectorized — the nearest previous order is in the window iff any
+    order is."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["user_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "key": keys,
+            "when": batch["ts"],
+            "event_type": batch["event_type"],
+        })
+
+    # the synthetic tables do not overlap in time (events 2024, orders
+    # 1995-2001); map order dates into the events month deterministically
+    # (epoch-microsecond arithmetic, mirrored bit-for-bit in the SQL
+    # oracle) so the interval test is non-vacuous
+    _BASE_1995 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    _BASE_2024 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    _MOD_30D = 30 * 86_400 * 1_000_000
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["o_custkey"], pa.int64())
+        od_us = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        shifted = _BASE_2024 + (od_us - _BASE_1995) % _MOD_30D
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "key": keys,
+            "when": pa.array(shifted.view("datetime64[us]")),
+            "event_type": pa.nulls(batch.num_rows, pa.string()),
+        })
+
+    both = events.map_batches(event_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow",
+                           batch_size=65536))
+    tol = pd.Timedelta(days=days)
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["event_type"].isna()
+        ev = group[~is_order][["key", "when", "event_type"]]
+        od = group[is_order][["key", "when"]].assign(matched=True)
+        if ev.empty or od.empty:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_matched": pa.array([], pa.int64())})
+        od = od.drop_duplicates(["key", "when"])
+        ev = ev.sort_values("when", kind="mergesort")
+        od = od.sort_values("when", kind="mergesort")
+        m = pd.merge_asof(ev, od, on="when", by="key",
+                          direction="backward", tolerance=tol)
+        m = m[m["matched"].notna()]
+        g = m.groupby("event_type", as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n_matched": pa.array(g["size"], pa.int64()),
+        })
+
+    partials = both.groupby("bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+    return partials.groupby("event_type").aggregate(
+        Sum("n_matched", alias_name="n_matched")).map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_matched": pc.cast(t["n_matched"], pa.int64()),
+        }), batch_format="pyarrow").sort("event_type")
+
+
+def train_split(sf_dir: str, pct_train: int = 80, pct_val: int = 10):
+    """Deterministic train/val/test assignment by content-free hash:
+    bucket = first 8 hex digits of md5(doc_id) mod 100 — stable across
+    runs and machines, SQL-recomputable (the DuckDB oracle reruns the
+    identical md5 arithmetic). Stateless vectorized map, no shuffle."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        splits = []
+        for i in ids:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            splits.append("train" if b < pct_train
+                          else "val" if b < pct_train + pct_val else "test")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(splits, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
 def asof_join_events_orders(sf_dir: str, num_buckets: int = 16):
     """As-of join (SURVEY custom-op list): each event matched to the user's
     most recent order at or before the event time, aggregated per event
