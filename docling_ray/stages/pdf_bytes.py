@@ -418,6 +418,28 @@ class PdfDocument:
 # escapes; a *nested unescaped* "(" makes the whole alternative fail, and
 # the interpreter falls back to the slow exact `_parse_lit_string`.
 # DOTALL so `\\.` covers backslash-newline line continuations.
+# Fast path for the canonical simple text block every basic generator
+# emits (set font, leading, position, show one string): recognized as ONE
+# regex instead of ~11 token matches + dispatch rounds. Anything that
+# deviates (T*, Tm, TJ arrays, multiple shows per block, graphics inside
+# BT) fails the match and takes the general interpreter below — the fast
+# path is a pure shortcut, never a semantic change.
+_SIMPLE_BT_RE = re.compile(
+    rb"""[\x00\t\n\x0c\r\x20]*BT
+     [\x00\t\n\x0c\r\x20]+/[^\x00\t\n\x0c\r\x20]+
+     [\x00\t\n\x0c\r\x20]+(?P<fs>[+-]?(?:\d+\.?\d*|\.\d+))
+     [\x00\t\n\x0c\r\x20]+Tf
+     [\x00\t\n\x0c\r\x20]+(?P<tl>[+-]?(?:\d+\.?\d*|\.\d+))
+     [\x00\t\n\x0c\r\x20]+TL
+     [\x00\t\n\x0c\r\x20]+(?P<x>[+-]?(?:\d+\.?\d*|\.\d+))
+     [\x00\t\n\x0c\r\x20]+(?P<y>[+-]?(?:\d+\.?\d*|\.\d+))
+     [\x00\t\n\x0c\r\x20]+Td
+     [\x00\t\n\x0c\r\x20]+\((?P<txt>(?:[^()\\]|\\.)*)\)
+     [\x00\t\n\x0c\r\x20]*Tj
+     [\x00\t\n\x0c\r\x20]+ET(?=[\x00\t\n\x0c\r\x20]|$)""",
+    re.VERBOSE | re.DOTALL,
+)
+
 _CS_TOKEN_RE = re.compile(
     rb"""[\x00\t\n\x0c\r\x20]*
      (?: (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
@@ -500,7 +522,20 @@ def interpret_content(
     i = 0
     n = len(content)
     match_token = _CS_TOKEN_RE.match
+    match_simple = _SIMPLE_BT_RE.match
     while i < n:
+        ms = match_simple(content, i)
+        if ms is not None:
+            font = float(ms.group("fs"))
+            leading = float(ms.group("tl"))
+            lx = x = float(ms.group("x"))
+            ly = y = float(ms.group("y"))
+            raw = ms.group("txt")
+            if b"\\" in raw:
+                raw = _unescape_lit(raw)
+            emit(_decode_pdf_text(raw))
+            i = ms.end()
+            continue
         m = match_token(content, i)
         if m is None:
             # nested unescaped parens (lit alternative gave up) → exact
