@@ -66,9 +66,10 @@ from docling_ray.stages.html_extract import grid_media_ref
 
 Span = tuple[str, str, str]
 
-# C-level sort keys (tuple-building lambdas dominate the page sorts)
-_BY_T_L = itemgetter("t", "l")
-_BY_L_T = itemgetter("l", "t")
+# C-level sort keys (tuple-building lambdas dominate the page sorts);
+# cells are plain tuples (l, t, r, b, font, text)
+_BY_T_L = itemgetter(1, 0)
+_BY_L_T = itemgetter(0, 1)
 _BY_TOP_L = itemgetter("top", "l")
 
 HEADER_BAND = 50.0
@@ -95,7 +96,7 @@ def parse_page_payload(payload: str) -> dict:
     return page
 
 
-def page_parse_score(cells: list[dict]) -> float:
+def page_parse_score(texts: list[str]) -> float:
     """10th-percentile per-cell text quality (page_preprocessing parity).
     Linear-interpolated quantile computed in plain Python — numpy call
     overhead dominates at ~30 cells/page.
@@ -106,9 +107,8 @@ def page_parse_score(cells: list[dict]) -> float:
     percentile is 1.0 without per-cell scoring. Empty cells score 0.0, so
     the fast path also requires every text non-empty. A cross-cell false
     positive in the join merely falls through to the exact per-cell path."""
-    if not cells:
+    if not texts:
         return 1.0
-    texts = [c.get("text", "") for c in cells]
     if all(texts) and not is_suspect_text("\n".join(texts)):
         return 1.0
     scores = sorted(text_quality_score(t) for t in texts)
@@ -154,7 +154,7 @@ def _nearest_index(pos: list[float], v: float) -> int:
 
 
 def table_grid_from_cells(
-    cells: list[dict], rich_pics: list[dict] | None = None,
+    cells: list[tuple], rich_pics: list[dict] | None = None,
 ) -> list[list[str]]:
     """Row/col clustering of region cells into a canonical text grid.
 
@@ -166,15 +166,15 @@ def table_grid_from_cells(
     analogue of a rich cell holding a FigureElement."""
     if not cells:
         return []
-    col_pos = _cluster_positions([c["l"] for c in cells], tol=4.0)
-    row_pos = _cluster_positions([c["t"] for c in cells], tol=4.0)
+    col_pos = _cluster_positions([c[0] for c in cells], tol=4.0)
+    row_pos = _cluster_positions([c[1] for c in cells], tol=4.0)
     grid = [["" for _ in col_pos] for _ in row_pos]
-    coords: list[tuple[int, int, dict]] = []
+    coords: list[tuple[int, int, tuple]] = []
     for c in cells:
-        ci = _nearest_index(col_pos, c["l"])
-        ri = _nearest_index(row_pos, c["t"])
+        ci = _nearest_index(col_pos, c[0])
+        ri = _nearest_index(row_pos, c[1])
         coords.append((ri, ci, c))
-        t = c.get("text", "")
+        t = c[5]
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if grid[ri][ci]:
             grid[ri][ci] += " " + txt
@@ -185,7 +185,7 @@ def table_grid_from_cells(
         py = 0.5 * (pic["t"] + pic["b"])
         host = None
         for ri, ci, c in coords:
-            if c["l"] <= px <= c["r"] and c["t"] <= py <= c["b"]:
+            if c[0] <= px <= c[2] and c[1] <= py <= c[3]:
                 host = (ri, ci)
                 break
         if host is None:  # no containing text cell: nearest by center
@@ -200,51 +200,54 @@ def table_grid_from_cells(
     return grid
 
 
-def _split_columns(cells: list[dict]) -> list[list[dict]]:
+def _split_columns(cells: list[tuple]) -> list[list[tuple]]:
     """Split body cells into columns: sort by left edge, cut where the next
     cell starts right of the running max right edge + COL_GAP."""
     if not cells:
         return []
     ordered = sorted(cells, key=_BY_L_T)
-    cols: list[list[dict]] = [[ordered[0]]]
-    max_r = ordered[0]["r"]
+    cols: list[list[tuple]] = [[ordered[0]]]
+    max_r = ordered[0][2]
     for c in ordered[1:]:
-        if c["l"] > max_r + COL_GAP:
+        if c[0] > max_r + COL_GAP:
             cols.append([c])
-            max_r = c["r"]
+            max_r = c[2]
         else:
             cols[-1].append(c)
-            max_r = max(max_r, c["r"])
+            max_r = max(max_r, c[2])
     return cols
 
 
-def _paragraphs(col_cells: list[dict]) -> list[dict]:
+def _paragraphs(col_cells: list[tuple]) -> list[dict]:
     """Group a column's cells into paragraph/heading items by vertical gap
     and font-size change. Returns items: {top, l, r, b, font, lines}."""
     items: list[dict] = []
     cur: dict | None = None
     for c in sorted(col_cells, key=_BY_T_L):
-        font = float(c.get("font_size", 10.0))
+        l, t, r, b, font, text = c
         if (
             cur is not None
             and font == cur["font"]
-            and c["t"] - cur["last_t"] <= PARA_GAP
+            and t - cur["last_t"] <= PARA_GAP
             and font < HEADING_FONT  # headings never merge lines
         ):
-            cur["lines"].append(c.get("text", ""))
-            cur["last_t"] = c["t"]
-            cur["b"] = max(cur["b"], c["b"])
-            cur["l"] = min(cur["l"], c["l"])
-            cur["r"] = max(cur["r"], c["r"])
+            cur["lines"].append(text)
+            cur["last_t"] = t
+            if b > cur["b"]:
+                cur["b"] = b
+            if l < cur["l"]:
+                cur["l"] = l
+            if r > cur["r"]:
+                cur["r"] = r
         else:
             cur = {
-                "top": c["t"],
-                "last_t": c["t"],
-                "l": c["l"],
-                "r": c["r"],
-                "b": c["b"],
+                "top": t,
+                "last_t": t,
+                "l": l,
+                "r": r,
+                "b": b,
                 "font": font,
-                "lines": [c.get("text", "")],
+                "lines": [text],
             }
             items.append(cur)
     return items
@@ -257,27 +260,31 @@ def _h_overlap(a_l: float, a_r: float, b_l: float, b_r: float) -> float:
 def extract_page(page: dict) -> tuple[list[Span], float]:
     """One page → (spans in reading order, parse_score). A page scoring below
     MIN_PARSE_SCORE returns no spans (caller degrades doc status)."""
-    cells = page["cells"]
-    score = page_parse_score(cells)
+    # one dict-extraction pass: every later stage reads the plain tuple
+    # (l, t, r, b, font, text) — dict hashing out of the hot loops
+    cells = [
+        (c["l"], c["t"], c["r"], c["b"],
+         float(c.get("font_size", 10.0)), c.get("text", ""))
+        for c in page["cells"]
+    ]
+    score = page_parse_score([c[5] for c in cells])
     if score < MIN_PARSE_SCORE:
         return [], score
     height = float(page["height"])
 
-    headers: list[dict] = []
-    footers: list[dict] = []
-    mid: list[dict] = []
+    headers: list[tuple] = []
+    footers: list[tuple] = []
+    mid: list[tuple] = []
     for c in cells:
-        if c["b"] <= HEADER_BAND:
+        if c[3] <= HEADER_BAND:
             headers.append(c)
-        elif c["t"] >= height - FOOTER_BAND:
+        elif c[1] >= height - FOOTER_BAND:
             footers.append(c)
         else:
             mid.append(c)
 
-    footnotes = [c for c in mid
-                 if float(c.get("font_size", 10.0)) <= FOOTNOTE_FONT]
-    mid = [c for c in mid
-           if float(c.get("font_size", 10.0)) > FOOTNOTE_FONT]
+    footnotes = [c for c in mid if c[4] <= FOOTNOTE_FONT]
+    mid = [c for c in mid if c[4] > FOOTNOTE_FONT]
 
     regions: list[dict] = []
     for reg in page.get("tables", []):
@@ -298,12 +305,12 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
         else:
             regions.append({**reg, "kind": "picture", "cells": []})
 
-    body: list[dict] = []
+    body: list[tuple] = []
     for c in mid:
         # inlined _in_region/_center: this is cells × regions, the page's
         # hottest loop — function-call overhead dominates at ~30 cells/page
-        x = 0.5 * (c["l"] + c["r"])
-        y = 0.5 * (c["t"] + c["b"])
+        x = 0.5 * (c[0] + c[2])
+        y = 0.5 * (c[1] + c[3])
         for reg in regions:
             if reg["l"] <= x <= reg["r"] and reg["t"] <= y <= reg["b"]:
                 reg["cells"].append(c)
@@ -313,7 +320,7 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
 
     spans: list[Span] = []
     for c in sorted(headers, key=_BY_T_L):
-        t = c.get("text", "")
+        t = c[5]
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("page_header", txt, ""))
@@ -321,16 +328,20 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
     # column-aware flow: columns are detected over body cells AND region
     # boxes together (a column may contain only a figure), then each
     # column's cells become paragraph items and its regions become
-    # table/picture items, ordered by top y.
-    for reg in regions:
-        reg["_is_region"] = True
-    cols = _split_columns(body + regions)
+    # table/picture items, ordered by top y. A region rides the column
+    # split as a pseudo-cell tuple carrying its dict at index 5.
+    reg_tuples = [
+        (reg["l"], reg["t"], reg["r"], reg["b"], 0.0, reg)
+        for reg in regions
+    ]
+    cols = _split_columns(body + reg_tuples)
     col_items: list[list[dict]] = []
     for cc in cols:
-        cell_part = [c for c in cc if not c.get("_is_region")]
-        reg_part = [c for c in cc if c.get("_is_region")]
+        cell_part = [c for c in cc if type(c[5]) is str]
+        reg_part = [c for c in cc if type(c[5]) is not str]
         items = _paragraphs(cell_part)
-        for reg in reg_part:
+        for rt in reg_part:
+            reg = rt[5]
             items.append(
                 {"top": reg["t"], "l": reg["l"], "r": reg["r"], "b": reg["b"],
                  "font": 0.0, "region": reg}
@@ -383,13 +394,13 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
                     spans.append(("text", txt, ""))
 
     for c in sorted(footnotes, key=_BY_T_L):
-        t = c.get("text", "")
+        t = c[5]
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("footnote", txt, ""))
 
     for c in sorted(footers, key=_BY_T_L):
-        t = c.get("text", "")
+        t = c[5]
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if txt:
             spans.append(("page_footer", txt, ""))
