@@ -19,11 +19,19 @@ eager ``.convert("RGB")``, image_backend.py:168):
 * **BMP** — uncompressed BI_RGB 24/32-bit, bottom-up or top-down rows.
 * **PNM** — binary P5 (gray) / P6 (RGB), maxval ≤ 65535 (16-bit scaled
   down by high byte), plus ASCII P2/P3.
+* **TIFF** — baseline IFD walk (II/MM byte order), strip-organized
+  gray/RGB/RGBA at 8 bits/sample, compression 1 (none) and 32773
+  (PackBits); multi-page via chained IFDs (each page a frame, the
+  reference's eager multi-frame extraction, image_backend.py:160-170).
+* **GIF** — LZW decode (variable code width, clear/EOI), global/local
+  palettes, interlace, multi-frame with disposal-ignored full-frame
+  composition over the logical screen.
 
-Out of scope in this container (documented, poison-safe): JPEG (DCT
-stack), TIFF/GIF (LZW), WEBP/HEIC — these raise :class:`ImageError`,
-which the extract path converts to a ``status="failure"`` row, never an
-exception (ConversionStatus parity, base_models.py:85-91).
+Out of scope in this container (documented, poison-safe): JPEG/WEBP/HEIC
+(lossy DCT stacks — also incompatible with the exact pixel-fingerprint
+round-trip oracle) — these raise :class:`ImageError`, which the extract
+path converts to a ``status="failure"`` row, never an exception
+(ConversionStatus parity, base_models.py:85-91).
 """
 
 from __future__ import annotations
@@ -324,29 +332,275 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, str]:
 
 
 # ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+def _unpackbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF compression 32773) decode."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i: i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise ImageError("TIFF PackBits truncated")
+            out += data[i: i + 1] * (257 - h)
+            i += 1
+        # 128: no-op
+    if len(out) < expected:
+        raise ImageError("TIFF PackBits output short")
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
+    """TIFF bytes → [(HxWx3 RGB, mode)] per page (chained IFDs)."""
+    if data[:4] == b"II*\x00":
+        end = "<"
+    elif data[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        raise ImageError("not a TIFF")
+
+    def u16(off: int) -> int:
+        return struct.unpack(end + "H", data[off: off + 2])[0]
+
+    def u32(off: int) -> int:
+        return struct.unpack(end + "I", data[off: off + 4])[0]
+
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def tag_values(entry_off: int) -> tuple[int, list[int]]:
+        tag = u16(entry_off)
+        typ = u16(entry_off + 2)
+        cnt = u32(entry_off + 4)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            return tag, []
+        total = size * cnt
+        voff = entry_off + 8 if total <= 4 else u32(entry_off + 8)
+        vals: list[int] = []
+        for k in range(cnt):
+            o = voff + k * size
+            if typ == 3:
+                vals.append(u16(o))
+            elif typ == 4:
+                vals.append(u32(o))
+            elif typ in (1, 2):
+                vals.append(data[o])
+            else:  # rational: value = num/den truncated (resolution tags)
+                vals.append(u32(o))
+        return tag, vals
+
+    frames: list[tuple[np.ndarray, str]] = []
+    ifd = u32(4)
+    seen: set[int] = set()
+    while ifd and ifd not in seen and len(frames) < 64:
+        seen.add(ifd)
+        if ifd + 2 > len(data):
+            raise ImageError("TIFF IFD out of range")
+        n_ent = u16(ifd)
+        tags: dict[int, list[int]] = {}
+        for e in range(n_ent):
+            tag, vals = tag_values(ifd + 2 + 12 * e)
+            tags[tag] = vals
+        nxt_off = ifd + 2 + 12 * n_ent
+        ifd = u32(nxt_off) if nxt_off + 4 <= len(data) else 0
+
+        width = tags.get(256, [0])[0]
+        height = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        photometric = tags.get(262, [1])[0]
+        strip_offs = tags.get(273, [])
+        spp = tags.get(277, [1])[0]
+        rows_per_strip = tags.get(278, [height])[0] or height
+        strip_counts = tags.get(279, [])
+        if width <= 0 or height <= 0 or width * height > 64_000_000:
+            raise ImageError(f"TIFF bad dimensions {width}x{height}")
+        if any(b != 8 for b in bits):
+            raise ImageError(f"TIFF bits/sample {bits} not supported")
+        if comp not in (1, 32773):
+            raise ImageError(f"TIFF compression {comp} not supported")
+        if spp not in (1, 3, 4):
+            raise ImageError(f"TIFF {spp} samples/px not supported")
+        if not strip_offs:
+            raise ImageError("TIFF missing StripOffsets")
+        if not strip_counts:
+            strip_counts = [width * height * spp]
+        raster = bytearray()
+        row_bytes = width * spp
+        for si, (so, sc) in enumerate(zip(strip_offs, strip_counts)):
+            chunk = data[so: so + sc]
+            if comp == 32773:
+                n_rows = min(rows_per_strip, height - si * rows_per_strip)
+                chunk = _unpackbits_decode(chunk, n_rows * row_bytes)
+            raster += chunk
+        need = height * row_bytes
+        if len(raster) < need:
+            raise ImageError("TIFF raster truncated")
+        px = np.frombuffer(bytes(raster[:need]), dtype=np.uint8) \
+            .reshape(height, width, spp)
+        if spp == 1:
+            if photometric == 0:  # WhiteIsZero
+                px = 255 - px
+            frames.append((np.repeat(px, 3, axis=2), "L"))
+        elif spp == 3:
+            frames.append((np.ascontiguousarray(px), "RGB"))
+        else:
+            frames.append((np.ascontiguousarray(px[:, :, :3]), "RGBA"))
+    if not frames:
+        raise ImageError("TIFF has no images")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(min_code_size: int, data: bytes, max_px: int) -> bytes:
+    """GIF LZW decode (variable code width, clear + EOI codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageError("GIF LZW bad code")
+            out += entry
+            if len(out) > max_px:
+                raise ImageError("GIF LZW output overrun")
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
+    """GIF bytes → [(HxWx3 RGB, mode 'P')] per frame, each composed onto
+    the full logical screen (disposal ignored — frames independent)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ImageError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
+        raise ImageError(f"GIF bad dimensions {sw}x{sh}")
+    flags = data[10]
+    bg = data[11]
+    i = 13
+    gct: np.ndarray | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    frames: list[tuple[np.ndarray, str]] = []
+    screen = np.zeros((sh, sw), np.uint8)
+    if gct is not None:
+        screen[:] = bg
+    while i < len(data):
+        b0 = data[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while i < len(data) and data[i]:
+                i += 1 + data[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ImageError(f"GIF unknown block 0x{b0:02x}")
+        fx, fy, fw, fh = struct.unpack("<HHHH", data[i + 1: i + 9])
+        lflags = data[i + 9]
+        i += 10
+        pal = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            pal = np.frombuffer(data, np.uint8, 3 * n, i).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ImageError("GIF frame has no palette")
+        min_code = data[i]
+        i += 1
+        blocks = bytearray()
+        while i < len(data) and data[i]:
+            sz = data[i]
+            blocks += data[i + 1: i + 1 + sz]
+            i += 1 + sz
+        i += 1
+        idx = np.frombuffer(
+            _lzw_decode(min_code, bytes(blocks), fw * fh), np.uint8)
+        if len(idx) < fw * fh:
+            raise ImageError("GIF frame pixel data short")
+        grid = idx[: fw * fh].reshape(fh, fw)
+        if lflags & 0x40:  # interlaced rows
+            de = np.empty_like(grid)
+            rows = list(range(0, fh, 8)) + list(range(4, fh, 8)) + \
+                list(range(2, fh, 4)) + list(range(1, fh, 2))
+            de[np.array(rows, dtype=np.int64)] = grid
+            grid = de
+        if int(grid.max(initial=0)) >= len(pal):
+            raise ImageError("GIF palette index out of range")
+        frame = screen.copy()
+        frame[fy: fy + fh, fx: fx + fw] = grid
+        frames.append((pal[frame], "P"))
+    if not frames:
+        raise ImageError("GIF has no frames")
+    return frames
+
+
+# ---------------------------------------------------------------------------
 # dispatch + page wrapping
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_MAGICS = (
     (b"\xff\xd8\xff", "JPEG"),
-    (b"II*\x00", "TIFF"),
-    (b"MM\x00*", "TIFF"),
-    (b"GIF8", "GIF"),
     (b"RIFF", "WEBP"),
 )
 
 
-def decode_image(data: bytes) -> tuple[np.ndarray, str, str]:
-    """Magic-dispatch decode → (HxWx3 uint8 RGB, mode, container format)."""
+def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
+    """Magic-dispatch decode → ([(HxWx3 RGB, mode)] per frame, format).
+    Single-frame containers return one frame; TIFF pages and GIF frames
+    each become one entry (reference image_backend.py:160-170 eager
+    multi-frame extraction)."""
     if data[:8] == PNG_SIG:
-        arr, mode = decode_png(data)
-        return arr, mode, "png"
+        return [decode_png(data)], "png"
     if data[:2] == b"BM":
-        arr, mode = decode_bmp(data)
-        return arr, mode, "bmp"
+        return [decode_bmp(data)], "bmp"
     if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
-        arr, mode = decode_pnm(data)
-        return arr, mode, "pnm"
+        return [decode_pnm(data)], "pnm"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data), "tiff"
+    if data[:4] == b"GIF8":
+        return decode_gif(data), "gif"
     for magic, name in _UNSUPPORTED_MAGICS:
         if data[: len(magic)] == magic:
             raise ImageError(
@@ -354,6 +608,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, str]:
                 "this environment"
             )
     raise ImageError("unrecognized image container (bad magic)")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str, str]:
+    """First-frame decode → (HxWx3 uint8 RGB, mode, container format)."""
+    frames, fmt = decode_frames(data)
+    arr, mode = frames[0]
+    return arr, mode, fmt
 
 
 def image_to_page(arr: np.ndarray, media_ref: str) -> dict:
@@ -376,10 +637,10 @@ def image_to_page(arr: np.ndarray, media_ref: str) -> dict:
 def extract_image_unit(
     payload_b64: str,
 ) -> tuple[list[tuple[str, str, str]], int, float, str | None]:
-    """One ``image`` input span (base64 of an image file) → a single
-    ``picture`` span whose media_ref carries the decoded geometry, mode
-    and a pixel fingerprint (the span-schema analogue of the reference's
-    full-page bitmap page). Returns (spans, page_no=-1, score, error)."""
+    """One ``image`` input span (base64 of an image file) → one
+    ``picture`` span PER FRAME (TIFF pages / GIF frames; single frame for
+    the other containers), media_ref carrying the decoded geometry, mode
+    and pixel fingerprint. Returns (spans, page_no=-1, score, error)."""
     import base64
     import binascii
 
@@ -388,8 +649,12 @@ def extract_image_unit(
     except (binascii.Error, ValueError) as e:
         return [], -1, 0.0, f"image base64 decode error: {e}"
     try:
-        arr, mode, fmt = decode_image(data)
+        frames, fmt = decode_frames(data)
     except ImageError as e:
         return [], -1, 0.0, f"image decode error: {e}"
-    ref = image_media_ref(arr.shape[1], arr.shape[0], mode, arr.tobytes())
-    return [("picture", "", ref)], -1, 1.0, None
+    spans = [
+        ("picture", "",
+         image_media_ref(arr.shape[1], arr.shape[0], mode, arr.tobytes()))
+        for arr, mode in frames
+    ]
+    return spans, -1, 1.0, None

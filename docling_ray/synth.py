@@ -941,6 +941,141 @@ def pixels_to_pnm(rows: list[bytes], width: int, height: int,
             + b"".join(rows))
 
 
+def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
+                   gray: bool, packbits: bool = False) -> bytes:
+    """Minimal little-endian TIFF writer: one IFD per frame, one strip,
+    compression none or PackBits (literal-run-only encoding — valid
+    PackBits, independent of the decoder)."""
+    spp = 1 if gray else 3
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    ifd_ptr_pos = 4
+
+    for fi, rows in enumerate(frames):
+        raster = b"".join(rows)
+        if packbits:
+            # literal runs of ≤128 bytes per row (no RLE — still valid)
+            enc = bytearray()
+            for row in rows:
+                for off in range(0, len(row), 128):
+                    chunk = row[off: off + 128]
+                    enc.append(len(chunk) - 1)
+                    enc += chunk
+            strip = bytes(enc)
+        else:
+            strip = raster
+        strip_off = len(out)
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"
+        ifd_off = len(out)
+        entries = [
+            (256, 4, 1, width),            # ImageWidth
+            (257, 4, 1, height),           # ImageLength
+            (258, 3, spp, None),           # BitsPerSample (8 each)
+            (259, 3, 1, 32773 if packbits else 1),
+            (262, 3, 1, 1),                # BlackIsZero
+            (273, 4, 1, strip_off),        # StripOffsets
+            (277, 3, 1, spp),              # SamplesPerPixel
+            (278, 4, 1, height),           # RowsPerStrip
+            (279, 4, 1, len(strip)),       # StripByteCounts
+        ]
+        extra = b""
+        extra_base = ifd_off + 2 + 12 * len(entries) + 4
+        body = bytearray(_struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if tag == 258:
+                if spp == 1:
+                    body += _struct.pack("<HHIHH", tag, typ, cnt, 8, 0)
+                else:
+                    body += _struct.pack("<HHII", tag, typ, cnt,
+                                         extra_base + len(extra))
+                    extra += _struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+            elif typ == 3:
+                body += _struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+            else:
+                body += _struct.pack("<HHII", tag, typ, cnt, val)
+        next_ptr_pos = ifd_off + 2 + 12 * len(entries)
+        body += _struct.pack("<I", 0)  # next-IFD placeholder
+        out[ifd_ptr_pos: ifd_ptr_pos + 4] = _struct.pack("<I", ifd_off)
+        out += body + extra
+        ifd_ptr_pos = next_ptr_pos
+    return bytes(out)
+
+
+def _gif_lzw_encode(min_code_size: int, idx: bytes) -> bytes:
+    """Independent GIF LZW encoder (dict-building, variable code width,
+    clear first, EOI last, LSB-first bit packing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    put(clear)
+    w = b""
+    for byte in idx:
+        c = bytes((byte,))
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    if w:
+        put(table[w])
+    put(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def pixels_to_gif(frames_idx: list[bytes], width: int, height: int,
+                  palette: bytes) -> bytes:
+    """Minimal GIF89a writer: global palette, full-screen frames."""
+    n_colors = len(palette) // 3
+    depth = max(1, (n_colors - 1).bit_length())
+    pal_size = 1 << depth
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", width, height)
+    out.append(0x80 | (depth - 1))  # GCT present
+    out += b"\x00\x00"  # bg index, aspect
+    out += palette + b"\x00" * (3 * pal_size - len(palette))
+    min_code = max(2, depth)
+    for idx in frames_idx:
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, width, height)
+        out.append(0)  # no local palette, not interlaced
+        out.append(min_code)
+        enc = _gif_lzw_encode(min_code, idx)
+        for off in range(0, len(enc), 255):
+            chunk = enc[off: off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def build_image_doc(
     rng: random.Random, doc_id: str,
 ) -> tuple[str, list[Span], str]:
@@ -949,7 +1084,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(7)
+    variant = rng.randrange(10)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 0 or variant == 4:  # RGB png / bmp
@@ -988,12 +1123,37 @@ def build_image_doc(
         rgb = b"".join(rgb_rows)
         data = pixels_to_pnm(rgb_rows, w, h, gray=False)
         ref = image_media_ref(w, h, "RGB", rgb)
-    else:  # binary PGM
+    elif variant == 6:  # binary PGM
         g_rows = [rng.randbytes(w) for _ in range(h)]
         rgb = b"".join(bytes(v for b_ in row for v in (b_, b_, b_))
                        for row in g_rows)
         data = pixels_to_pnm(g_rows, w, h, gray=True)
         ref = image_media_ref(w, h, "L", rgb)
+    elif variant in (7, 8):  # TIFF: multi-page RGB (plain or PackBits)
+        n_pages = rng.randrange(1, 4)
+        frames = [[rng.randbytes(3 * w) for _ in range(h)]
+                  for _ in range(n_pages)]
+        data = pixels_to_tiff(frames, w, h, gray=False,
+                              packbits=(variant == 8))
+        refs = [image_media_ref(w, h, "RGB", b"".join(rows))
+                for rows in frames]
+        b64 = base64.b64encode(data).decode("ascii")
+        return (b64, [("picture", "", r) for r in refs],
+                S.STATUS_SUCCESS)
+    else:  # GIF: global palette, 1-2 full-screen frames
+        n_colors = rng.randrange(2, 17)
+        palette = rng.randbytes(3 * n_colors)
+        n_frames = rng.randrange(1, 3)
+        frames_idx = [bytes(rng.randrange(n_colors) for _ in range(w * h))
+                      for _ in range(n_frames)]
+        data = pixels_to_gif(frames_idx, w, h, palette)
+        refs = []
+        for idx in frames_idx:
+            rgb = b"".join(palette[3 * i: 3 * i + 3] for i in idx)
+            refs.append(image_media_ref(w, h, "P", rgb))
+        b64 = base64.b64encode(data).decode("ascii")
+        return (b64, [("picture", "", r) for r in refs],
+                S.STATUS_SUCCESS)
 
     b64 = base64.b64encode(data).decode("ascii")
     return b64, [("picture", "", ref)], S.STATUS_SUCCESS
