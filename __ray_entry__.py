@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_order_stats": A.mktsegment_order_stats,
         "topk_orders": A.topk_orders,
         "events_hourly": A.events_hourly_window,
+        "events_sliding": A.sliding_window_events,
         "distinct_event_types": A.distinct_event_types,
         "sessionize": A.sessionize_events,
         "asof_join": A.asof_join_events_orders,
@@ -912,6 +913,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         **_expected_table_sql(sf_dir),
         "lang_id": _lang_id_sql(),
+        "events_sliding": (
+            # each event joins its 4 enclosing 60-min windows at 15-min
+            # steps; window key kept in epoch-us (exact integers)
+            "SELECT e.event_type, "
+            "(epoch_us(e.ts) // 900000000) * 900000000 "
+            "- k.k * 900000000 AS window_start_us, "
+            "COUNT(*)::BIGINT AS n_events, "
+            "CAST(round(SUM(e.value) * 100) AS BIGINT) AS sum_value_x100 "
+            "FROM events e, (SELECT unnest(range(0, 4)) AS k) k "
+            "GROUP BY e.event_type, window_start_us "
+            "ORDER BY e.event_type, window_start_us"
+        ),
         "range_join": (
             # order dates mapped into the events month (same epoch-us
             # arithmetic as the Ray side) so the interval is non-vacuous

@@ -193,6 +193,59 @@ def events_hourly_window(sf_dir: str):
     ).sort(["event_type", "hour_bucket"])
 
 
+def sliding_window_events(sf_dir: str, window_min: int = 60,
+                          step_min: int = 15):
+    """SLIDING window aggregate (the windows family's third member next
+    to tumbling and session): per event_type, 60-minute windows sliding
+    every 15 minutes — each event contributes to window_min/step_min
+    windows. Vectorized replicate (np.repeat + step offsets) + per-batch
+    partial aggregation, then one small groupby; the replication factor
+    is a constant, not a shuffle multiplier."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = window_min // step_min
+    step_us = step_min * 60_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // step_us) * step_us  # newest window start per event
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * step_us,
+                            len(base)))
+        et = np.repeat(
+            batch["event_type"].to_numpy(zero_copy_only=False), k)
+        val = np.repeat(batch["value"].to_numpy(zero_copy_only=False), k)
+        t = pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "window_start_us": pa.array(starts),
+            "value": pa.array(val),
+        })
+        g = pa.TableGroupBy(t, ["event_type", "window_start_us"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start_us": g["window_start_us"],
+            "n_events": g["value_count"],
+            "sum_value": g["value_sum"],
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    agg = partials.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "window_start_us": t["window_start_us"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value_x100": pc.round(
+                pc.multiply(t["sum_value"], 100.0), 0).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort(["event_type", "window_start_us"])
+
+
 def distinct_event_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
