@@ -586,21 +586,35 @@ _UNSUPPORTED_MAGICS = (
 )
 
 
+def _total(fn, data: bytes):
+    """Totalize a decoder: structural failures on corrupt bytes (short
+    buffers, bad indices, numeric overflow) become ImageError — the fuzz
+    contract that the extract path turns into status=failure rows."""
+    try:
+        return fn(data)
+    except ImageError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ValueError, zlib.error) as e:
+        raise ImageError(
+            f"malformed image: {type(e).__name__}: {e}") from None
+
+
 def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
     """Magic-dispatch decode → ([(HxWx3 RGB, mode)] per frame, format).
     Single-frame containers return one frame; TIFF pages and GIF frames
     each become one entry (reference image_backend.py:160-170 eager
     multi-frame extraction)."""
     if data[:8] == PNG_SIG:
-        return [decode_png(data)], "png"
+        return [_total(decode_png, data)], "png"
     if data[:2] == b"BM":
-        return [decode_bmp(data)], "bmp"
+        return [_total(decode_bmp, data)], "bmp"
     if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
-        return [decode_pnm(data)], "pnm"
+        return [_total(decode_pnm, data)], "pnm"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
-        return decode_tiff(data), "tiff"
+        return _total(decode_tiff, data), "tiff"
     if data[:4] == b"GIF8":
-        return decode_gif(data), "gif"
+        return _total(decode_gif, data), "gif"
     for magic, name in _UNSUPPORTED_MAGICS:
         if data[: len(magic)] == magic:
             raise ImageError(

@@ -131,18 +131,80 @@ def _clean(text: str) -> str:
 
 # --- CALS/OASIS exchange tables (soextblx.dtd) -----------------------------
 # GrantV2 and AppV1 embed <table><tgroup><tbody><row><entry> markup (the
-# reference parses them with XmlTable, uspto_backend.py:1496-1816). Rebuilt
-# as a row/entry grid walk; column spans (namest/nameend) are out of scope
-# and collapse into the entry's own cell.
+# reference parses them with XmlTable, uspto_backend.py:1496-1816).
+# Rebuilt as a grid walk with colspec-aware column spans (colname /
+# namest+nameend) and morerows row spans; spanned cells replicate their
+# text — the same expanded-grid canonical form the HTML table parser
+# emits, so downstream grid consumers see one convention.
 
 def _cals_table_grid(tbl: ET.Element) -> list[list[str]]:
-    rows: list[list[str]] = []
-    for row in _findall_local(tbl, "row"):
-        cells = [_text_of(e) for e in row if _local(e.tag) == "entry"]
-        if cells:
-            rows.append(cells)
-    width = max((len(r) for r in rows), default=0)
-    return [r + [""] * (width - len(r)) for r in rows]
+    tgroup = _find_local(tbl, "tgroup")
+    scope = tgroup if tgroup is not None else tbl
+
+    # colspec name → 0-based index (explicit colnum or document order)
+    col_of: dict[str, int] = {}
+    next_col = 0
+    for cs in scope.iter():
+        if _local(cs.tag) != "colspec":
+            continue
+        num = cs.get("colnum")
+        idx = int(num) - 1 if num and num.isdigit() else next_col
+        name = cs.get("colname")
+        if name:
+            col_of[name] = idx
+        next_col = idx + 1
+    try:
+        ncols = int(scope.get("cols", "0")) if scope is tgroup else 0
+    except ValueError:
+        ncols = 0
+    ncols = max(ncols, next_col)
+
+    rows_el = [r for r in scope.iter() if _local(r.tag) == "row"]
+    grid: list[list[str | None]] = []
+    # (col, remaining_rows, text) carried down by morerows
+    carry: list[tuple[int, int, int, str]] = []  # (c0, c1, remaining, text)
+    for row in rows_el:
+        out: list[str | None] = [None] * max(ncols, 1)
+
+        def put(c0: int, c1: int, text: str) -> None:
+            nonlocal out
+            if c1 >= len(out):
+                out.extend([None] * (c1 + 1 - len(out)))
+            for c in range(c0, c1 + 1):
+                out[c] = text
+
+        new_carry: list[tuple[int, int, int, str]] = []
+        for (c0, c1, rem, text) in carry:
+            put(c0, c1, text)
+            if rem > 1:
+                new_carry.append((c0, c1, rem - 1, text))
+        carry = new_carry
+        cursor = 0
+        for e in row:
+            if _local(e.tag) != "entry":
+                continue
+            text = _text_of(e)
+            st = e.get("namest")
+            en = e.get("nameend")
+            cn = e.get("colname")
+            if st and en and st in col_of and en in col_of:
+                c0, c1 = col_of[st], col_of[en]
+            elif cn and cn in col_of:
+                c0 = c1 = col_of[cn]
+            else:
+                while cursor < len(out) and out[cursor] is not None:
+                    cursor += 1
+                c0 = c1 = cursor
+            put(c0, c1, text)
+            cursor = c1 + 1
+            mr = e.get("morerows")
+            if mr and mr.isdigit() and int(mr) > 0:
+                carry.append((c0, c1, int(mr), text))
+        if any(v is not None for v in out):
+            grid.append(out)
+    width = max((len(r) for r in grid), default=0)
+    return [[("" if v is None else v) for v in r] + [""] * (width - len(r))
+            for r in grid]
 
 
 _V2_SKIP_TEXT = {"CWU"}  # tables/chemicals/formulas never join paragraph text

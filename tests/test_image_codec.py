@@ -371,3 +371,34 @@ def test_detect_image_kind():
     bmp_b64 = base64.b64encode(
         _bmp24(1, 1, bytes([1, 2, 3, 0]))).decode()
     assert sniff_kind(bmp_b64) == "image"
+
+
+# --- fuzz: decoders are total functions -----------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def test_fuzz_decode_never_raises_unexpected(data):
+        from docling_ray.stages.image_codec import decode_frames
+
+        try:
+            decode_frames(data)
+        except ImageError:
+            pass  # the only allowed failure mode
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=0, max_size=256))
+    def test_fuzz_valid_magic_corrupt_body(data):
+        from docling_ray.stages.image_codec import decode_frames
+
+        for magic in (b"\x89PNG\r\n\x1a\n", b"BM", b"P6\n", b"II*\x00",
+                      b"MM\x00*", b"GIF89a"):
+            try:
+                decode_frames(magic + data)
+            except ImageError:
+                pass
+except ImportError:  # pragma: no cover
+    pass

@@ -177,3 +177,40 @@ def test_uspto_dialect_detection():
     assert sniff_kind("<PATDOC><SDOBI/></PATDOC>") == "uspto"
     assert sniff_kind(
         "<patent-application-publication/>") == "uspto"
+
+
+def test_cals_table_spans():
+    """colspec-aware namest/nameend column spans + morerows row spans
+    replicate text across the expanded grid (XmlTable parity subset,
+    uspto_backend.py:1496-1816)."""
+    import xml.etree.ElementTree as ET
+
+    from docling_ray.stages.patent_xml import _cals_table_grid
+
+    raw = """<table><tgroup cols="3">
+      <colspec colname="c1"/><colspec colname="c2"/><colspec colname="c3"/>
+      <tbody>
+        <row><entry namest="c1" nameend="c2">wide</entry>
+             <entry>x</entry></row>
+        <row><entry morerows="1">tall</entry>
+             <entry>a</entry><entry>b</entry></row>
+        <row><entry>c</entry><entry>d</entry></row>
+      </tbody>
+    </tgroup></table>"""
+    grid = _cals_table_grid(ET.fromstring(raw))
+    assert grid == [["wide", "wide", "x"],
+                    ["tall", "a", "b"],
+                    ["tall", "c", "d"]]
+
+
+def test_cals_table_plain_rows_still_work():
+    import xml.etree.ElementTree as ET
+
+    from docling_ray.stages.patent_xml import _cals_table_grid
+
+    raw = """<table><tgroup cols="2"><tbody>
+      <row><entry>k</entry><entry>v</entry></row>
+      <row><entry>a</entry></row>
+    </tbody></tgroup></table>"""
+    grid = _cals_table_grid(ET.fromstring(raw))
+    assert grid == [["k", "v"], ["a", ""]]
