@@ -498,6 +498,16 @@ def _heading_levels(sf_dir: str):
     )
 
 
+def _rag_topk(sf_dir: str):
+    """RAG-ingestion composite (pipelines/rag.py): extraction →
+    heading-aware chunks → contextualized feature-hash embeddings →
+    cosine top-20 for the demo query. Oracle = the same chunker+embed
+    applied to the generator's expected spans."""
+    from docling_ray.pipelines.rag import rag_corpus_topk
+
+    return rag_corpus_topk(sf_dir, seed=SEED, k=20)
+
+
 def _render_bboxes(sf_dir: str):
     """Render-layout bbox provenance per span (stages/html_render.py —
     deterministic fixed-metric stand-in for the reference's headless-
@@ -678,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _contamination,
         "doc_chunks_hybrid": _doc_chunks_hybrid,
         "render_bboxes": _render_bboxes,
+        "rag_topk": _rag_topk,
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
         "ann_lsh": _ann_lsh,
@@ -893,6 +904,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             'SELECT doc_id, "offset", page_no, l, t, r, b '
             f"FROM read_parquet('{exp}/render_bboxes.parquet') "
             'ORDER BY doc_id, "offset"'
+        ),
+        "rag_topk": (
+            "SELECT doc_id, chunk_idx, sim_e6 "
+            f"FROM read_parquet('{exp}/rag_topk.parquet') "
+            "ORDER BY sim_e6 DESC, doc_id, chunk_idx"
         ),
         "picture_descriptions": (
             'SELECT doc_id, "offset", media_ref, description '

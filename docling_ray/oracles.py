@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -35,6 +36,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "stages", "heading_hierarchy.py"),
     os.path.join(_PKG, "stages", "chunker.py"),
     os.path.join(_PKG, "stages", "html_render.py"),
+    os.path.join(_PKG, "pipelines", "rag.py"),
     os.path.join(_PKG, "stages", "enrich.py"),
     os.path.join(_PKG, "stages", "kv_extract.py"),
     os.path.join(_PKG, "stages", "multimodal.py"),
@@ -45,7 +47,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v14"
+_LAYOUT_VERSION = b"v15"
 
 
 def _fingerprint() -> str:
@@ -134,6 +136,11 @@ _CHART_SCHEMA = pa.schema([
     ("chart_type", pa.string()),
     ("data", pa.string()),
 ])
+_RAG_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("chunk_idx", pa.int32()),
+    ("sim_e6", pa.int64()),
+])
 _BBOX_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -181,6 +188,7 @@ def ensure_expected_tables(
     )
     from docling_ray.stages.chunker import hybrid_chunks
     from docling_ray.stages.html_render import layout_spans
+    from docling_ray.pipelines.rag import embed_text, rag_query_vector
     from docling_ray.stages.export import (
         spans_to_chunks,
         spans_to_html,
@@ -208,6 +216,8 @@ def ensure_expected_tables(
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
     imgmeta, hybchunks, exp_html, exp_chunks, bboxes = [], [], [], [], []
+    rag_rows = []
+    rag_query = rag_query_vector()
     feat = MediaFeatureExtractor()
     for i in range(0, docs.num_rows, 64):
         rend = render_docs_batch(docs.slice(i, 64), seed=seed,
@@ -269,6 +279,12 @@ def ensure_expected_tables(
                     "text": c["text"],
                     "headings": " / ".join(c["headings"]),
                     "n_tokens": c["n_tokens"]})
+                head = " / ".join(c["headings"])
+                ctx = f"{head}\n{c['text']}" if head else c["text"]
+                sim = float(embed_text(ctx) @ rag_query)
+                rag_rows.append({
+                    "doc_id": row["doc_id"], "chunk_idx": j,
+                    "sim_e6": int(np.floor(sim * 1_000_000.0))})
             for s_ in spans:
                 ref = s_["media_ref"] or ""
                 if s_["kind"] == "picture" and ref.startswith("imgpx://"):
@@ -344,6 +360,10 @@ def ensure_expected_tables(
                    os.path.join(out, "export_chunks.parquet"))
     pq.write_table(pa.Table.from_pylist(bboxes, schema=_BBOX_SCHEMA),
                    os.path.join(out, "render_bboxes.parquet"))
+    rag_rows.sort(key=lambda r: (-r["sim_e6"], r["doc_id"],
+                                 r["chunk_idx"]))
+    pq.write_table(pa.Table.from_pylist(rag_rows[:20], schema=_RAG_SCHEMA),
+                   os.path.join(out, "rag_topk.parquet"))
     with open(os.path.join(out, "_SUCCESS"), "w") as f:
         f.write("ok")
     try:
