@@ -52,6 +52,15 @@ DEFAULT_FORMAT_OPTIONS: dict[str, dict[str, Any]] = {
         # treat empty-kind spans as auto-sniffed (stages/assemble.py)
         "auto_sniff": True,
     },
+    "image": {
+        # decoded-pixel ceiling per frame (stages/image_codec.py)
+        "max_pixels": 64_000_000,
+    },
+    "chunker": {
+        # hybrid-chunker token budget (stages/chunker.py)
+        "max_tokens": 64,
+        "merge_peers": True,
+    },
 }
 
 _resolved: dict[str, dict[str, Any]] | None = None

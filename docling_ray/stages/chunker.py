@@ -208,14 +208,24 @@ def contextualize(chunk: dict) -> str:
     return f"{head}\n{chunk['text']}" if head else chunk["text"]
 
 
-def chunk_docs_batch(batch: pa.Table, max_tokens: int = 64) -> pa.Table:
+def chunk_docs_batch(batch: pa.Table,
+                     max_tokens: int | None = None) -> pa.Table:
     """``map_batches`` kernel: extraction output rows (doc_id, spans) →
-    chunk rows (doc_id, chunk_idx, text, headings, n_tokens)."""
+    chunk rows (doc_id, chunk_idx, text, headings, n_tokens). The token
+    budget and peer-merge flag default from the ``chunker`` settings
+    kind (driver configure() reaches workers via the shipped snapshot)."""
+    from docling_ray.settings import options_for
+
+    opts = options_for("chunker")
+    if max_tokens is None:
+        max_tokens = int(opts.get("max_tokens", 64))
+    merge_peers = bool(opts.get("merge_peers", True))
     doc_ids, idxs, texts, heads, ntoks = [], [], [], [], []
     for did, spans in zip(batch["doc_id"].to_pylist(),
                           batch["spans"].to_pylist()):
         for j, c in enumerate(hybrid_chunks(spans or [],
-                                            max_tokens=max_tokens)):
+                                            max_tokens=max_tokens,
+                                            merge_peers=merge_peers)):
             doc_ids.append(did)
             idxs.append(j)
             texts.append(c["text"])

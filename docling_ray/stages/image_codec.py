@@ -48,6 +48,14 @@ class ImageError(ValueError):
     """Malformed or unsupported image payload."""
 
 
+def _max_pixels() -> int:
+    """Per-frame decoded-pixel ceiling (settings kind ``image``) — the
+    memory guard for adversarial headers claiming huge dimensions."""
+    from docling_ray.settings import options_for
+
+    return int(options_for("image").get("max_pixels", 64_000_000))
+
+
 # ---------------------------------------------------------------------------
 # PNG
 # ---------------------------------------------------------------------------
@@ -166,7 +174,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
             idat.extend(payload)
     if not seen_ihdr:
         raise ImageError("PNG missing IHDR")
-    if width <= 0 or height <= 0 or width * height > 64_000_000:
+    if width <= 0 or height <= 0 or width * height > _max_pixels():
         raise ImageError(f"PNG bad dimensions {width}x{height}")
     if interlace:
         raise ImageError("PNG Adam7 interlace not supported")
@@ -239,7 +247,8 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
         raise ImageError(f"BMP compression {compression} not supported")
     if bpp not in (24, 32):
         raise ImageError(f"BMP {bpp}-bit not supported")
-    if width <= 0 or height_raw == 0 or width * abs(height_raw) > 64_000_000:
+    if width <= 0 or height_raw == 0 or \
+            width * abs(height_raw) > _max_pixels():
         raise ImageError(f"BMP bad dimensions {width}x{height_raw}")
     height = abs(height_raw)
     bytes_px = bpp // 8
@@ -296,7 +305,7 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, str]:
     gray = magic in (b"P2", b"P5")
     ascii_ = magic in (b"P2", b"P3")
     (width, height, maxval), off = _pnm_header(data, 3)
-    if width <= 0 or height <= 0 or width * height > 64_000_000:
+    if width <= 0 or height <= 0 or width * height > _max_pixels():
         raise ImageError(f"PNM bad dimensions {width}x{height}")
     if not 0 < maxval < 65536:
         raise ImageError(f"PNM bad maxval {maxval}")
@@ -420,7 +429,7 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
         spp = tags.get(277, [1])[0]
         rows_per_strip = tags.get(278, [height])[0] or height
         strip_counts = tags.get(279, [])
-        if width <= 0 or height <= 0 or width * height > 64_000_000:
+        if width <= 0 or height <= 0 or width * height > _max_pixels():
             raise ImageError(f"TIFF bad dimensions {width}x{height}")
         if any(b != 8 for b in bits):
             raise ImageError(f"TIFF bits/sample {bits} not supported")
@@ -511,7 +520,7 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ImageError("not a GIF")
     sw, sh = struct.unpack("<HH", data[6:10])
-    if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
+    if sw <= 0 or sh <= 0 or sw * sh > _max_pixels():
         raise ImageError(f"GIF bad dimensions {sw}x{sh}")
     flags = data[10]
     bg = data[11]

@@ -56,7 +56,8 @@ def test_text_and_csv_never_raise(s):
                                      "xlsx_xml", "jats", "pptx_xml",
                                      "odt_xml", "epub_xhtml", "boxnote",
                                      "latex", "uspto", "xbrl", "mets_gbs",
-                                     "garbage_kind"]),
+                                     "image", "dclx", "doclang", "pdf",
+                                     "epub", "csv", "garbage_kind"]),
             "text": st.text(max_size=200),
             "media_ref": st.text(max_size=20),
             "offset": st.integers(min_value=0, max_value=100),

@@ -90,3 +90,42 @@ def test_configure_reaches_ray_workers(ray_session):
     settings.configure("detect", auto_sniff=False)
     sniff_off = extract_corpus(ray.data.from_arrow(corpus)).to_pandas()
     assert sniff_off["status"][0] == "failure"
+
+
+def test_image_and_chunker_options():
+    import base64
+
+    from docling_ray.stages.image_codec import extract_image_unit
+
+    settings.reset()
+    # shrink the pixel ceiling: a legal 8x8 PNG must now fail cleanly
+    import random
+
+    from docling_ray.synth import build_image_doc
+
+    b64, _exp, _ = build_image_doc(random.Random(3), "opt-img")
+    ok_spans, _, _, err = extract_image_unit(b64)
+    assert err is None and ok_spans
+    settings.configure("image", max_pixels=4)
+    spans, _, _, err = extract_image_unit(b64)
+    assert spans == [] and "dimensions" in (err or "")
+    settings.reset()
+
+    import pyarrow as pa
+
+    from docling_ray.stages.chunker import chunk_docs_batch
+
+    rows = pa.table({
+        "doc_id": ["d"],
+        "spans": [[{"kind": "title", "text": "T", "media_ref": "",
+                    "offset": 0},
+                   {"kind": "text", "text": "one two", "media_ref": "",
+                    "offset": 1},
+                   {"kind": "text", "text": "three four", "media_ref": "",
+                    "offset": 2}]],
+    })
+    merged = chunk_docs_batch(rows)
+    settings.configure("chunker", merge_peers=False)
+    unmerged = chunk_docs_batch(rows)
+    settings.reset()
+    assert merged.num_rows == 1 and unmerged.num_rows == 2
