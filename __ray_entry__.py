@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": A.topk_orders,
         "events_hourly": A.events_hourly_window,
         "events_sliding": A.sliding_window_events,
+        "event_quantiles": A.event_value_quantiles,
         "distinct_event_types": A.distinct_event_types,
         "sessionize": A.sessionize_events,
         "asof_join": A.asof_join_events_orders,
@@ -929,6 +930,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         **_expected_table_sql(sf_dir),
         "lang_id": _lang_id_sql(),
+        "event_quantiles": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "r AS (SELECT event_type, v, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY v) rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) n FROM b) "
+            "SELECT event_type, MAX(n)::BIGINT AS n_events, "
+            "MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) "
+            "THEN v END) AS p50_x100, "
+            "MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) "
+            "THEN v END) AS p95_x100 "
+            "FROM r GROUP BY event_type ORDER BY event_type"
+        ),
         "events_sliding": (
             # each event joins its 4 enclosing 60-min windows at 15-min
             # steps; window key kept in epoch-us (exact integers)

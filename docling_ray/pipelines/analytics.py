@@ -193,6 +193,56 @@ def events_hourly_window(sf_dir: str):
     ).sort(["event_type", "hour_bucket"])
 
 
+def event_value_quantiles(sf_dir: str):
+    """Exact nearest-rank quantiles (p50/p95) of the event value per
+    event type — the distributed analogue of the reference's
+    nanquantile confidence roll-ups (standard_pdf_pipeline.py:1101-1129).
+
+    Shape: values quantize to x100 integers (floor(v*100+0.5), identical
+    float64 ops in the SQL oracle), per-batch (type, bin) partial counts
+    → one SMALL histogram groupby (bins ≪ rows) → per-type nearest rank
+    from the cumulative histogram. Quantiles over the quantized values
+    are exact; no full-data sort, no data-scale group ever reaches
+    Python — the histogram is the only shuffled object."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "v": pa.array(bins)})
+        g = pa.TableGroupBy(t, ["event_type", "v"]).aggregate([("v", "count")])
+        return pa.table({"event_type": g["event_type"], "v": g["v"],
+                         "cnt": g["v_count"]})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+             .groupby(["event_type", "v"]).aggregate(
+                 Sum("cnt", alias_name="cnt"))
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def rank_value(p: float) -> int:
+            rank = int(np.ceil(p * n))
+            return int(v[np.searchsorted(cum, rank)])
+
+        return pa.table({
+            "event_type": group["event_type"][:1],
+            "n_events": pa.array([n], pa.int64()),
+            "p50_x100": pa.array([rank_value(0.5)], pa.int64()),
+            "p95_x100": pa.array([rank_value(0.95)], pa.int64()),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        quantiles, batch_format="pyarrow").sort("event_type")
+
+
 def sliding_window_events(sf_dir: str, window_min: int = 60,
                           step_min: int = 15):
     """SLIDING window aggregate (the windows family's third member next
