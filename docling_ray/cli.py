@@ -34,7 +34,7 @@ _EXT_FMT = {
     "markdown": ".md", "text": ".txt", "doctags": ".doctags.xml",
     "html": ".html", "html_split_page": ".paged.html", "vtt": ".vtt",
     "chunks": ".chunks.json", "json": ".json", "doclang": ".dclg",
-    "dclx": ".dclx",
+    "dclx": ".dclx", "yaml": ".yaml",
 }
 
 

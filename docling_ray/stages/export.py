@@ -317,6 +317,50 @@ def spans_to_dclx(spans: list[dict]) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+# ---------------------------------------------------------------------------
+# YAML — reference OutputFormat.YAML (base_models.py:132). No yaml lib in
+# this container, so the writer emits a strict subset (block sequence of
+# flat mappings, scalars as JSON strings — YAML's double-quoted style
+# accepts JSON escapes, so every emitted document is valid YAML) and
+# parse_yaml_spans reads exactly that subset back (round-trip tested).
+# ---------------------------------------------------------------------------
+
+def spans_to_yaml(spans: list[dict]) -> str:
+    lines = []
+    for s in spans:
+        lines.append(f"- kind: {json.dumps(s['kind'])}")
+        lines.append(f"  text: {json.dumps(s['text'], ensure_ascii=False)}")
+        lines.append(f"  media_ref: "
+                     f"{json.dumps(s['media_ref'], ensure_ascii=False)}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def parse_yaml_spans(raw: str) -> list[tuple[str, str, str]]:
+    """Inverse of :func:`spans_to_yaml` for the emitted subset."""
+    spans: list[tuple[str, str, str]] = []
+    cur: dict[str, str] = {}
+    for line in raw.splitlines():
+        body = line.strip()
+        if not body:
+            continue
+        if body.startswith("- "):
+            if cur:
+                spans.append((cur.get("kind", "text"), cur.get("text", ""),
+                              cur.get("media_ref", "")))
+            cur = {}
+            body = body[2:]
+        key, _, val = body.partition(":")
+        val = val.strip()
+        try:
+            cur[key.strip()] = json.loads(val) if val else ""
+        except json.JSONDecodeError:
+            raise ValueError(f"yaml subset: bad scalar {val!r}") from None
+    if cur:
+        spans.append((cur.get("kind", "text"), cur.get("text", ""),
+                      cur.get("media_ref", "")))
+    return spans
+
+
 _EXPORTERS = {
     "markdown": spans_to_markdown,
     "text": spans_to_text,
@@ -328,6 +372,7 @@ _EXPORTERS = {
     "json": spans_to_json,
     "doclang": spans_to_doclang,
     "dclx": spans_to_dclx,
+    "yaml": spans_to_yaml,
 }
 
 

@@ -171,3 +171,15 @@ def test_export_corpus_new_formats(ray_session):
                 "html_split_page"):
         out = export_corpus(ray.data.from_arrow(rows), fmt=fmt).to_pandas()
         assert len(out) == 1 and out["content"][0]
+
+
+def test_yaml_round_trip():
+    from docling_ray.stages.export import parse_yaml_spans, spans_to_yaml
+
+    spans = _HTML_SPANS + [
+        _sp("text", 'tricky: "quotes" \\ and\nnewline'),
+        _sp("text", "unicode ﬁ café"),
+    ]
+    out = parse_yaml_spans(spans_to_yaml(spans))
+    assert out == [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    assert spans_to_yaml([]) == ""
