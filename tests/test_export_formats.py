@@ -183,3 +183,24 @@ def test_yaml_round_trip():
     out = parse_yaml_spans(spans_to_yaml(spans))
     assert out == [(s["kind"], s["text"], s["media_ref"]) for s in spans]
     assert spans_to_yaml([]) == ""
+
+
+def test_markdown_round_trip_textual_subset():
+    """Markdown export re-extracts through the MD/TXT backend for the
+    textual kinds (title/section/text/list/code/formula) — the same
+    export→reload discipline as doctags/html/yaml; media kinds are
+    documented lossy in markdown (image links, flattened tables)."""
+    from docling_ray.stages.export import spans_to_markdown
+    from docling_ray.stages.text_extract import extract_text
+
+    spans = [
+        _sp("title", "T"),
+        _sp("text", "body para"),
+        _sp("section_header", "S"),
+        _sp("list_item", "item one"),
+        _sp("list_item", "item two"),
+        _sp("code", "x = 1"),
+        _sp("formula", "a + b"),
+    ]
+    out = extract_text(spans_to_markdown(spans))
+    assert out == [(s["kind"], s["text"], s["media_ref"]) for s in spans]
