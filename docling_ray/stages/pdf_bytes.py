@@ -7,10 +7,15 @@ this module implements the subset needed to recover text cells and layout
 regions from real PDF files using only the stdlib:
 
   * xref table + trailer parsing (incremental sections via ``/Prev``),
-    with a brute-force ``N 0 obj`` scan fallback for broken xrefs;
+    PDF 1.5+ cross-reference *streams* (``/Type /XRef`` with W-array
+    fields, ``/Index`` subsections, ``/Prev`` chains, hybrid ``/XRefStm``)
+    and compressed *object streams* (``/Type /ObjStm``), with a
+    brute-force ``N 0 obj`` scan fallback for broken xrefs;
   * the COS object model — dicts, arrays, names, numbers, literal and hex
     strings, references, streams (``/Length`` may itself be a reference);
-  * ``FlateDecode`` via ``zlib``;
+  * ``FlateDecode`` via ``zlib``, plus PNG/TIFF predictors declared in
+    ``/DecodeParms`` (Predictor 2 and 10–15, the forms real xref streams
+    use);
   * page-tree walk with ``/MediaBox``/``/Resources`` inheritance;
   * a content-stream interpreter for the text ops ``BT ET Tf TL Td TD Tm
     T* Tj TJ ' "`` plus ``q/Q/cm`` (translate+scale), ``re``+paint
@@ -234,12 +239,15 @@ class PdfDocument:
         self.lex = _Lexer(data)
         self._cache: dict[int, Any] = {}
         self.offsets: dict[int, int] = {}
+        # num -> (objstm num, index) for objects living in /ObjStm streams
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._loaded_objstms: set[int] = set()
         self.trailer: dict = {}
         try:
             self._load_xref()
         except Exception:
             self._scan_objects()
-        if not self.offsets:
+        if not self.offsets and not self.compressed:
             self._scan_objects()
         if "Root" not in self.trailer:
             # find the catalog by scanning
@@ -268,7 +276,7 @@ class PdfDocument:
         d = self.data
         i = self.lex.skip_ws(pos)
         if d[i : i + 4] != b"xref":
-            raise PdfError("xref table expected (xref streams unsupported)")
+            return self._load_xref_stream(i)
         i += 4
         while True:
             i = self.lex.skip_ws(i)
@@ -277,6 +285,15 @@ class PdfDocument:
                 trailer, _ = self.lex.parse(i)
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)
+                # hybrid-reference file: the table's trailer points at a
+                # parallel xref STREAM carrying the compressed-object map
+                xstm = trailer.get("XRefStm")
+                if xstm is not None:
+                    try:
+                        self._load_xref_stream(
+                            self.lex.skip_ws(int(xstm)))
+                    except (PdfError, ValueError, zlib.error):
+                        pass  # hybrid stream broken: table entries stand
                 prev = trailer.get("Prev")
                 return int(prev) if prev is not None else 0
             m = re.match(rb"(\d+)\s+(\d+)", d[i:])
@@ -293,6 +310,98 @@ class PdfDocument:
                     self.offsets.setdefault(start + k, int(m2.group(1)))
                 i += 20  # entries are fixed 20 bytes including EOL
 
+    def _load_xref_stream(self, i: int) -> int:
+        """PDF 1.5+ ``/Type /XRef`` cross-reference stream at byte ``i``
+        (just past the startxref / XRefStm target, whitespace skipped).
+        Decodes the W-array-packed entry table: type 0 = free, type 1 =
+        byte offset, type 2 = (object stream number, index within it)."""
+        d = self.data
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", d[i : i + 64])
+        if not m:
+            raise PdfError("xref table or xref stream expected")
+        val, _ = self.lex.parse(i + m.end())
+        if not (isinstance(val, tuple) and val and val[0] == "__stream__"):
+            raise PdfError("xref stream: stream object expected")
+        _, sdict, data_start = val
+        # /Length in an xref stream must be direct (the xref needed to
+        # resolve a reference is the one being built) — guard anyway
+        length = sdict.get("Length", 0)
+        if isinstance(length, Ref):
+            raise PdfError("xref stream /Length is indirect")
+        raw = d[data_start : data_start + int(length)]
+        data = self.stream_data(Stream(sdict, raw))
+        w = [int(x) for x in (sdict.get("W") or [])]
+        if not w or any(x < 0 for x in w) or sum(w) == 0:
+            raise PdfError("xref stream: bad /W")
+        size = int(sdict.get("Size", 0))
+        index = sdict.get("Index") or [0, size]
+        entry_len = sum(w)
+        pos = 0
+        for k in range(0, len(index) - 1, 2):
+            start, count = int(index[k]), int(index[k + 1])
+            for j in range(count):
+                if pos + entry_len > len(data):
+                    raise PdfError("xref stream: truncated entry table")
+                fields: list[int] = []
+                for wi in w:
+                    if wi == 0:
+                        # omitted field: type defaults to 1, others to 0
+                        fields.append(1 if not fields else 0)
+                    else:
+                        fields.append(
+                            int.from_bytes(data[pos : pos + wi], "big"))
+                        pos += wi
+                typ = fields[0]
+                f2 = fields[1] if len(fields) > 1 else 0
+                f3 = fields[2] if len(fields) > 2 else 0
+                num = start + j
+                if num in self.offsets or num in self.compressed:
+                    continue  # newer section wins (/Prev chain order)
+                if typ == 1:
+                    self.offsets[num] = f2
+                elif typ == 2:
+                    self.compressed[num] = (f2, f3)
+        for k, v in sdict.items():
+            if k not in ("Type", "W", "Index", "Filter", "DecodeParms",
+                         "Length", "Prev"):
+                self.trailer.setdefault(k, v)
+        prev = sdict.get("Prev")
+        return int(prev) if prev is not None else 0
+
+    def _load_objstm(self, stm_num: int) -> None:
+        """Decode one ``/Type /ObjStm`` compressed object stream and cache
+        every object it contains (N pairs of ``objnum offset`` then the
+        serialized objects starting at /First)."""
+        if stm_num in self._loaded_objstms:
+            return
+        self._loaded_objstms.add(stm_num)
+        stm = self.obj(Ref(stm_num, 0))
+        if not isinstance(stm, Stream) or \
+                self.resolve(stm.dict.get("Type")) != "ObjStm":
+            raise PdfError(f"object stream {stm_num} missing or not ObjStm")
+        data = self.stream_data(stm)
+        n = int(self.resolve(stm.dict.get("N", 0)))
+        first = int(self.resolve(stm.dict.get("First", 0)))
+        lex = _Lexer(data)
+        pairs: list[tuple[int, int]] = []
+        i = 0
+        for _ in range(n):
+            m1 = _NUM_RE.match(data, lex.skip_ws(i))
+            if not m1:
+                raise PdfError("ObjStm: bad pair table")
+            m2 = _NUM_RE.match(data, lex.skip_ws(m1.end()))
+            if not m2:
+                raise PdfError("ObjStm: bad pair table")
+            pairs.append((int(m1.group()), int(m2.group())))
+            i = m2.end()
+        for num, off in pairs:
+            if num in self._cache:
+                continue
+            val, _ = lex.parse(first + off)
+            if isinstance(val, tuple) and val and val[0] == "__stream__":
+                val = val[1]  # streams are illegal inside ObjStm: keep dict
+            self._cache[num] = val
+
     def _scan_objects(self) -> None:
         for m in _OBJ_SCAN_RE.finditer(self.data):
             self.offsets[int(m.group(1))] = m.start()
@@ -303,6 +412,11 @@ class PdfDocument:
             return self._cache[ref.num]
         off = self.offsets.get(ref.num)
         if off is None:
+            loc = self.compressed.get(ref.num)
+            if loc is not None:
+                self._load_objstm(loc[0])
+                if ref.num in self._cache:
+                    return self._cache[ref.num]
             raise PdfError(f"object {ref.num} not in xref")
         d = self.data
         m = re.match(rb"\s*\d+\s+\d+\s+obj", d[off : off + 64])
@@ -324,15 +438,73 @@ class PdfDocument:
 
     def stream_data(self, s: Stream) -> bytes:
         filt = self.resolve(s.dict.get("Filter"))
+        parms = self.resolve(s.dict.get("DecodeParms"))
         data = s.raw
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for k, f in enumerate(filters):
             f = self.resolve(f)
             if f == "FlateDecode":
                 data = zlib.decompress(data)
+                p = self.resolve(parms_list[k]) if k < len(parms_list) else None
+                if isinstance(p, dict):
+                    data = self._apply_predictor(data, p)
             else:
                 raise PdfError(f"unsupported stream filter {f!r}")
         return data
+
+    def _apply_predictor(self, data: bytes, parms: dict) -> bytes:
+        """Undo the /DecodeParms predictor after Flate: 1 = none, 2 = TIFF
+        horizontal differencing, >=10 = PNG per-row filters (the form every
+        real xref stream uses, typically Predictor 12 = Up)."""
+        pred = int(self.resolve(parms.get("Predictor", 1)) or 1)
+        if pred <= 1:
+            return data
+        colors = int(self.resolve(parms.get("Colors", 1)) or 1)
+        bpc = int(self.resolve(parms.get("BitsPerComponent", 8)) or 8)
+        columns = int(self.resolve(parms.get("Columns", 1)) or 1)
+        if bpc != 8:
+            raise PdfError(f"predictor bpc {bpc} unsupported")
+        bpp = max(1, colors)
+        rowlen = colors * columns
+        if pred == 2:  # TIFF: each byte += byte one sample earlier
+            out = bytearray(data)
+            for r0 in range(0, len(out) - rowlen + 1, rowlen):
+                for j in range(bpp, rowlen):
+                    out[r0 + j] = (out[r0 + j] + out[r0 + j - bpp]) & 0xFF
+            return bytes(out)
+        # PNG predictors: every row is prefixed with its filter byte
+        out = bytearray()
+        prev = bytearray(rowlen)
+        i = 0
+        while i + 1 + rowlen <= len(data):
+            ft = data[i]
+            row = bytearray(data[i + 1 : i + 1 + rowlen])
+            i += 1 + rowlen
+            if ft == 1:  # Sub
+                for j in range(bpp, rowlen):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for j in range(rowlen):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(rowlen):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for j in range(rowlen):
+                    a = row[j - bpp] if j >= bpp else 0
+                    b = prev[j]
+                    c = prev[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[j] = (row[j] + pr) & 0xFF
+            elif ft != 0:
+                raise PdfError(f"bad PNG filter byte {ft}")
+            out += row
+            prev = row
+        return bytes(out)
 
     # -- page tree --------------------------------------------------------
     def _walk_pages(self) -> list[tuple[int, dict]]:

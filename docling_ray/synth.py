@@ -621,19 +621,29 @@ def _pdf_text_op(text: str) -> str:
 
 
 def pages_to_pdf_bytes(pages: list[dict],
-                       outline: list[tuple[int, str, int]] | None = None) -> bytes:
-    """Render page dicts (the pdf_cells schema) into a real PDF 1.4 file:
-    xref table, FlateDecode content streams, Helvetica Type1 font, text
-    placed so the parser's geometry convention (baseline at cell bottom,
-    leading = cell height) recovers l/t/b/font exactly; table regions as
-    stroked rectangles; images as 1×1 XObjects carrying /DoclingRef."""
+                       outline: list[tuple[int, str, int]] | None = None,
+                       style: str = "classic") -> bytes:
+    """Render page dicts (the pdf_cells schema) into a real PDF file:
+    FlateDecode content streams, Helvetica Type1 font, text placed so the
+    parser's geometry convention (baseline at cell bottom, leading = cell
+    height) recovers l/t/b/font exactly; table regions as stroked
+    rectangles; images as 1×1 XObjects carrying /DoclingRef.
+
+    ``style="classic"`` serializes a PDF 1.4 file with a plain xref
+    table; ``style="xrefstream"`` serializes a PDF 1.5 file whose
+    non-stream objects live in a compressed /ObjStm and whose xref is a
+    /Type /XRef stream (W [1 4 2], Flate + PNG-Up Predictor 12) — the
+    modern-PDF shape the parser must handle independently."""
     objs: dict[int, bytes] = {}
+    stream_ids: set[int] = set()
     next_id = [4]  # 1=catalog, 2=pages, 3=font
 
-    def add(body: bytes) -> int:
+    def add(body: bytes, *, is_stream: bool = False) -> int:
         oid = next_id[0]
         next_id[0] += 1
         objs[oid] = body
+        if is_stream:
+            stream_ids.add(oid)
         return oid
 
     page_ids: list[int] = []
@@ -664,7 +674,7 @@ def pages_to_pdf_bytes(pages: list[dict],
                 b" /DoclingRef (" + ref.encode("latin-1") + b")"
                 b" /Length 1 >>\nstream\n\x00\nendstream"
             )
-            img_id = add(img_body)
+            img_id = add(img_body, is_stream=True)
             name = f"Im{k}"
             xobj_entries.append((name, img_id))
             ops.append(
@@ -676,7 +686,8 @@ def pages_to_pdf_bytes(pages: list[dict],
         content = zlib.compress("\n".join(ops).encode("latin-1"))
         content_id = add(
             b"<< /Filter /FlateDecode /Length " + str(len(content)).encode()
-            + b" >>\nstream\n" + content + b"\nendstream"
+            + b" >>\nstream\n" + content + b"\nendstream",
+            is_stream=True,
         )
         res = "<< /Font << /F1 3 0 R >>"
         if xobj_entries:
@@ -736,6 +747,8 @@ def pages_to_pdf_bytes(pages: list[dict],
                + b"] /Count " + str(len(page_ids)).encode() + b" >>")
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    if style == "xrefstream":
+        return _serialize_pdf_xrefstream(objs, stream_ids)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for oid in sorted(objs):
@@ -749,6 +762,79 @@ def pages_to_pdf_bytes(pages: list[dict],
         out += b"%010d 00000 n \n" % offsets[oid]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (n_obj, xref_pos))
+    return bytes(out)
+
+
+def _png_up_filter(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up filter (Predictor 12) to fixed-width rows — each
+    output row is 0x02 then byte-wise (row - prev_row) mod 256."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _serialize_pdf_xrefstream(objs: dict[int, bytes],
+                              stream_ids: set[int]) -> bytes:
+    """PDF 1.5 serialization: non-stream objects packed into one Flate
+    /ObjStm (type-2 xref entries), stream objects written top-level
+    (type 1), cross-reference emitted as a /Type /XRef stream whose entry
+    table is Flate + PNG-Up (Predictor 12) encoded — exercising the
+    parser's W-array, /Index, ObjStm and predictor paths."""
+    nonstream = sorted(oid for oid in objs if oid not in stream_ids)
+    objstm_id = max(objs) + 1
+    xref_id = objstm_id + 1
+
+    # /ObjStm payload: "num off" pair table, then the objects
+    body = bytearray()
+    pair_offs: list[tuple[int, int]] = []
+    for oid in nonstream:
+        pair_offs.append((oid, len(body)))
+        body += objs[oid] + b"\n"
+    header = " ".join(f"{o} {off}" for o, off in pair_offs).encode() + b"\n"
+    payload = zlib.compress(bytes(header) + bytes(body))
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+        b" /Length %d >>\nstream\n" % (len(nonstream), len(header),
+                                       len(payload))
+        + payload + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(stream_ids):
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += b"%d 0 obj\n" % objstm_id + objstm_body + b"\nendobj\n"
+
+    # xref stream: W [1 4 2], one row per object 0..xref_id (the xref
+    # stream itself gets a type-1 entry at its own byte offset)
+    xref_pos = len(out)
+    offsets[xref_id] = xref_pos
+    size = xref_id + 1
+    rows: list[bytes] = []
+    idx_of = {oid: k for k, oid in enumerate(nonstream)}
+    for num in range(size):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big")
+                        + (0xFFFF).to_bytes(2, "big"))
+        elif num in idx_of:
+            rows.append(b"\x02" + objstm_id.to_bytes(4, "big")
+                        + idx_of[num].to_bytes(2, "big"))
+        else:
+            rows.append(b"\x01" + offsets[num].to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    xdata = zlib.compress(_png_up_filter(rows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+            b" /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+            b" /Length %d >>\nstream\n" % (xref_id, size, len(xdata))
+            + xdata + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF" % xref_pos
     return bytes(out)
 
 
@@ -813,7 +899,10 @@ def build_pdf_bytes_doc(
                 lvl = 1 if has_title else 0
                 outline.append((lvl, text, pg_idx))
                 exp_outline.append((text, lvl, pg_idx + 1))
-    data = pages_to_pdf_bytes(page_dicts, outline=outline or None)
+    # half the corpus uses the modern PDF 1.5 shape (xref stream + ObjStm)
+    style = "xrefstream" if rng.random() < 0.5 else "classic"
+    data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
+                              style=style)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
             exp_outline)
