@@ -39,13 +39,19 @@ _EXT_FMT = {
 
 
 def _iter_files(sources: list[str]):
+    """Yield (path, output stem). Stems come from the path RELATIVE to the
+    source root with separators encoded, so a/x.html and b/x.md in one
+    tree cannot overwrite each other's converted output."""
     for src in sources:
         if os.path.isdir(src):
             for root, _dirs, files in os.walk(src):
                 for f in sorted(files):
-                    yield os.path.join(root, f)
+                    path = os.path.join(root, f)
+                    rel = os.path.relpath(path, src)
+                    stem = os.path.splitext(rel)[0].replace(os.sep, "__")
+                    yield path, stem
         else:
-            yield src
+            yield src, os.path.splitext(os.path.basename(src))[0]
 
 
 def _payload_for(path: str) -> str:
@@ -81,13 +87,21 @@ def cmd_convert(args: argparse.Namespace) -> int:
     if not files:
         print("no input files", file=sys.stderr)
         return 2
+    stem_of: dict[str, str] = {}
+    seen_stems: set[str] = set()
     rows = []
-    for path in files:
+    for path, stem in files:
         try:
             payload = _payload_for(path)
         except OSError as e:
             print(f"skip {path}: {e}", file=sys.stderr)
             continue
+        if stem in seen_stems:  # two sources collapsing to one output
+            print(f"error: duplicate output name {stem!r} (from {path})",
+                  file=sys.stderr)
+            return 2
+        seen_stems.add(stem)
+        stem_of[path] = stem
         rows.append({
             "doc_id": path,
             "spans": [{"kind": args.kind, "text": payload,
@@ -113,7 +127,7 @@ def cmd_convert(args: argparse.Namespace) -> int:
             if status == "failure":
                 n_fail += 1
                 continue
-            stem = os.path.splitext(os.path.basename(did))[0]
+            stem = stem_of[did]
             with open(os.path.join(args.output, stem + ext), "w") as f:
                 f.write(content)
             n_ok += 1

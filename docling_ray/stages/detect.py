@@ -101,13 +101,21 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
             if blob[:2] == b"\x1f\x8b":
                 return "mets_gbs"  # gzipped tar container
             if blob[:4] == b"PK\x03\x04":
-                # first local-file header names the anchor member:
-                # document.dclg → dclx archive; else epub container
-                if b"document.dclg" in blob or b".dclg" in blob[:128]:
-                    return "dclx"
-                if b"application/epub" in blob or b"container.xml" in blob:
-                    return "epub"
-                return "epub"  # remaining zip payloads are epub containers
+                # zip container: decode the FULL payload and sniff member
+                # names (the central directory lives at the end) — the
+                # reference's member sniff, document.py:763-1108: word/ →
+                # docx, xl/ → xlsx, ppt/ → pptx, ODF mimetype, epub
+                # container.xml, document.dclg → dclx
+                from docling_ray.stages.containers import sniff_zip_kind
+
+                try:
+                    full = base64.b64decode(s, validate=False)
+                except Exception:
+                    full = blob
+                kind = sniff_zip_kind(full)
+                if kind:
+                    return kind
+                return "epub"  # unrecognized zip: the lenient fallback
         except Exception:
             pass
 

@@ -230,6 +230,15 @@ def _lazy_office(name):
     return fn
 
 
+def _lazy_container(name):
+    def fn(raw: str):
+        from docling_ray.stages.containers import CONTAINER_EXTRACTORS
+
+        return CONTAINER_EXTRACTORS[name](raw)
+
+    return fn
+
+
 FORMAT_EXTRACTORS = {
     "vtt": extract_vtt,
     "eml": extract_eml,
@@ -239,4 +248,12 @@ FORMAT_EXTRACTORS = {
     "docx_xml": _lazy_office("docx_xml"),
     "xlsx_xml": _lazy_office("xlsx_xml"),
     "jats": _lazy_office("jats"),
+    # zip containers (base64 payloads; stages/containers.py resolves the
+    # package structure and delegates to the inner-XML extractors)
+    "docx": _lazy_container("docx"),
+    "xlsx": _lazy_container("xlsx"),
+    "pptx": _lazy_container("pptx"),
+    "odt": _lazy_container("odt"),
+    "ods": _lazy_container("ods"),
+    "odp": _lazy_container("odp"),
 }

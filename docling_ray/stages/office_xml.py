@@ -123,7 +123,10 @@ def _col_index(ref: str) -> int:
     return out - 1
 
 
-def extract_xlsx_xml(raw: str) -> list[Span]:
+def extract_xlsx_xml(raw: str, shared: list[str] | None = None) -> list[Span]:
+    """``shared`` is the workbook's sharedStrings table (``t="s"`` cells
+    hold an index into it — the container layer passes it; standalone
+    inner-XML payloads use inline strings only)."""
     root = ET.fromstring(raw)
     cells: dict[tuple[int, int], str] = {}
     for c in root.iter(f"{_S}c"):
@@ -139,6 +142,11 @@ def extract_xlsx_xml(raw: str) -> list[Span]:
             v = c.find(f"{_S}v")
             if v is not None:
                 text = v.text or ""
+                if c.get("t") == "s" and shared:
+                    try:
+                        text = shared[int(text)]
+                    except (ValueError, IndexError):
+                        pass  # bad index: keep the raw value
         text = collapse_whitespace(clean_unicode(text))
         if text:
             cells[(ri, ci)] = text

@@ -57,7 +57,8 @@ def test_text_and_csv_never_raise(s):
                                      "odt_xml", "epub_xhtml", "boxnote",
                                      "latex", "uspto", "xbrl", "mets_gbs",
                                      "image", "dclx", "doclang", "pdf",
-                                     "epub", "csv", "garbage_kind"]),
+                                     "epub", "csv", "docx", "xlsx", "pptx",
+                                     "odt", "ods", "odp", "garbage_kind"]),
             "text": st.text(max_size=200),
             "media_ref": st.text(max_size=20),
             "offset": st.integers(min_value=0, max_value=100),
