@@ -58,12 +58,9 @@ def ensure_corpus(path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     ds = derive_corpus(SF_DIR, seed=SEED, docs_per_row=DOCS_PER_ROW)
     write_corpus(ds, tmp)
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    from docling_ray.functions.fsutil import publish_dir
+
+    publish_dir(tmp, path)  # self-heals a stale marker-less destination
 
 
 def run_bench() -> dict:

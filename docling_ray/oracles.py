@@ -364,13 +364,9 @@ def ensure_expected_tables(
                                  r["chunk_idx"]))
     pq.write_table(pa.Table.from_pylist(rag_rows[:20], schema=_RAG_SCHEMA),
                    os.path.join(out, "rag_topk.parquet"))
-    with open(os.path.join(out, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    try:
-        os.rename(out, final)
-    except OSError:
-        # another process published first; ours is equivalent — discard
-        import shutil
+    from docling_ray.functions.fsutil import publish_dir
 
-        shutil.rmtree(out, ignore_errors=True)
+    # another process may publish first (ours is equivalent — discarded);
+    # a stale marker-less destination is removed and the rename retried
+    publish_dir(out, final)
     return final

@@ -107,10 +107,7 @@ def derive_corpus_stored(
         shutil.rmtree(tmp, ignore_errors=True)
         write_corpus(derive_corpus(sf_dir, seed=seed,
                                    docs_per_row=docs_per_row), tmp)
-        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-            f.write("ok")
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        from docling_ray.functions.fsutil import publish_dir
+
+        publish_dir(tmp, path)  # self-heals a stale marker-less destination
     return path

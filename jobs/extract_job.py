@@ -30,6 +30,8 @@ def main() -> int:
                     choices=["fast", "explode", "hybrid"])
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--max-parallel-shards", type=int, default=4,
+                    help="concurrent shard jobs (driver threads)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local only; ignored when a cluster is attached")
     args = ap.parse_args()
@@ -48,6 +50,7 @@ def main() -> int:
         args.input, args.output,
         num_shards=args.num_shards, mode=args.mode,
         batch_size=args.batch_size,
+        max_parallel_shards=args.max_parallel_shards,
     )
     summary = {
         "n_shards": len(records),
