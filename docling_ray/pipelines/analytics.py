@@ -556,6 +556,13 @@ def range_join_events_orders(sf_dir: str, days: int = 7,
         od_us = batch["o_orderdate"].cast(pa.timestamp("us")) \
             .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
             .astype(np.int64)
+        # numpy's % floors while SQL's % truncates toward zero — they
+        # only agree when the operand is non-negative, so pin the domain
+        # rather than let a pre-1995 date silently diverge from the oracle
+        if od_us.size and od_us.min() < _BASE_1995:
+            raise ValueError(
+                "range_join date mapping requires o_orderdate >= 1995-01-01 "
+                "(floored vs truncated modulo diverge below the base)")
         shifted = _BASE_2024 + (od_us - _BASE_1995) % _MOD_30D
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
@@ -610,12 +617,18 @@ def train_split(sf_dir: str, pct_train: int = 80, pct_val: int = 10):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        splits = []
-        for i in ids:
-            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-            splits.append("train" if b < pct_train
-                          else "val" if b < pct_train + pct_val else "test")
+        # hexdigest()[:8] as an int == big-endian first 4 digest bytes;
+        # join the 4-byte prefixes and let numpy do all arithmetic and
+        # label selection (the md5 calls themselves are C-backed).
+        prefixes = b"".join(
+            hashlib.md5(str(i).encode()).digest()[:4]
+            for i in batch["doc_id"].to_pylist()
+        )
+        bucket = np.frombuffer(prefixes, dtype=">u4").astype(np.int64) % 100
+        splits = np.select(
+            [bucket < pct_train, bucket < pct_train + pct_val],
+            ["train", "val"], default="test",
+        )
         return pa.table({"doc_id": batch["doc_id"],
                          "split": pa.array(splits, pa.string())})
 
