@@ -43,6 +43,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "functions", "normalize.py"),
     os.path.join(_PKG, "functions", "refs.py"),
     os.path.join(_PKG, "functions", "code_language.py"),
+    os.path.join(_PKG, "functions", "colorspace.py"),
 ]
 
 

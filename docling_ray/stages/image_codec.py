@@ -27,9 +27,18 @@ eager ``.convert("RGB")``, image_backend.py:168):
   palettes, interlace, multi-frame with disposal-ignored full-frame
   composition over the logical screen.
 
-Out of scope in this container (documented, poison-safe): JPEG/WEBP/HEIC
-(lossy DCT stacks — also incompatible with the exact pixel-fingerprint
-round-trip oracle) — these raise :class:`ImageError`, which the extract
+* **JPEG** — baseline sequential DCT (ITU-T T.81): Huffman entropy
+  decode from the file's own DHT tables, 8-bit quantization, gray or
+  YCbCr with any sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0),
+  restart intervals. The IDCT runs vectorized over all blocks of a
+  component (one einsum against the 8×8 DCT basis). Progressive,
+  arithmetic-coded and 12-bit variants are rejected with a clear error.
+  The exact-fingerprint round trip holds because the generator writes
+  constant-per-MCU tiles with identity quantization — a DC-only block
+  reconstructs bit-exactly (see synth.pixels_to_jpeg).
+
+Out of scope in this container (documented, poison-safe): WEBP/HEIC and
+progressive JPEG — these raise :class:`ImageError`, which the extract
 path converts to a ``status="failure"`` row, never an exception
 (ConversionStatus parity, base_models.py:85-91).
 """
@@ -586,11 +595,307 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81)
+# ---------------------------------------------------------------------------
+
+# zigzag scan position k → natural (row-major) coefficient index
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal DCT-II basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16);
+# inverse transform of a coefficient block F is Aᵀ·F·A
+_DCT_A = np.array([
+    [(0.5 / np.sqrt(2) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman decode table (F.2.2.3 mincode/maxcode)."""
+
+    def __init__(self, counts: list[int], values: bytes):
+        if sum(counts) != len(values) or sum(counts) > 256:
+            raise ImageError("JPEG bad Huffman table")
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over one de-stuffed entropy segment."""
+
+    def __init__(self, segment: bytes):
+        self.bits = np.unpackbits(np.frombuffer(segment, dtype=np.uint8))
+        self.pos = 0
+
+    def read1(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ImageError("JPEG truncated entropy data")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ImageError("JPEG truncated entropy data")
+        v = 0
+        for b in self.bits[self.pos: self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def _huff_decode(reader: _BitReader, tbl: _HuffTable) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read1()
+        if tbl.maxcode[ln] >= 0 and code <= tbl.maxcode[ln]:
+            return tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
+    raise ImageError("JPEG invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (T.81 F.12)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the scan's entropy-coded data at RST markers, de-stuffing
+    0xFF00 → 0xFF. Returns (segments, index of the terminating marker).
+    Scans only the 0xFF positions (numpy), not every byte."""
+    ff = np.where(np.frombuffer(data, dtype=np.uint8)[pos:] == 0xFF)[0]
+    segs: list[bytes] = []
+    cur = bytearray()
+    start = pos
+    for off in ff:
+        i = pos + int(off)
+        if i < start:
+            continue  # 0xFF inside an already-consumed stuffing pair
+        if i + 1 >= len(data):
+            start = i
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur += data[start:i + 1]  # keep the 0xFF, drop the stuffing 0x00
+            start = i + 2
+        elif 0xD0 <= m <= 0xD7:
+            cur += data[start:i]
+            segs.append(bytes(cur))
+            cur = bytearray()
+            start = i + 2
+        else:
+            cur += data[start:i]
+            segs.append(bytes(cur))
+            return segs, i
+    cur += data[start:]
+    segs.append(bytes(cur))
+    return segs, len(data)
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
+    """Baseline JPEG bytes → (HxWx3 uint8 RGB, mode 'L' or 'RGB')."""
+    if data[:2] != b"\xff\xd8":
+        raise ImageError("not a JPEG (bad SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    restart_interval = 0
+    frame = None  # (H, W, [(cid, h, v, tq)])
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise ImageError("JPEG marker expected")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if i + 2 > n:
+            raise ImageError("JPEG truncated segment")
+        seg_len = struct.unpack(">H", data[i:i + 2])[0]
+        if seg_len < 2:
+            raise ImageError("JPEG bad segment length")
+        seg = data[i + 2:i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                if vals.size != 64:
+                    raise ImageError("JPEG truncated DQT")
+                qtables[tq] = vals.astype(np.int32)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nv = sum(counts)
+                values = seg[p + 17:p + 17 + nv]
+                htables[(tc, th)] = _HuffTable(counts, values)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+            prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ImageError(f"JPEG {prec}-bit precision unsupported")
+            if nf not in (1, 3):
+                raise ImageError(f"JPEG {nf}-component images unsupported")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageError(
+                "JPEG progressive/arithmetic/lossless variants unsupported "
+                "(baseline sequential only)")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ImageError("JPEG SOS before SOF")
+            height, width, comps = frame
+            if height <= 0 or width <= 0:
+                raise ImageError("JPEG bad dimensions")
+            if width * height > _max_pixels():
+                raise ImageError("JPEG exceeds max_pixels")
+            ns = seg[0]
+            if ns != len(comps):
+                raise ImageError("JPEG partial scans unsupported")
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan_tabs[cs] = (tt >> 4, tt & 15)
+            segs, i = _entropy_segments(data, i)
+            return _decode_scan(height, width, comps, scan_tabs, qtables,
+                                htables, restart_interval, segs)
+        # APPn / COM / others: skipped
+    raise ImageError("JPEG missing SOS scan")
+
+
+def _decode_scan(height, width, comps, scan_tabs, qtables, htables,
+                 restart_interval, segs) -> tuple[np.ndarray, str]:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ImageError("JPEG sampling factors above 2x2 unsupported")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per component: zigzag-order coefficient store (n_blocks, 64)
+    coefs = []
+    for cid, h, v, tq in comps:
+        if h < 1 or v < 1:
+            raise ImageError("JPEG zero sampling factor")
+        if tq not in qtables:
+            raise ImageError("JPEG missing quantization table")
+        if cid not in scan_tabs:
+            raise ImageError("JPEG scan/frame component mismatch")
+        td, ta = scan_tabs[cid]
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ImageError("JPEG missing Huffman table")
+        coefs.append(np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int32))
+
+    interval = restart_interval or mcus_x * mcus_y
+    mcu = 0
+    total = mcus_x * mcus_y
+    for seg in segs:
+        if mcu >= total:
+            break
+        reader = _BitReader(seg)
+        preds = [0] * len(comps)
+        for _ in range(min(interval, total - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                td, ta = scan_tabs[cid]
+                dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = coefs[ci][my * v + by, mx * h + bx]
+                        s = _huff_decode(reader, dc_t)
+                        if s > 11:
+                            raise ImageError("JPEG bad DC category")
+                        preds[ci] += _extend(reader.read(s), s)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ImageError("JPEG AC index overflow")
+                            blk[k] = _extend(reader.read(sz), sz)
+                            k += 1
+            mcu += 1
+    if mcu < total:
+        raise ImageError("JPEG truncated scan (missing MCUs)")
+
+    planes = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        qt = qtables[tq]
+        rows_b, cols_b, _ = coefs[ci].shape
+        flat = coefs[ci].reshape(-1, 64) * qt[None, :]
+        nat = np.zeros_like(flat)
+        nat[:, _JPEG_ZIGZAG] = flat  # inverse zigzag
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        # f = Aᵀ·F·A for every block at once
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT_A, blocks, _DCT_A)
+        pix = np.clip(np.floor(pix + 128.0 + 0.5), 0.0, 255.0)
+        plane = (pix.reshape(rows_b, cols_b, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(rows_b * 8, cols_b * 8))
+        # crop to the component's true extent, then upsample to full size
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0),
+                          hmax // h, axis=1)[:height, :width]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        gray = planes[0].astype(np.uint8)
+        return np.stack([gray] * 3, axis=-1), "L"
+    from docling_ray.functions.colorspace import ycbcr_to_rgb
+
+    ycc = np.stack(planes, axis=-1)
+    return ycbcr_to_rgb(ycc), "RGB"
+
+
+# ---------------------------------------------------------------------------
 # dispatch + page wrapping
 # ---------------------------------------------------------------------------
 
 _UNSUPPORTED_MAGICS = (
-    (b"\xff\xd8\xff", "JPEG"),
     (b"RIFF", "WEBP"),
 )
 
@@ -624,6 +929,8 @@ def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
         return _total(decode_tiff, data), "tiff"
     if data[:4] == b"GIF8":
         return _total(decode_gif, data), "gif"
+    if data[:2] == b"\xff\xd8":
+        return [_total(decode_jpeg, data)], "jpeg"
     for magic, name in _UNSUPPORTED_MAGICS:
         if data[: len(magic)] == magic:
             raise ImageError(

@@ -1165,6 +1165,273 @@ def pixels_to_gif(frames_idx: list[bytes], width: int, height: int,
     return bytes(out)
 
 
+# --- baseline JPEG writer (ITU-T T.81 Annex K tables, identity quant) ---
+# Forward DCT + Huffman encode implemented here, independent of the
+# decoder's inverse path (stages/image_codec.decode_jpeg). With the
+# all-ones quantization table a constant 8x8 block carries ONLY an
+# integral DC coefficient, so quantization is lossless and a correct
+# decoder reconstructs the source bit-exactly — which is what lets the
+# generator hand-compute the expected pixel fingerprint for images built
+# from constant MCU-aligned tiles. Color expectation additionally runs
+# through the shared functions/colorspace pair (pinned by literal tests).
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical tables: (BITS counts per length 1..16, HUFFVAL)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes (T.81 Annex C): symbol → (code, length)."""
+    assert sum(bits) == len(vals)
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+
+
+def _jpeg_fdct(block) -> list[int]:
+    """8x8 spatial block → integer-rounded DCT coefficients (the writer's
+    own forward transform; the decoder owns the inverse)."""
+    import numpy as np
+
+    a = np.array([
+        [(0.5 / np.sqrt(2) if u == 0 else 0.5)
+         * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+        for u in range(8)
+    ])
+    f = a @ (np.asarray(block, dtype=np.float64) - 128.0) @ a.T
+    return [int(v) for v in np.rint(f).astype(np.int64).ravel()]
+
+
+def _jpeg_encode_block(w: _JpegBitWriter, coef: list[int], pred: int,
+                       dc_codes, ac_codes) -> int:
+    """Huffman-encode one block's zigzagged coefficients; returns new DC
+    predictor."""
+    def magnitude(v: int) -> tuple[int, int]:
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    zz = [coef[_JPEG_ZZ[k]] for k in range(64)]
+    diff = zz[0] - pred
+    s, bits_v = magnitude(diff)
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(bits_v, s)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s, bits_v = magnitude(zz[k])
+        code, ln = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(bits_v, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
+def pixels_to_jpeg(pixels, width: int, height: int, gray: bool,
+                   subsample: str = "444",
+                   restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG writer with identity quantization.
+
+    ``pixels``: top-down rows of bytes — ``width`` grays or ``3*width``
+    RGB per row. Color converts through the shared
+    functions/colorspace.rgb_to_ycbcr; ``subsample`` is ``"444"`` or
+    ``"420"`` (2x2 box-mean chroma)."""
+    import numpy as np
+
+    from docling_ray.functions.colorspace import rgb_to_ycbcr
+
+    if gray:
+        arr = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
+            height, width)
+        planes = [arr]
+        samps = [(1, 1)]
+    else:
+        rgb = np.frombuffer(b"".join(pixels), dtype=np.uint8).reshape(
+            height, width, 3)
+        ycc = rgb_to_ycbcr(rgb)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample == "420":
+            def down(p):
+                ph = (height + 1) // 2 * 2
+                pw = (width + 1) // 2 * 2
+                padded = np.pad(p.astype(np.float64),
+                                ((0, ph - height), (0, pw - width)),
+                                mode="edge")
+                return np.floor(
+                    padded.reshape(ph // 2, 2, pw // 2, 2)
+                    .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+            planes = [y, down(cb), down(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    # pad every plane to its block grid (edge replication keeps constant
+    # tiles constant, so the padding never perturbs the DC-only property)
+    padded = []
+    for p, (h, v) in zip(planes, samps):
+        ph, pw = p.shape
+        bh = -(-ph // 8) * 8
+        bw = -(-pw // 8) * 8
+        # the interleaved MCU grid may demand more blocks than the
+        # plane's own ceil-division (odd dims with subsampling)
+        bh = max(bh, -(-height // (8 * vmax)) * 8 * v)
+        bw = max(bw, -(-width // (8 * hmax)) * 8 * h)
+        padded.append(np.pad(p, ((0, bh - ph), (0, bw - pw)), mode="edge"))
+
+    dc_l = _jpeg_codes(*_DC_LUM)
+    ac_l = _jpeg_codes(*_AC_LUM)
+    dc_c = _jpeg_codes(*_DC_CHR)
+    ac_c = _jpeg_codes(*_AC_CHR)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+            + b"\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00")  # APP0
+    qt = bytes([1] * 64)
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + qt  # DQT id 0
+    nf = len(planes)
+    sof = _struct.pack(">BHHB", 8, height, width, nf)
+    for ci, (h, v) in enumerate(samps):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
+        *(((0, 1, _DC_CHR), (1, 1, _AC_CHR)) if nf == 3 else ()),
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nf])
+    for ci in range(nf):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    w = _JpegBitWriter()
+    preds = [0] * nf
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.flush()
+            out += w.out
+            w = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * nf
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (h, v) in enumerate(samps):
+            dc_codes = dc_l if ci == 0 else dc_c
+            ac_codes = ac_l if ci == 0 else ac_c
+            for by in range(v):
+                for bx in range(h):
+                    r0 = (my * v + by) * 8
+                    c0 = (mx * h + bx) * 8
+                    block = padded[ci][r0:r0 + 8, c0:c0 + 8]
+                    coef = _jpeg_fdct(block)
+                    preds[ci] = _jpeg_encode_block(
+                        w, coef, preds[ci], dc_codes, ac_codes)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def build_image_doc(
     rng: random.Random, doc_id: str,
 ) -> tuple[str, list[Span], str]:
@@ -1173,7 +1440,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(10)
+    variant = rng.randrange(12)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 0 or variant == 4:  # RGB png / bmp
@@ -1229,6 +1496,39 @@ def build_image_doc(
         b64 = base64.b64encode(data).decode("ascii")
         return (b64, [("picture", "", r) for r in refs],
                 S.STATUS_SUCCESS)
+    elif variant == 10:  # baseline JPEG, grayscale constant 8x8 tiles
+        # identity quantization + constant tiles → DC-only blocks →
+        # bit-exact reconstruction (the hand-computable expectation)
+        import numpy as np
+
+        tiles = np.frombuffer(
+            rng.randbytes(((h + 7) // 8) * ((w + 7) // 8)), np.uint8
+        ).reshape((h + 7) // 8, (w + 7) // 8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+        rows = [img[r].tobytes() for r in range(h)]
+        data = pixels_to_jpeg(rows, w, h, gray=True,
+                              restart_interval=rng.choice([0, 0, 2]))
+        rgb = np.stack([img] * 3, axis=-1).tobytes()
+        ref = image_media_ref(w, h, "L", rgb)
+    elif variant == 11:  # baseline JPEG, color constant tiles (444/420)
+        import numpy as np
+
+        from docling_ray.functions.colorspace import (rgb_to_ycbcr,
+                                                      ycbcr_to_rgb)
+
+        sub = rng.choice(["444", "420"])
+        t = 8 if sub == "444" else 16  # constant per MCU, any dims
+        tiles = np.frombuffer(
+            rng.randbytes(3 * ((h + t - 1) // t) * ((w + t - 1) // t)),
+            np.uint8,
+        ).reshape((h + t - 1) // t, (w + t - 1) // t, 3)
+        img = np.repeat(np.repeat(tiles, t, axis=0), t, axis=1)[:h, :w]
+        rows = [img[r].tobytes() for r in range(h)]
+        data = pixels_to_jpeg(rows, w, h, gray=False, subsample=sub)
+        # decoder reconstructs the YCbCr planes exactly; the only loss is
+        # the shared (pinned) color conversion round trip
+        expected = ycbcr_to_rgb(rgb_to_ycbcr(img))
+        ref = image_media_ref(w, h, "RGB", expected.tobytes())
     else:  # GIF: global palette, 1-2 full-screen frames
         n_colors = rng.randrange(2, 17)
         palette = rng.randbytes(3 * n_colors)

@@ -395,10 +395,130 @@ try:
         from docling_ray.stages.image_codec import decode_frames
 
         for magic in (b"\x89PNG\r\n\x1a\n", b"BM", b"P6\n", b"II*\x00",
-                      b"MM\x00*", b"GIF89a"):
+                      b"MM\x00*", b"GIF89a", b"\xff\xd8\xff\xe0"):
             try:
                 decode_frames(magic + data)
             except ImageError:
                 pass
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- JPEG (baseline sequential) -------------------------------------------
+
+def test_colorspace_literals():
+    """Pin the shared JFIF conversions by hand-computed values — the one
+    band of code the generator and decoder share for JPEG."""
+    import numpy as np
+
+    from docling_ray.functions.colorspace import rgb_to_ycbcr, ycbcr_to_rgb
+
+    # pure colors, hand-evaluated from the ITU-T T.871 formulas
+    assert rgb_to_ycbcr(np.array([[0, 0, 0]], np.uint8)).tolist() == [[0, 128, 128]]
+    assert rgb_to_ycbcr(np.array([[255, 255, 255]], np.uint8)).tolist() == [[255, 128, 128]]
+    # R=255: Y=76.245→76, Cb=128-43.028=84.97→85, Cr=128+127.5=255.5→255
+    assert rgb_to_ycbcr(np.array([[255, 0, 0]], np.uint8)).tolist() == [[76, 85, 255]]
+    # G=255: Y=149.685→150, Cb=128-84.47=43.53→44, Cr=128-106.77=21.23→21
+    assert rgb_to_ycbcr(np.array([[0, 255, 0]], np.uint8)).tolist() == [[150, 44, 21]]
+    # inverse: Y=76,Cb=85,Cr=255 → R=76+1.402*127=254.054→254
+    assert ycbcr_to_rgb(np.array([[76, 85, 255]], np.uint8)).tolist()[0][0] == 254
+    # gray axis is exact both ways
+    g = np.array([[128, 128, 128]], np.uint8)
+    assert ycbcr_to_rgb(rgb_to_ycbcr(g)).tolist() == [[128, 128, 128]]
+
+
+def test_jpeg_gray_constant_tiles_exact():
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    rng = np.random.RandomState(3)
+    w, h = 24, 16
+    tiles = rng.randint(0, 256, size=(h // 8, w // 8), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    data = pixels_to_jpeg([img[r].tobytes() for r in range(h)], w, h,
+                          gray=True)
+    arr, mode = decode_jpeg(data)
+    assert mode == "L"
+    assert np.array_equal(arr[..., 0], img)
+    assert np.array_equal(arr[..., 0], arr[..., 2])
+
+
+def test_jpeg_color_444_and_420_exact_on_mcu_tiles():
+    import numpy as np
+
+    from docling_ray.functions.colorspace import rgb_to_ycbcr, ycbcr_to_rgb
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    rng = np.random.RandomState(4)
+    for sub, t, w, h in (("444", 8, 24, 16), ("420", 16, 48, 32)):
+        tiles = rng.randint(0, 256, size=(h // t, w // t, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(tiles, t, axis=0), t, axis=1)
+        data = pixels_to_jpeg([img[r].tobytes() for r in range(h)], w, h,
+                              gray=False, subsample=sub)
+        arr, mode = decode_jpeg(data)
+        assert mode == "RGB"
+        assert np.array_equal(arr, ycbcr_to_rgb(rgb_to_ycbcr(img))), sub
+
+
+def test_jpeg_identity_quant_is_near_lossless_on_noise():
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    rng = np.random.RandomState(5)
+    w, h = 21, 13  # non-multiple-of-8 exercises padding + crop
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    data = pixels_to_jpeg([img[r].tobytes() for r in range(h)], w, h,
+                          gray=True, restart_interval=2)
+    arr, _ = decode_jpeg(data)
+    assert arr.shape == (h, w, 3)
+    assert np.abs(arr[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_rejects_progressive_and_bad_streams():
+    import struct as st
+
+    import pytest as _pytest
+
+    from docling_ray.stages.image_codec import ImageError, decode_jpeg
+
+    # SOF2 (progressive) after a minimal DQT
+    prog = (b"\xff\xd8"
+            + b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes(64)
+            + b"\xff\xc2" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with _pytest.raises(ImageError, match="progressive"):
+        decode_jpeg(prog)
+    with _pytest.raises(ImageError, match="SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    # zero-length segment must not loop forever
+    with _pytest.raises(ImageError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x00\xff\xd9")
+
+
+def test_jpeg_corpus_variants_round_trip():
+    """The synth image-doc JPEG variants (10: gray, 11: color) round-trip
+    through extract_image_unit against their hand-computed refs."""
+    import random
+
+    from docling_ray.stages.image_codec import extract_image_unit
+    from docling_ray.synth import build_image_doc
+
+    seen = set()
+    for t in range(200):
+        rng = random.Random(9_000 + t)
+        variant_probe = random.Random(9_000 + t)
+        variant_probe.randrange(8, 49), variant_probe.randrange(8, 41)
+        variant = variant_probe.randrange(12)
+        b64, exp, status = build_image_doc(rng, f"jp-{t}")
+        spans, _, score, err = extract_image_unit(b64)
+        assert err is None, err
+        assert [tuple(s) for s in spans] == [tuple(e) for e in exp]
+        seen.add(variant)
+        if {10, 11} <= seen:
+            break
+    assert {10, 11} <= seen, "JPEG variants never drawn"
