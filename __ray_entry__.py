@@ -323,6 +323,44 @@ def _hyperlinks(sf_dir: str):
                  .sort(["doc_id", "link_idx"])
 
 
+def _form_fields(sf_dir: str):
+    """DOM form-field pairs from every html input span (the reference's
+    GraphData key-value regions, html_backend.py:3827,4303) — oracle =
+    the generator's independently recorded field list."""
+    import pyarrow as pa
+
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.html_extract import extract_form_fields
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, keys, vals, widgets = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            j = 0
+            for s in spans or []:
+                if s["kind"] != "html":
+                    continue
+                for key, value, widget in extract_form_fields(s["text"] or ""):
+                    doc_ids.append(did)
+                    idxs.append(j)
+                    keys.append(key)
+                    vals.append(value)
+                    widgets.append(widget)
+                    j += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "field_idx": pa.array(idxs, pa.int32()),
+            "key": pa.array(keys, pa.string()),
+            "value": pa.array(vals, pa.string()),
+            "widget": pa.array(widgets, pa.string()),
+        })
+
+    return corpus.map_batches(kernel, batch_format="pyarrow") \
+                 .sort(["doc_id", "field_idx"])
+
+
 def _formatting(sf_dir: str):
     """Inline bold/italic/strike/underline/script annotations from every
     html input span (reference _FORMAT_TAG_MAP, html_backend.py:151-166)."""
@@ -703,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chart_tables": _chart_tables,
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
+        "form_fields": _form_fields,
         "formatting": _formatting,
         "list_markers": _list_markers,
         "pdf_outline": _pdf_outline,
@@ -875,6 +914,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, link_idx, text, href, region "
             f"FROM read_parquet('{exp}/hyperlinks.parquet') "
             "ORDER BY doc_id, link_idx"
+        ),
+        "form_fields": (
+            "SELECT doc_id, field_idx, key, value, widget "
+            f"FROM read_parquet('{exp}/form_fields.parquet') "
+            "ORDER BY doc_id, field_idx"
         ),
         "formatting": (
             "SELECT doc_id, fmt_idx, text, style, region "

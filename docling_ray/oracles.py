@@ -48,7 +48,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v15"
+_LAYOUT_VERSION = b"v16"
 
 
 def _fingerprint() -> str:
@@ -104,6 +104,13 @@ _MARKERS_SCHEMA = pa.schema([
     ("marker_idx", pa.int32()),
     ("text", pa.string()),
     ("marker", pa.string()),
+])
+_FIELDS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("field_idx", pa.int32()),
+    ("key", pa.string()),
+    ("value", pa.string()),
+    ("widget", pa.string()),
 ])
 _FMTS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -216,6 +223,7 @@ def ensure_expected_tables(
     summaries, headings, exports, detects = [], [], [], []
     codelangs, piccls, kvpairs, media, links, fmts = [], [], [], [], [], []
     outlines, picdescs, charts, markers = [], [], [], []
+    formfields = []
     imgmeta, hybchunks, exp_html, exp_chunks, bboxes = [], [], [], [], []
     rag_rows = []
     rag_query = rag_query_vector()
@@ -268,6 +276,10 @@ def ensure_expected_tables(
             for j, mk in enumerate(row.get("expected_markers") or []):
                 markers.append({"doc_id": row["doc_id"], "marker_idx": j,
                                 "text": mk["text"], "marker": mk["marker"]})
+            for j, fd in enumerate(row.get("expected_fields") or []):
+                formfields.append({"doc_id": row["doc_id"], "field_idx": j,
+                                   "key": fd["key"], "value": fd["value"],
+                                   "widget": fd["widget"]})
             for j, fm in enumerate(row.get("expected_fmts") or []):
                 fmts.append({"doc_id": row["doc_id"], "fmt_idx": j,
                              "text": fm["text"], "style": fm["style"],
@@ -351,6 +363,8 @@ def ensure_expected_tables(
                    os.path.join(out, "chart_tables.parquet"))
     pq.write_table(pa.Table.from_pylist(markers, schema=_MARKERS_SCHEMA),
                    os.path.join(out, "list_markers.parquet"))
+    pq.write_table(pa.Table.from_pylist(formfields, schema=_FIELDS_SCHEMA),
+                   os.path.join(out, "form_fields.parquet"))
     pq.write_table(pa.Table.from_pylist(imgmeta, schema=_IMAGE_META_SCHEMA),
                    os.path.join(out, "image_meta.parquet"))
     pq.write_table(pa.Table.from_pylist(hybchunks, schema=_CHUNKS_SCHEMA),

@@ -421,8 +421,31 @@ class HtmlExtractor:
                         else "checkbox_unselected")
                 self._emit(spans, kind, "")
             return
+        if tag == "form":
+            self._handle_form(node, spans)
+            return
         # transparent containers: walk through
         self._walk_children(node, spans, pre=False)
+
+    def _handle_form(self, node: _Node, spans: list[Span]) -> None:
+        """Form container → structured field spans instead of loose
+        widget text (reference _handle_form_container,
+        html_backend.py:4303): checkbox/radio fields keep the existing
+        checkbox-kind + label-text convention; value widgets become the
+        canonical ``key: value`` text line the kv miner consumes
+        (kv_extract.mine_pairs). Non-widget form prose (legends, help
+        text) is out of scope — the field set IS the form's content."""
+        for f in _iter_form_fields(node):
+            if f["widget"] in ("checkbox", "radio"):
+                kind = ("checkbox_selected" if f["value"] == "true"
+                        else "checkbox_unselected")
+                self._emit(spans, kind, "")
+                if f["key"]:
+                    self._emit(spans, "text", f["key"])
+            elif f["key"] and f["value"]:
+                self._emit(spans, "text", f"{f['key']}: {f['value']}")
+            elif f["value"]:
+                self._emit(spans, "text", f["value"])
 
     def _handle_figure(self, node: _Node, spans: list[Span]) -> None:
         """figure → picture span (+ caption from figcaption, else img alt)
@@ -616,6 +639,141 @@ def extract_formatting(
             walk(c, b, f)
 
     walk(dom, False, False)
+    return out
+
+
+# --- DOM form mining (reference _extract_form_region /
+# _handle_form_container, html_backend.py:3827,4303) ----------------------
+
+# input types that carry no user data (never mined as fields)
+_WIDGET_SKIP_TYPES = {"submit", "button", "reset", "image", "hidden", "file"}
+
+
+def _label_text(label: _Node) -> str:
+    """A label's own text, excluding any wrapped widget subtrees (a
+    ``<label>Color <select>…</select></label>`` must not absorb the
+    option texts into the key)."""
+    parts: list[str] = []
+
+    def rec(n: object) -> None:
+        if isinstance(n, str):
+            parts.append(n)
+            return
+        assert isinstance(n, _Node)
+        if n.tag in _DROP or _is_hidden(n):
+            return
+        if n.tag in ("select", "textarea", "input", "option"):
+            return
+        for c in n.children:
+            rec(c)
+
+    rec(label)
+    text = collapse_whitespace(clean_unicode("".join(parts))).strip()
+    return text[:-1].rstrip() if text.endswith(":") else text
+
+
+def _iter_form_fields(form: _Node) -> list[dict]:
+    """Widgets of a form subtree in document order, each resolved to a
+    (key, value, widget) field. Key precedence mirrors the reference's
+    DOM pairing: ``label[for=id]`` → wrapping ``<label>`` → ``name``
+    attr → ``placeholder``. Values: inputs from ``value``/``checked``,
+    selects from the selected (else first) option, textareas from their
+    text content."""
+    labels_by_for: dict[str, str] = {}
+
+    def collect(n: _Node) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in _DROP or _is_hidden(c):
+                continue
+            if c.tag == "label" and c.attrs.get("for"):
+                labels_by_for.setdefault(c.attrs["for"], _label_text(c))
+            collect(c)
+
+    collect(form)
+    fields: list[dict] = []
+
+    def key_for(widget: _Node, wrap_label: str) -> str:
+        by_id = labels_by_for.get(widget.attrs.get("id", ""), "")
+        return (by_id or wrap_label or widget.attrs.get("name", "")
+                or widget.attrs.get("placeholder", "")).strip()
+
+    def walk(n: _Node, wrap_label: str) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in _DROP or _is_hidden(c):
+                continue
+            lbl = _label_text(c) if c.tag == "label" else wrap_label
+            if c.tag == "input":
+                typ = c.attrs.get("type", "text").lower()
+                if typ in _WIDGET_SKIP_TYPES:
+                    continue
+                if typ in ("checkbox", "radio"):
+                    fields.append({
+                        "key": key_for(c, lbl),
+                        "value": "true" if "checked" in c.attrs else "false",
+                        "widget": typ,
+                    })
+                else:
+                    fields.append({
+                        "key": key_for(c, lbl),
+                        "value": collapse_whitespace(
+                            clean_unicode(c.attrs.get("value", ""))).strip(),
+                        "widget": "input",
+                    })
+                continue
+            if c.tag == "select":
+                chosen = ""
+                first = None
+                for opt in c.children:
+                    if not isinstance(opt, _Node) or opt.tag != "option":
+                        continue
+                    text = collapse_whitespace(
+                        clean_unicode(_inline_text(opt))).strip()
+                    if first is None:
+                        first = text
+                    if "selected" in opt.attrs:
+                        chosen = text
+                        break
+                fields.append({
+                    "key": key_for(c, lbl),
+                    "value": chosen or (first or ""),
+                    "widget": "select",
+                })
+                continue  # options consumed
+            if c.tag == "textarea":
+                fields.append({
+                    "key": key_for(c, lbl),
+                    "value": collapse_whitespace(
+                        clean_unicode(_inline_text(c))).strip(),
+                    "widget": "textarea",
+                })
+                continue
+            walk(c, lbl)
+
+    walk(form, "")
+    return fields
+
+
+def extract_form_fields(html: str) -> list[tuple[str, str, str]]:
+    """DOM form-field annotations: (key, value, widget) in document
+    order across every ``<form>`` — the structural pairs the reference's
+    GraphData key-value regions carry (html_backend.py:3827,4303),
+    surfaced as a companion stream like :func:`extract_links`. Fields
+    with neither key nor value are dropped."""
+    dom = build_dom(html)
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node) -> None:
+        for c in node.children:
+            if not isinstance(c, _Node) or c.tag in _DROP or _is_hidden(c):
+                continue
+            if c.tag == "form":
+                for f in _iter_form_fields(c):
+                    if f["key"] or f["value"]:
+                        out.append((f["key"], f["value"], f["widget"]))
+                continue
+            walk(c)
+
+    walk(dom)
     return out
 
 

@@ -75,13 +75,15 @@ def build_html_doc(
 ) -> tuple[str, list[Span], list[tuple[str, str, str]],
            list[tuple[str, str, str]]]:
     """Render one HTML document + its expected span sequence + expected
-    hyperlink and inline-formatting annotations, each in document order."""
+    hyperlink, inline-formatting and form-field annotations, each in
+    document order."""
     frags: list[str] = ["<html><head><title>Ignored head title</title>",
                        "<style>body{color:#000}</style></head><body>"]
     exp: list[Span] = []
     links_exp: list[tuple[str, str, str]] = []
     fmt_exp: list[tuple[str, str, str]] = []
     marker_exp: list[tuple[str, str]] = []
+    fields_exp: list[tuple[str, str, str]] = []
     media_n = 0
     has_headings = rng.random() < 0.9
 
@@ -194,6 +196,61 @@ def build_html_doc(
             clean = "Café menu - \"daily\" 'special' cooperate zip..."
             frags.append(f"<p>{raw}</p>")
             exp.append(("text", clean, ""))
+    # form region: DOM-structural key-value fields (the extractor's
+    # _handle_form consumes the whole subtree — loose widget text never
+    # leaks; expectations here are hand-computed, reading-order)
+    if rng.random() < 0.30:
+        parts = ["<form>"]
+        n_fields = rng.randint(2, 5)
+        for fi in range(n_fields):
+            k = _words(rng, pool, 1)[0].capitalize()
+            widget = rng.choice(["input", "input", "checkbox", "select",
+                                 "textarea", "named"])
+            fid = f"fl{fi}"
+            if widget == "input":
+                v = " ".join(_words(rng, pool, rng.randint(1, 3)))
+                colon = ":" if rng.random() < 0.4 else ""
+                parts.append(f'<label for="{fid}">{k}{colon}</label>'
+                             f'<input id="{fid}" type="text" value="{v}"/>')
+                exp.append(("text", f"{k}: {v}", ""))
+                fields_exp.append((k, v, "input"))
+            elif widget == "checkbox":
+                checked = rng.random() < 0.5
+                lab = " ".join(_words(rng, pool, 2))
+                parts.append(
+                    '<label><input type="checkbox"'
+                    + (" checked" if checked else "") + f"/> {lab}</label>")
+                exp.append(("checkbox_selected" if checked
+                            else "checkbox_unselected", "", ""))
+                exp.append(("text", lab, ""))
+                fields_exp.append((lab, "true" if checked else "false",
+                                   "checkbox"))
+            elif widget == "select":
+                opts = _words(rng, pool, rng.randint(2, 4))
+                sel = rng.randrange(-1, len(opts))  # -1: none → first wins
+                parts.append(
+                    f'<label for="{fid}">{k}</label><select id="{fid}">'
+                    + "".join(
+                        f'<option{" selected" if i == sel else ""}>{o}'
+                        "</option>" for i, o in enumerate(opts))
+                    + "</select>")
+                v = opts[sel] if sel >= 0 else opts[0]
+                exp.append(("text", f"{k}: {v}", ""))
+                fields_exp.append((k, v, "select"))
+            elif widget == "textarea":
+                v = _sentence(rng, pool)
+                parts.append(f'<label for="{fid}">{k}</label>'
+                             f'<textarea id="{fid}">{v}</textarea>')
+                exp.append(("text", f"{k}: {v}", ""))
+                fields_exp.append((k, v, "textarea"))
+            else:  # name-attr input, no label
+                v = _words(rng, pool, 1)[0]
+                parts.append(
+                    f'<input type="text" name="{k}" value="{v}"/>')
+                exp.append(("text", f"{k}: {v}", ""))
+                fields_exp.append((k, v, "input"))
+        parts.append('<input type="submit" value="Go"/></form>')
+        frags.append("".join(parts))
     # formula block
     if rng.random() < 0.25:
         expr = f"E_{rng.randrange(9)} = m c^{rng.randrange(2, 5)}"
@@ -219,7 +276,7 @@ def build_html_doc(
         fmt_exp.append((w3, "italic", "body"))
         fmt_exp.append((w4, "underline", "body"))
     frags.append("</body></html>")
-    return "".join(frags), exp, links_exp, fmt_exp, marker_exp
+    return "".join(frags), exp, links_exp, fmt_exp, marker_exp, fields_exp
 
 
 def _build_html_table(
@@ -1565,8 +1622,10 @@ def make_doc(
     fmts: list[tuple[str, str, str]] = []
     markers: list[tuple[str, str]] = []
     outline: list[tuple[str, int, int]] = []
+    fields: list[tuple[str, str, str]] = []
     if r < 0.60:
-        html, exp, links, fmts, markers = build_html_doc(rng, pool, doc_id)
+        html, exp, links, fmts, markers, fields = build_html_doc(
+            rng, pool, doc_id)
         in_spans = [("html", html, "")]
     elif r < 0.85:
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
@@ -1596,6 +1655,8 @@ def make_doc(
         "outline": [{"title": t, "level": lv, "page_no": pg}
                     for t, lv, pg in outline],
         "markers": [{"text": t, "marker": m} for t, m in markers],
+        "fields": [{"key": k, "value": v, "widget": w}
+                   for k, v, w in fields],
     }
     return input_row, expected_row
 
@@ -1628,7 +1689,10 @@ def make_corpus(
                      [("title", pa.string()), ("level", pa.int32()),
                       ("page_no", pa.int32())]))),
                  ("markers", pa.list_(pa.struct(
-                     [("text", pa.string()), ("marker", pa.string())])))]
+                     [("text", pa.string()), ("marker", pa.string())]))),
+                 ("fields", pa.list_(pa.struct(
+                     [("key", pa.string()), ("value", pa.string()),
+                      ("widget", pa.string())])))]
             ),
         ),
     )
@@ -1680,8 +1744,14 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
             [e["markers"] for e in expecteds],
             type=pa.list_(pa.struct([("text", pa.string()),
                                      ("marker", pa.string())])))
+        exp_fields = pa.array(
+            [e["fields"] for e in expecteds],
+            type=pa.list_(pa.struct([("key", pa.string()),
+                                     ("value", pa.string()),
+                                     ("widget", pa.string())])))
         tbl = tbl.append_column("expected_links", exp_links)
         tbl = tbl.append_column("expected_fmts", exp_fmts)
         tbl = tbl.append_column("expected_outline", exp_outline)
         tbl = tbl.append_column("expected_markers", exp_markers)
+        tbl = tbl.append_column("expected_fields", exp_fields)
     return tbl

@@ -187,7 +187,7 @@ def test_hyperlink_generator_roundtrip():
 
     for seed in range(40):
         rng = random.Random(seed)
-        html, _exp, links, fmts, markers = build_html_doc(
+        html, _exp, links, fmts, markers, fields = build_html_doc(
             rng, VOCAB, f"d{seed}")
         assert extract_links(html) == links
         from docling_ray.stages.html_extract import extract_formatting
@@ -196,6 +196,9 @@ def test_hyperlink_generator_roundtrip():
         from docling_ray.stages.html_extract import extract_list_markers
 
         assert extract_list_markers(html) == markers
+        from docling_ray.stages.html_extract import extract_form_fields
+
+        assert extract_form_fields(html) == fields
 
 
 def test_ordered_list_markers_honor_start():
