@@ -444,29 +444,92 @@ _XBRL_SKIP = {"context", "unit", "schemaRef", "roleRef", "arcroleRef",
 
 
 def extract_xbrl(raw: str) -> list[Span]:
+    """XBRL instance → title + text blocks + resolved fact table.
+
+    Mirrors the reference backend's instance-level resolution
+    (``docling/backend/xml/xbrl_backend.py:265-380``) without arelle:
+
+    * contexts resolve to period text (instant date, or
+      ``start - end`` for durations) and explicit dimensions
+      (``DimensionLocal: MemberLocal`` from ``xbrldi:explicitMember``
+      under segment/scenario, joined with ``; ``);
+    * units resolve ``unitRef`` to the first measure's local name
+      (numerator-first for ``divide`` units);
+    * the DEI triplet DocumentType / EntityRegistrantName /
+      DocumentPeriodEndDate becomes the document title
+      (xbrl_backend.py:265-274);
+    * ``*TextBlock`` facts carry escaped HTML — extracted through the
+      HTML backend into regular spans (xbrl_backend.py:288-311);
+    * every remaining fact lands in the grid with concept, period,
+      unit, decimals, dimensions and value columns.
+    """
     root = ET.fromstring(raw)
-    periods: dict[str, str] = {}
+    contexts: dict[str, tuple[str, str]] = {}
     for ctx in _findall_local(root, "context"):
         cid = ctx.get("id", "")
+        period_text = ""
         period = _find_local(ctx, "period")
         if period is not None:
-            parts = [_text_of(p) for p in period]
-            periods[cid] = "/".join(p for p in parts if p)
-    grid: list[list[str]] = [["concept", "period", "unit", "value"]]
+            instant = _find_local(period, "instant")
+            if instant is not None:
+                period_text = _text_of(instant)
+            else:
+                start = _text_of(_find_local(period, "startDate"))
+                end = _text_of(_find_local(period, "endDate"))
+                if start or end:
+                    period_text = f"{start} - {end}"
+        dims = []
+        for em in _findall_local(ctx, "explicitMember"):
+            dim_local = (em.get("dimension", "") or "").split(":")[-1]
+            member_local = _text_of(em).split(":")[-1]
+            if dim_local or member_local:
+                dims.append(f"{dim_local}: {member_local}")
+        contexts[cid] = (period_text, "; ".join(dims))
+    units: dict[str, str] = {}
+    for unit in _findall_local(root, "unit"):
+        uid = unit.get("id", "")
+        measure = _find_local(unit, "measure")
+        units[uid] = (_text_of(measure).split(":")[-1]
+                      if measure is not None else uid)
+    meta: dict[str, str] = {}
+    text_blocks: list[Span] = []
+    grid: list[list[str]] = [["concept", "period", "unit", "decimals",
+                              "dimensions", "value"]]
     for el in root:
         name = _local(el.tag)
         if name in _XBRL_SKIP or el.get("contextRef") is None:
             continue
+        if name in ("DocumentType", "EntityRegistrantName",
+                    "DocumentPeriodEndDate"):
+            meta[name] = _text_of(el)
+        if name.endswith("TextBlock"):
+            content = _text_of(el)
+            if content.strip():
+                from docling_ray.stages.html_extract import extract_html
+
+                text_blocks.extend(extract_html(content))
+            continue
+        cref = el.get("contextRef", "")
+        period_text, dims_text = contexts.get(cref, (cref, ""))
         grid.append([
             name,
-            periods.get(el.get("contextRef", ""), el.get("contextRef", "")),
-            el.get("unitRef", ""),
+            period_text,
+            units.get(el.get("unitRef", ""), el.get("unitRef", "")),
+            el.get("decimals", ""),
+            dims_text,
             _text_of(el),
         ])
-    if len(grid) == 1:
-        return []
-    return [("section_header", "Facts", ""),
-            ("table", "", grid_media_ref(grid))]
+    spans: list[Span] = []
+    title = " ".join(
+        v for v in (meta.get("DocumentType"), meta.get("EntityRegistrantName"),
+                    meta.get("DocumentPeriodEndDate")) if v).strip()
+    if title:
+        spans.append(("title", title, ""))
+    spans.extend(text_blocks)
+    if len(grid) > 1:
+        spans.append(("section_header", "Facts", ""))
+        spans.append(("table", "", grid_media_ref(grid)))
+    return spans
 
 
 # ---------------------------------------------------------------------------

@@ -46,9 +46,47 @@ def test_xbrl_facts():
     spans = extract_xbrl(raw)
     assert spans[0] == ("section_header", "Facts", "")
     grid = _grid(spans[1])
-    assert grid[0] == ["concept", "period", "unit", "value"]
-    assert ["Revenues", "2023-01-01/2023-12-31", "usd", "1000"] in grid
-    assert ["NetIncomeLoss", "2023-01-01/2023-12-31", "usd", "100"] in grid
+    assert grid[0] == ["concept", "period", "unit", "decimals",
+                       "dimensions", "value"]
+    assert ["Revenues", "2023-01-01 - 2023-12-31", "USD", "", "", "1000"] in grid
+    assert ["NetIncomeLoss", "2023-01-01 - 2023-12-31", "USD", "", "", "100"] in grid
+
+
+def test_xbrl_contexts_units_dimensions():
+    """Instant periods, explicit dimensions, divide units, decimals, the
+    DEI title triplet and escaped-HTML text blocks (reference
+    xbrl_backend.py:265-380)."""
+    raw = """<xbrl xmlns="http://www.xbrl.org/2003/instance"
+                 xmlns:xbrldi="http://xbrl.org/2006/xbrldi"
+                 xmlns:us-gaap="http://fasb.org/us-gaap/2023"
+                 xmlns:dei="http://xbrl.sec.gov/dei/2023">
+      <context id="I23"><entity><identifier scheme="s">X</identifier>
+        <segment><xbrldi:explicitMember dimension="us-gaap:SegmentAxis">
+          us-gaap:EuropeMember</xbrldi:explicitMember></segment></entity>
+        <period><instant>2023-12-31</instant></period></context>
+      <context id="FY23"><period><startDate>2023-01-01</startDate>
+        <endDate>2023-12-31</endDate></period></context>
+      <unit id="usd"><measure>iso4217:USD</measure></unit>
+      <unit id="eps"><divide><unitNumerator><measure>iso4217:USD</measure>
+        </unitNumerator><unitDenominator><measure>xbrli:shares</measure>
+        </unitDenominator></divide></unit>
+      <dei:DocumentType contextRef="FY23">10-K</dei:DocumentType>
+      <dei:EntityRegistrantName contextRef="FY23">Acme Corp</dei:EntityRegistrantName>
+      <dei:DocumentPeriodEndDate contextRef="FY23">2023-12-31</dei:DocumentPeriodEndDate>
+      <us-gaap:Assets contextRef="I23" unitRef="usd" decimals="-3">500</us-gaap:Assets>
+      <us-gaap:EarningsPerShareBasic contextRef="FY23" unitRef="eps">2.5</us-gaap:EarningsPerShareBasic>
+      <us-gaap:DescriptionTextBlock contextRef="FY23">&lt;p&gt;We make widgets.&lt;/p&gt;</us-gaap:DescriptionTextBlock>
+    </xbrl>"""
+    spans = extract_xbrl(raw)
+    assert spans[0] == ("title", "10-K Acme Corp 2023-12-31", "")
+    assert ("text", "We make widgets.", "") in spans
+    grid = _grid(spans[-1])
+    assert ["Assets", "2023-12-31", "USD", "-3",
+            "SegmentAxis: EuropeMember", "500"] in grid
+    assert ["EarningsPerShareBasic", "2023-01-01 - 2023-12-31", "USD",
+            "", "", "2.5"] in grid
+    # DEI facts also land in the grid
+    assert ["DocumentType", "2023-01-01 - 2023-12-31", "", "", "", "10-K"] in grid
 
 
 def test_mets_pages_ordered():
