@@ -63,6 +63,7 @@ from docling_ray.functions.normalize import (
     text_quality_score,
 )
 from docling_ray.stages.html_extract import grid_media_ref
+from docling_ray.stages.layout_postprocess import dedupe_overlapping_items
 
 Span = tuple[str, str, str]
 
@@ -267,6 +268,21 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
          float(c.get("font_size", 10.0)), c.get("text", ""))
         for c in page["cells"]
     ]
+    # duplicated-text-layer dedup (a PDF carrying an original + an OCR
+    # layer stamps every line twice, reference _deduplicate_cells,
+    # layout_postprocessor.py:592): same text at the same ~2pt-quantized
+    # anchor is one cell. Identity for well-formed pages — distinct
+    # lines never share an anchor.
+    if len(cells) > 1:
+        seen: set = set()
+        uniq = []
+        for c in cells:
+            k = (round(c[0] * 0.5), round(c[1] * 0.5), c[5])
+            if k not in seen:
+                seen.add(k)
+                uniq.append(c)
+        if len(uniq) < len(cells):
+            cells = uniq
     score = page_parse_score([c[5] for c in cells])
     if score < MIN_PARSE_SCORE:
         return [], score
@@ -349,6 +365,10 @@ def extract_page(page: dict) -> tuple[list[Span], float]:
         col_items.append(items)
 
     for items in col_items:
+        if len(items) > 1:
+            # collapse duplicated text layers (identity on disjoint
+            # layouts; stages/layout_postprocess.dedupe_overlapping_items)
+            items = dedupe_overlapping_items(items)
         items.sort(key=_BY_TOP_L)
         # caption matching: paragraph starting just below a region, overlapping it
         consumed: set[int] = set()

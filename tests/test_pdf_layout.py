@@ -128,3 +128,20 @@ def test_pdf_unit_error_and_page_no():
 def test_payload_defaults():
     p = parse_page_payload('{"cells": []}')
     assert p["width"] == 612.0 and p["tables"] == []
+
+
+def test_duplicated_text_layer_dedupes():
+    """A page carrying an original + a jittered OCR text layer (every
+    line stamped twice) extracts identically to the single layer
+    (reference _deduplicate_cells, layout_postprocessor.py:592)."""
+    from docling_ray.stages.pdf_layout import extract_page
+
+    cells = [{"l": 72.0, "t": 100.0 + 20 * i, "r": 300.0, "b": 112.0 + 20 * i,
+              "font_size": 10.0, "text": f"line {i} of the body text"}
+             for i in range(4)]
+    jittered = [dict(c, l=c["l"] + 0.3, t=c["t"] + 0.4) for c in cells]
+    page = {"page_no": 1, "width": 612.0, "height": 792.0,
+            "cells": cells + jittered, "tables": [], "images": []}
+    single = {"page_no": 1, "width": 612.0, "height": 792.0,
+              "cells": cells, "tables": [], "images": []}
+    assert extract_page(page)[0] == extract_page(single)[0]
