@@ -718,6 +718,9 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq)])
+    progressive = False
+    saw_scan = False
+    geom = None  # (coefs, mcus_x, mcus_y, hmax, vmax), allocated at 1st SOS
     i = 2
     n = len(data)
     while i < n:
@@ -761,7 +764,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ImageError(f"JPEG {prec}-bit precision unsupported")
@@ -772,11 +775,12 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageError(
-                "JPEG progressive/arithmetic/lossless variants unsupported "
-                "(baseline sequential only)")
+                "JPEG arithmetic/lossless/hierarchical variants unsupported "
+                "(Huffman sequential + progressive only)")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ImageError("JPEG SOS before SOF")
@@ -785,42 +789,75 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
                 raise ImageError("JPEG bad dimensions")
             if width * height > _max_pixels():
                 raise ImageError("JPEG exceeds max_pixels")
+            if geom is None:
+                geom = _alloc_coefs(height, width, comps, qtables)
+            coefs, mcus_x, mcus_y, hmax, vmax = geom
             ns = seg[0]
-            if ns != len(comps):
-                raise ImageError("JPEG partial scans unsupported")
-            scan_tabs = {}
+            scan_comps = []  # (component index, dc table id, ac table id)
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c:3 + 2 * c]
-                scan_tabs[cs] = (tt >> 4, tt & 15)
+                ci = next((k for k, cm in enumerate(comps) if cm[0] == cs),
+                          None)
+                if ci is None:
+                    raise ImageError("JPEG scan/frame component mismatch")
+                scan_comps.append((ci, tt >> 4, tt & 15))
+            if not progressive:
+                if ns != len(comps):
+                    raise ImageError("JPEG partial sequential scans "
+                                     "unsupported")
+                segs, i = _entropy_segments(data, i)
+                _decode_baseline_entropy(coefs, comps, scan_comps, htables,
+                                         restart_interval, segs,
+                                         mcus_x, mcus_y)
+                return _reconstruct(height, width, comps, coefs, qtables,
+                                    hmax, vmax)
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
             segs, i = _entropy_segments(data, i)
-            return _decode_scan(height, width, comps, scan_tabs, qtables,
-                                htables, restart_interval, segs)
+            _decode_progressive_scan(
+                coefs, comps, scan_comps, htables, restart_interval, segs,
+                mcus_x, mcus_y, hmax, vmax, height, width,
+                ss, se, a >> 4, a & 15)
+            saw_scan = True
         # APPn / COM / others: skipped
+    if progressive and saw_scan and geom is not None:
+        height, width, comps = frame
+        coefs, mcus_x, mcus_y, hmax, vmax = geom
+        return _reconstruct(height, width, comps, coefs, qtables, hmax, vmax)
     raise ImageError("JPEG missing SOS scan")
 
 
-def _decode_scan(height, width, comps, scan_tabs, qtables, htables,
-                 restart_interval, segs) -> tuple[np.ndarray, str]:
+def _alloc_coefs(height, width, comps, qtables):
+    """Validate frame geometry and allocate the per-component
+    zigzag-order coefficient stores (shared by sequential and
+    progressive decoding)."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
         raise ImageError("JPEG sampling factors above 2x2 unsupported")
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    # per component: zigzag-order coefficient store (n_blocks, 64)
     coefs = []
     for cid, h, v, tq in comps:
         if h < 1 or v < 1:
             raise ImageError("JPEG zero sampling factor")
-        if tq not in qtables:
-            raise ImageError("JPEG missing quantization table")
-        if cid not in scan_tabs:
-            raise ImageError("JPEG scan/frame component mismatch")
-        td, ta = scan_tabs[cid]
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise ImageError("JPEG missing Huffman table")
         coefs.append(np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int32))
+    return coefs, mcus_x, mcus_y, hmax, vmax
 
+
+def _scan_tables(scan_comps, htables, need_dc: bool, need_ac: bool):
+    out = []
+    for ci, td, ta in scan_comps:
+        dc_t = htables.get((0, td)) if need_dc else None
+        ac_t = htables.get((1, ta)) if need_ac else None
+        if (need_dc and dc_t is None) or (need_ac and ac_t is None):
+            raise ImageError("JPEG missing Huffman table")
+        out.append((ci, dc_t, ac_t))
+    return out
+
+
+def _decode_baseline_entropy(coefs, comps, scan_comps, htables,
+                             restart_interval, segs, mcus_x, mcus_y) -> None:
+    tabs = _scan_tables(scan_comps, htables, True, True)
     interval = restart_interval or mcus_x * mcus_y
     mcu = 0
     total = mcus_x * mcus_y
@@ -831,9 +868,8 @@ def _decode_scan(height, width, comps, scan_tabs, qtables, htables,
         preds = [0] * len(comps)
         for _ in range(min(interval, total - mcu)):
             my, mx = divmod(mcu, mcus_x)
-            for ci, (cid, h, v, tq) in enumerate(comps):
-                td, ta = scan_tabs[cid]
-                dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+            for ci, dc_t, ac_t in tabs:
+                _, h, v, _ = comps[ci]
                 for by in range(v):
                     for bx in range(h):
                         blk = coefs[ci][my * v + by, mx * h + bx]
@@ -860,8 +896,177 @@ def _decode_scan(height, width, comps, scan_tabs, qtables, htables,
     if mcu < total:
         raise ImageError("JPEG truncated scan (missing MCUs)")
 
+
+def _comp_block_grid(ci, comps, hmax, vmax, height, width):
+    """Non-interleaved data-unit grid for one component (T.81 A.2.2:
+    ceil of the component's own sample dimensions, not the MCU grid)."""
+    _, h, v, _ = comps[ci]
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (rows, cols)
+
+
+def _decode_progressive_scan(coefs, comps, scan_comps, htables,
+                             restart_interval, segs, mcus_x, mcus_y,
+                             hmax, vmax, height, width,
+                             ss, se, ah, al) -> None:
+    """One progressive scan (T.81 G.1.2): DC scans may interleave
+    components; AC scans cover one component's spectral band [ss, se]
+    with EOB-run coding; ah > 0 marks successive-approximation
+    refinement of bit ``al``."""
+    if ss > se or se > 63 or al > 13:
+        raise ImageError("JPEG bad progressive scan parameters")
+    if ss == 0:
+        if se != 0:
+            raise ImageError("JPEG DC scan with AC band")
+        _decode_dc_scan(coefs, comps, scan_comps, htables, restart_interval,
+                        segs, mcus_x, mcus_y, hmax, vmax, height, width,
+                        ah, al)
+    else:
+        if len(scan_comps) != 1:
+            raise ImageError("JPEG AC scans must be non-interleaved")
+        _decode_ac_scan(coefs, comps, scan_comps[0], htables,
+                        restart_interval, segs, hmax, vmax, height, width,
+                        ss, se, ah, al)
+
+
+def _decode_dc_scan(coefs, comps, scan_comps, htables, restart_interval,
+                    segs, mcus_x, mcus_y, hmax, vmax, height, width,
+                    ah, al) -> None:
+    first = ah == 0
+    tabs = _scan_tables(scan_comps, htables, first, False)
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        rows, cols = _comp_block_grid(ci, comps, hmax, vmax, height, width)
+        units = [(ci, u // cols, u % cols) for u in range(rows * cols)]
+    else:
+        units = []
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, _, _ in scan_comps:
+                _, h, v, _ = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        units.append((ci, my * v + by, mx * h + bx))
+        # interleaved restart counts MCUs, not data units
+    per_mcu = (1 if len(scan_comps) == 1
+               else sum(comps[ci][1] * comps[ci][2] for ci, _, _ in scan_comps))
+    interval = (restart_interval or (len(units) // per_mcu)) * per_mcu
+    dc_tab = {ci: t for ci, t, _ in tabs}
+    done = 0
+    for seg in segs:
+        if done >= len(units):
+            break
+        reader = _BitReader(seg)
+        preds = dict.fromkeys(dc_tab, 0)
+        for ci, by, bx in units[done:done + interval]:
+            blk = coefs[ci][by, bx]
+            if first:
+                s = _huff_decode(reader, dc_tab[ci])
+                if s > 11:
+                    raise ImageError("JPEG bad DC category")
+                preds[ci] += _extend(reader.read(s), s)
+                blk[0] = preds[ci] << al
+            else:
+                if reader.read1():
+                    blk[0] |= 1 << al
+            done += 1
+    if done < len(units):
+        raise ImageError("JPEG truncated DC scan")
+
+
+def _decode_ac_scan(coefs, comps, scan_comp, htables, restart_interval,
+                    segs, hmax, vmax, height, width, ss, se, ah, al) -> None:
+    ci, _, ta = scan_comp
+    ac_t = htables.get((1, ta))
+    if ac_t is None:
+        raise ImageError("JPEG missing Huffman table")
+    rows, cols = _comp_block_grid(ci, comps, hmax, vmax, height, width)
+    total = rows * cols
+    interval = restart_interval or total
+    p1 = 1 << al
+    m1 = -p1
+    done = 0
+    for seg in segs:
+        if done >= total:
+            break
+        reader = _BitReader(seg)
+        eobrun = 0
+        for u in range(done, min(done + interval, total)):
+            blk = coefs[ci][u // cols, u % cols]
+            if ah == 0:
+                # first pass over this band (G.1.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_t)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > se:
+                            raise ImageError("JPEG AC band overflow")
+                        blk[k] = _extend(reader.read(sz), sz) << al
+                        k += 1
+            else:
+                # refinement pass (G.1.2.3): correction bits on known
+                # coefficients, run-length over zero-history positions
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_t)
+                        r, sz = rs >> 4, rs & 15
+                        val = 0
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            # r == 15: ZRL skips 16 zero-history slots
+                        else:
+                            if sz != 1:
+                                raise ImageError(
+                                    "JPEG bad refinement magnitude")
+                            val = p1 if reader.read1() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.read1() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.read1() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+            done += 1
+    if done < total:
+        raise ImageError("JPEG truncated AC scan")
+
+
+def _reconstruct(height, width, comps, coefs, qtables,
+                 hmax, vmax) -> tuple[np.ndarray, str]:
     planes = []
     for ci, (cid, h, v, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ImageError("JPEG missing quantization table")
         qt = qtables[tq]
         rows_b, cols_b, _ = coefs[ci].shape
         flat = coefs[ci].reshape(-1, 64) * qt[None, :]

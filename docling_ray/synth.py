@@ -1280,6 +1280,18 @@ _AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
 ])
 
 
+# Progressive AC scans additionally need EOBn (n>1) symbols, which the
+# baseline Annex-K tables do not contain; real encoders emit custom
+# per-scan tables. One complete flat table covers every symbol a
+# progressive AC scan can produce: (run, size 1-10) x 16 runs, ZRL, and
+# EOB0..EOB14 - 176 symbols, all at code length 8 (Kraft 176/256 < 1).
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)] + [0xF0],
+)
+
+
 def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman codes (T.81 Annex C): symbol → (code, length)."""
     assert sum(bits) == len(vals)
@@ -1331,21 +1343,22 @@ def _jpeg_fdct(block) -> list[int]:
     return [int(v) for v in np.rint(f).astype(np.int64).ravel()]
 
 
-def _jpeg_encode_block(w: _JpegBitWriter, coef: list[int], pred: int,
-                       dc_codes, ac_codes) -> int:
-    """Huffman-encode one block's zigzagged coefficients; returns new DC
-    predictor."""
-    def magnitude(v: int) -> tuple[int, int]:
-        s = 0
-        a = abs(v)
-        while a:
-            s += 1
-            a >>= 1
-        return s, (v if v >= 0 else v + (1 << s) - 1)
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category s, s-bit two's-complement-style appended bits)."""
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
 
-    zz = [coef[_JPEG_ZZ[k]] for k in range(64)]
+
+def _jpeg_encode_block(w: _JpegBitWriter, zz: list[int], pred: int,
+                       dc_codes, ac_codes) -> int:
+    """Huffman-encode one block's zigzag coefficients (sequential);
+    returns the new DC predictor."""
     diff = zz[0] - pred
-    s, bits_v = magnitude(diff)
+    s, bits_v = _jpeg_magnitude(diff)
     code, ln = dc_codes[s]
     w.put(code, ln)
     if s:
@@ -1363,7 +1376,7 @@ def _jpeg_encode_block(w: _JpegBitWriter, coef: list[int], pred: int,
             code, ln = ac_codes[0xF0]  # ZRL
             w.put(code, ln)
             run -= 16
-        s, bits_v = magnitude(zz[k])
+        s, bits_v = _jpeg_magnitude(zz[k])
         code, ln = ac_codes[(run << 4) | s]
         w.put(code, ln)
         w.put(bits_v, s)
@@ -1374,15 +1387,123 @@ def _jpeg_encode_block(w: _JpegBitWriter, coef: list[int], pred: int,
     return zz[0]
 
 
+class _AcProgState:
+    """Cross-block EOB-run + buffered-correction-bit state for one
+    progressive AC scan (T.81 G.1.2.2/G.1.2.3 encoder side)."""
+
+    def __init__(self, w: _JpegBitWriter, ac_codes):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            n = self.eobrun
+            r = n.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.w.put(code, ln)
+            if r:
+                self.w.put(n - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.put(b, 1)
+        self.pending = []
+
+    def symbol(self, rs: int) -> None:
+        """A real (run, size) symbol ends any pending EOB run first."""
+        self.flush()
+        code, ln = self.ac[rs]
+        self.w.put(code, ln)
+
+    def eob(self, correction_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first(state: _AcProgState, zz: list[int], ss: int, se: int,
+                  al: int) -> None:
+    """First AC pass over band [ss, se] at approximation al."""
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        t = zz[k]
+        t = -((-t) >> al) if t < 0 else t >> al  # sign-magnitude shift
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            state.symbol(0xF0)
+            run -= 16
+        s, bits_v = _jpeg_magnitude(t)
+        state.symbol((run << 4) | s)
+        state.w.put(bits_v, s)
+        run = 0
+        wrote = True
+    if run > 0 or not wrote:
+        state.eob([])
+
+
+def _enc_ac_refine(state: _AcProgState, zz: list[int], ss: int, se: int,
+                   al: int) -> None:
+    """Refinement AC pass: newly-significant coefficients (magnitude 1
+    at this precision) as (run, 1) + sign; correction bits for
+    already-significant ones ride the bit stream behind the next
+    symbol. A pending >15 zero run flushes as ZRL at ANY nonzero
+    arrival - but only up to the last newly-significant position;
+    trailing runs and bits fold into the EOB run (the decoder reads
+    correction bits during each symbol's traversal span, so the
+    interleaving must match position for position)."""
+    t = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the last newly-significant coefficient
+    for idx, tv in enumerate(t):
+        if tv == 1:
+            eob = ss + idx
+    run = 0
+    bits: list[int] = []
+    wrote = False
+    for k in range(ss, se + 1):
+        tv = t[k - ss]
+        if tv == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            state.symbol(0xF0)
+            run -= 16
+            for b in bits:
+                state.w.put(b, 1)
+            bits = []
+        if tv > 1:  # already significant: correction bit
+            bits.append(tv & 1)
+            continue
+        state.symbol((run << 4) | 1)
+        state.w.put(1 if zz[k] > 0 else 0, 1)
+        for b in bits:
+            state.w.put(b, 1)
+        bits = []
+        run = 0
+        wrote = True
+    if run > 0 or bits or not wrote:
+        state.eob(bits)
+
+
 def pixels_to_jpeg(pixels, width: int, height: int, gray: bool,
                    subsample: str = "444",
-                   restart_interval: int = 0) -> bytes:
-    """Baseline sequential JPEG writer with identity quantization.
+                   restart_interval: int = 0,
+                   progressive: bool = False) -> bytes:
+    """JPEG writer with identity quantization: baseline sequential, or
+    progressive (``progressive=True``) with the standard spectral
+    selection + successive approximation scan script (DC Al=1 →
+    per-component AC 1-5 and 6-63 at Al=1 → DC refinement → AC
+    refinements), exercising EOB runs and correction bits.
 
     ``pixels``: top-down rows of bytes — ``width`` grays or ``3*width``
     RGB per row. Color converts through the shared
     functions/colorspace.rgb_to_ycbcr; ``subsample`` is ``"444"`` or
-    ``"420"`` (2x2 box-mean chroma)."""
+    ``"420"`` (2x2 box-mean chroma). ``restart_interval`` applies to the
+    baseline path only."""
     import numpy as np
 
     from docling_ray.functions.colorspace import rgb_to_ycbcr
@@ -1433,6 +1554,30 @@ def pixels_to_jpeg(pixels, width: int, height: int, gray: bool,
     dc_c = _jpeg_codes(*_DC_CHR)
     ac_c = _jpeg_codes(*_AC_CHR)
 
+    # all block coefficients up front (zigzag order), shared by both
+    # emission paths; the MCU-padded plane grid covers every data unit
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    comp_coefs = []
+    for p, (h, v) in zip(padded, samps):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        rows = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                coef = _jpeg_fdct(p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+                row.append([coef[_JPEG_ZZ[k]] for k in range(64)])
+            rows.append(row)
+        comp_coefs.append(rows)
+
+    dc_l = _jpeg_codes(*_DC_LUM)
+    dc_c = _jpeg_codes(*_DC_CHR)
+    if progressive:
+        ac_l = ac_c = _jpeg_codes(*_AC_PROG)
+    else:
+        ac_l = _jpeg_codes(*_AC_LUM)
+        ac_c = _jpeg_codes(*_AC_CHR)
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += (b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
             + b"\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00")  # APP0
@@ -1442,49 +1587,116 @@ def pixels_to_jpeg(pixels, width: int, height: int, gray: bool,
     sof = _struct.pack(">BHHB", 8, height, width, nf)
     for ci, (h, v) in enumerate(samps):
         sof += bytes([ci + 1, (h << 4) | v, 0])
-    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + _struct.pack(">H", 2 + len(sof)) + sof
+    ac_lum_spec = _AC_PROG if progressive else _AC_LUM
+    ac_chr_spec = _AC_PROG if progressive else _AC_CHR
     for tc, th, (bits, vals) in (
-        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
-        *(((0, 1, _DC_CHR), (1, 1, _AC_CHR)) if nf == 3 else ()),
+        (0, 0, _DC_LUM), (1, 0, ac_lum_spec),
+        *(((0, 1, _DC_CHR), (1, 1, ac_chr_spec)) if nf == 3 else ()),
     ):
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
-    if restart_interval:
-        out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
-    sos = bytes([nf])
-    for ci in range(nf):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
 
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
+    def sos_header(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    def mcu_units():
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (h, v) in enumerate(samps):
+                for by in range(v):
+                    for bx in range(h):
+                        yield mcu, ci, my * v + by, mx * h + bx
+
+    if not progressive:
+        if restart_interval:
+            out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
+        out += sos_header(list(range(nf)), 0, 63, 0, 0)
+        w = _JpegBitWriter()
+        preds = [0] * nf
+        rst = 0
+        last_mcu = -1
+        for mcu, ci, by, bx in mcu_units():
+            if (restart_interval and mcu != last_mcu and mcu
+                    and mcu % restart_interval == 0):
+                w.flush()
+                out += w.out
+                w = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * nf
+            last_mcu = mcu
+            zz = comp_coefs[ci][by][bx]
+            preds[ci] = _jpeg_encode_block(
+                w, zz, preds[ci],
+                dc_l if ci == 0 else dc_c, ac_l if ci == 0 else ac_c)
+        w.flush()
+        out += w.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---- progressive scan script ----
+    def comp_grid(ci):
+        h, v = samps[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # 1. DC first pass (Al=1), all components interleaved
+    out += sos_header(list(range(nf)), 0, 0, 0, 1)
     w = _JpegBitWriter()
     preds = [0] * nf
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            w.flush()
-            out += w.out
-            w = _JpegBitWriter()
-            out += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            preds = [0] * nf
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (h, v) in enumerate(samps):
-            dc_codes = dc_l if ci == 0 else dc_c
-            ac_codes = ac_l if ci == 0 else ac_c
-            for by in range(v):
-                for bx in range(h):
-                    r0 = (my * v + by) * 8
-                    c0 = (mx * h + bx) * 8
-                    block = padded[ci][r0:r0 + 8, c0:c0 + 8]
-                    coef = _jpeg_fdct(block)
-                    preds[ci] = _jpeg_encode_block(
-                        w, coef, preds[ci], dc_codes, ac_codes)
+    for _, ci, by, bx in mcu_units():
+        dc_codes = dc_l if ci == 0 else dc_c
+        diff = (comp_coefs[ci][by][bx][0] >> 1) - preds[ci]
+        preds[ci] += diff
+        s, bits_v = _jpeg_magnitude(diff)
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(bits_v, s)
     w.flush()
     out += w.out
+    # 2. AC first passes (Al=1), per component, two spectral bands
+    for ci in range(nf):
+        rows, cols = comp_grid(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci], ss, se, 0, 1)
+            w = _JpegBitWriter()
+            state = _AcProgState(w, ac_l if ci == 0 else ac_c)
+            for u in range(rows * cols):
+                _enc_ac_first(state, comp_coefs[ci][u // cols][u % cols],
+                              ss, se, 1)
+            state.flush()
+            w.flush()
+            out += w.out
+    # 3. DC refinement (Ah=1, Al=0): one raw bit per data unit
+    out += sos_header(list(range(nf)), 0, 0, 1, 0)
+    w = _JpegBitWriter()
+    for _, ci, by, bx in mcu_units():
+        w.put(comp_coefs[ci][by][bx][0] & 1, 1)
+    w.flush()
+    out += w.out
+    # 4. AC refinements (Ah=1, Al=0), per component, same bands
+    for ci in range(nf):
+        rows, cols = comp_grid(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci], ss, se, 1, 0)
+            w = _JpegBitWriter()
+            state = _AcProgState(w, ac_l if ci == 0 else ac_c)
+            for u in range(rows * cols):
+                _enc_ac_refine(state, comp_coefs[ci][u // cols][u % cols],
+                               ss, se, 0)
+            state.flush()
+            w.flush()
+            out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1564,7 +1776,8 @@ def build_image_doc(
         img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
         rows = [img[r].tobytes() for r in range(h)]
         data = pixels_to_jpeg(rows, w, h, gray=True,
-                              restart_interval=rng.choice([0, 0, 2]))
+                              restart_interval=rng.choice([0, 0, 2]),
+                              progressive=rng.random() < 0.35)
         rgb = np.stack([img] * 3, axis=-1).tobytes()
         ref = image_media_ref(w, h, "L", rgb)
     elif variant == 11:  # baseline JPEG, color constant tiles (444/420)
@@ -1581,7 +1794,8 @@ def build_image_doc(
         ).reshape((h + t - 1) // t, (w + t - 1) // t, 3)
         img = np.repeat(np.repeat(tiles, t, axis=0), t, axis=1)[:h, :w]
         rows = [img[r].tobytes() for r in range(h)]
-        data = pixels_to_jpeg(rows, w, h, gray=False, subsample=sub)
+        data = pixels_to_jpeg(rows, w, h, gray=False, subsample=sub,
+                              progressive=rng.random() < 0.35)
         # decoder reconstructs the YCbCr planes exactly; the only loss is
         # the shared (pinned) color conversion round trip
         expected = ycbcr_to_rgb(rgb_to_ycbcr(img))

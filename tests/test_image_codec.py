@@ -486,12 +486,20 @@ def test_jpeg_rejects_progressive_and_bad_streams():
 
     from docling_ray.stages.image_codec import ImageError, decode_jpeg
 
-    # SOF2 (progressive) after a minimal DQT
+    # SOF9 (arithmetic) after a minimal DQT
+    arith = (b"\xff\xd8"
+             + b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes(64)
+             + b"\xff\xc9" + st.pack(">H", 11)
+             + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with _pytest.raises(ImageError, match="arithmetic"):
+        decode_jpeg(arith)
+    # SOF2 (progressive) is supported, but a scanless file still errors
     prog = (b"\xff\xd8"
             + b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes(64)
             + b"\xff\xc2" + st.pack(">H", 11)
-            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with _pytest.raises(ImageError, match="progressive"):
+            + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xd9")
+    with _pytest.raises(ImageError, match="SOS"):
         decode_jpeg(prog)
     with _pytest.raises(ImageError, match="SOS"):
         decode_jpeg(b"\xff\xd8\xff\xd9")
@@ -522,3 +530,62 @@ def test_jpeg_corpus_variants_round_trip():
         if {10, 11} <= seen:
             break
     assert {10, 11} <= seen, "JPEG variants never drawn"
+
+
+# --- progressive JPEG (spectral selection + successive approximation) ------
+
+def test_jpeg_progressive_exact_on_constant_tiles():
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    rng = np.random.RandomState(13)
+    w, h = 24, 16
+    tiles = rng.randint(0, 256, size=(h // 8, w // 8), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    data = pixels_to_jpeg([img[r].tobytes() for r in range(h)], w, h,
+                          gray=True, progressive=True)
+    arr, mode = decode_jpeg(data)
+    assert mode == "L" and np.array_equal(arr[..., 0], img)
+
+
+def test_jpeg_progressive_matches_baseline_coefficients():
+    """The scan script (DC Al=1 -> AC bands Al=1 -> refinements to
+    Al=0) reconstructs the exact same quantized coefficients as the
+    sequential path, so decodes are pixel-identical — the refinement
+    correction-bit interleave is bit-for-bit right or this fails."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    rng = np.random.RandomState(14)
+    for gray, sub, w, h in ((True, "444", 21, 13), (False, "444", 24, 16),
+                            (False, "420", 40, 24)):
+        if gray:
+            img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        else:
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows = [img[r].tobytes() for r in range(h)]
+        prog, _ = decode_jpeg(pixels_to_jpeg(rows, w, h, gray, sub,
+                                             progressive=True))
+        base, _ = decode_jpeg(pixels_to_jpeg(rows, w, h, gray, sub))
+        assert np.array_equal(prog, base), (gray, sub)
+
+
+def test_jpeg_progressive_long_eob_runs():
+    """A nearly flat image with one AC-significant spot exercises
+    multi-block EOB runs (EOBn, n >> 1) in every AC scan."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_jpeg
+    from docling_ray.synth import pixels_to_jpeg
+
+    w, h = 64, 64
+    img = np.full((h, w), 128, np.uint8)
+    img[5, 5] = 131
+    data = pixels_to_jpeg([img[r].tobytes() for r in range(h)], w, h,
+                          gray=True, progressive=True)
+    arr, _ = decode_jpeg(data)
+    assert np.abs(arr[..., 0].astype(int) - img.astype(int)).max() <= 1
