@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
         "topk_orders": A.topk_orders,
+        "topk_orders_per_group": A.topk_orders_per_group,
         "events_hourly": A.events_hourly_window,
         "events_sliding": A.sliding_window_events,
         "event_quantiles": A.event_value_quantiles,
@@ -1204,6 +1205,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "topk_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "topk_orders_per_group": (
+            "SELECT o_orderpriority, o_orderkey, price_x100 FROM ("
+            "SELECT o_orderpriority, o_orderkey, "
+            "CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS price_x100, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "

@@ -154,6 +154,48 @@ def topk_orders(sf_dir: str, k: int = 10):
         ["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def topk_orders_per_group(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k highest-value orders per order priority.
+    Per-batch partial top-k PER KEY (one vectorized lexsort + stable
+    group-head mask, no per-key Python) prunes each block to ≤ k·|keys|
+    rows; the surviving partials — a few rows per block — shuffle to one
+    tiny ``groupby(key).map_groups`` merge. Ties break on orderkey so
+    the result is deterministic and SQL-mirrored (ROW_NUMBER)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        # sort by (priority, -price, key); the first k rows of each
+        # priority run are that key's batch-local top-k
+        order = np.lexsort((key, -price, prio))
+        sp = prio[order]
+        run_start = np.r_[True, sp[1:] != sp[:-1]]
+        # rank within run = index - start-of-run index (vectorized)
+        idx = np.arange(len(sp))
+        start_idx = np.maximum.accumulate(np.where(run_start, idx, 0))
+        keep = (idx - start_idx) < k
+        return batch.take(pa.array(order[keep])).combine_chunks()
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def merge(group) -> pa.Table:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return pa.table({
+            "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+            "o_orderkey": pa.array(g["o_orderkey"], pa.int64()),
+            "price_x100": pa.array(
+                (g["o_totalprice"] * 100).round(0).astype("int64")),
+        })
+
+    return partials.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pandas").sort(["o_orderpriority", "o_orderkey"])
+
+
 def events_hourly_window(sf_dir: str):
     """Tumbling 1-hour window per event_type over the events log: the window
     key is computed vectorized, partial-aggregated per batch, then one small
