@@ -10,10 +10,11 @@ containment, full-page-picture filtering).
 
 Clusters are plain dicts ``{"id", "label", "confidence", "bbox": (l, t,
 r, b), "cells": [cell, ...], "children": [...]}`` and cells are
-``{"index", "l", "t", "r", "b", "text"}``. Pairwise overlap tests are
-vectorized with numpy over the page's cluster set (pages carry tens of
-clusters — a spatial index would be overhead, not speedup, at this n;
-the union-find grouping is the same algorithm).
+``{"index", "l", "t", "r", "b", "text"}``. Overlap detection is a
+t-sorted sweep with early exit (near-O(n) on the disjoint vertical
+flows real pages produce; pages carry tens of clusters — a spatial
+index would be overhead, not speedup, at this n; the union-find
+grouping matches the reference's SpatialClusterIndex algorithm).
 
 The geometric layout path (stages/pdf_layout.extract_page) produces
 disjoint confidence-1.0 items, for which this pass is the identity —
@@ -25,8 +26,6 @@ best cluster per group and orphaned text lines are recovered.
 from __future__ import annotations
 
 import sys
-
-import numpy as np
 
 # Reference parameter parity (layout_postprocessor.py:157-192) — these
 # constants are the published behavior being matched, not borrowed code.
@@ -103,32 +102,51 @@ class _UnionFind:
         return list(out.values())
 
 
-def _overlap_groups(clusters: list[dict], overlap: float = 0.8,
-                    containment: float = 0.8) -> list[list[dict]]:
-    """Union-find groups of clusters whose pairwise IoU exceeds
-    ``overlap`` or either-way containment exceeds ``containment``
-    (SpatialClusterIndex.check_overlap semantics). Pairwise matrices are
-    one numpy broadcast over the page's clusters."""
+def _linked_pairs(boxes: list[tuple]) -> list[tuple[int, int]]:
+    """Index pairs whose IoU exceeds 0.8 or either-way containment
+    exceeds 0.8 (SpatialClusterIndex.check_overlap semantics). A sweep
+    over t-sorted boxes: once the next box starts below the current
+    one's bottom, no later box can intersect it — near-O(n) on the
+    disjoint vertical flows real pages produce, so the common identity
+    case never pays a full pairwise pass."""
+    n = len(boxes)
+    order = sorted(range(n), key=lambda i: boxes[i][1])
+    pairs = []
+    for oi in range(n - 1):
+        i = order[oi]
+        al, at, ar, ab = boxes[i]
+        aa = (ar - al) * (ab - at)
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            bl, bt, br, bb = boxes[j]
+            if bt >= ab:
+                break  # t-sorted: every later box is fully below i
+            iw = (ar if ar < br else br) - (al if al > bl else bl)
+            if iw <= 0:
+                continue
+            ih = (ab if ab < bb else bb) - bt  # bt >= at within the sweep
+            if ih <= 0:
+                continue
+            inter = iw * ih
+            ba = (br - bl) * (bb - bt)
+            if ((aa > 0 and inter > 0.8 * aa)
+                    or (ba > 0 and inter > 0.8 * ba)
+                    or (aa + ba > inter and inter > 0.8 * (aa + ba - inter))):
+                pairs.append((i, j))
+    return pairs
+
+
+def _overlap_groups(clusters: list[dict]) -> list[list[dict]]:
+    """Union-find groups of clusters linked by ``_linked_pairs``."""
     n = len(clusters)
     if n <= 1:
         return [[c] for c in clusters]
-    boxes = np.array([c["bbox"] for c in clusters], dtype=np.float64)
-    l, t, r, b = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    iw = np.minimum(r[:, None], r[None, :]) - np.maximum(l[:, None], l[None, :])
-    ih = np.minimum(b[:, None], b[None, :]) - np.maximum(t[:, None], t[None, :])
-    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
-    area = np.clip(r - l, 0, None) * np.clip(b - t, 0, None)
-    union = area[:, None] + area[None, :] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        iou = np.where(union > 0, inter / union, 0.0)
-        over_a = np.where(area[:, None] > 0, inter / area[:, None], 0.0)
-        over_b = np.where(area[None, :] > 0, inter / area[None, :], 0.0)
-    linked = (iou > overlap) | (over_a > containment) | (over_b > containment)
-    np.fill_diagonal(linked, False)
+    pairs = _linked_pairs([c["bbox"] for c in clusters])
+    if not pairs:
+        return [[c] for c in clusters]
     uf = _UnionFind(range(n))
-    for i, j in zip(*np.nonzero(linked)):
-        if i < j:
-            uf.union(int(i), int(j))
+    for i, j in pairs:
+        uf.union(i, j)
     return [[clusters[i] for i in g] for g in uf.groups()]
 
 
@@ -250,19 +268,19 @@ def dedupe_overlapping_items(items: list[dict]) -> list[dict]:
     paras = [it for it in items if "region" not in it]
     if len(paras) < 2:
         return items
-    regions = [it for it in items if "region" in it]
-    clusters = [{"id": i, "label": "text", "confidence": 1.0,
-                 "bbox": (it["l"], it["top"], it["r"], it["b"]),
-                 "cells": [], "item": it}
-                for i, it in enumerate(paras)]
-    groups = _overlap_groups(clusters)
-    if all(len(g) == 1 for g in groups):
+    boxes = [(it["l"], it["top"], it["r"], it["b"]) for it in paras]
+    pairs = _linked_pairs(boxes)
+    if not pairs:  # disjoint layout — the common case, zero-copy return
         return items
+    regions = [it for it in items if "region" in it]
+    uf = _UnionFind(range(len(paras)))
+    for i, j in pairs:
+        uf.union(i, j)
     kept = []
-    for g in groups:
+    for g in uf.groups():
         # first in reading order survives (equal-confidence duplicates)
-        g.sort(key=lambda c: (c["bbox"][1], c["bbox"][0], c["id"]))
-        kept.append(g[0]["item"])
+        g.sort(key=lambda i: (boxes[i][1], boxes[i][0], i))
+        kept.append(paras[g[0]])
     return kept + regions
 
 
