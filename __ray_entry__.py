@@ -765,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": A.range_join_events_orders,
         "train_split": A.train_split,
         "docs_by_lang_source": A.docs_by_lang_source,
+        "anti_join_customers": A.anti_join_customers,
+        "rollup_revenue": A.rollup_revenue,
+        "user_running_value": A.user_running_value,
     }
 
 
@@ -1213,6 +1216,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
             "WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"
+        ),
+        "anti_join_customers": (
+            "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "rollup_revenue": (
+            "SELECT COALESCE(o_year, -1) AS o_year, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice) * 100.0, 0) AS BIGINT) "
+            "AS sum_price_x100 "
+            "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "o_orderpriority, o_totalprice FROM orders) "
+            "GROUP BY ROLLUP (o_year, o_orderpriority) "
+            "ORDER BY o_year, o_orderpriority"
+        ),
+        "user_running_value": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS running_x100 FROM events ORDER BY event_id"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "

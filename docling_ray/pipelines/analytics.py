@@ -773,3 +773,182 @@ def docs_by_lang_source(sf_dir: str):
         }),
         batch_format="pyarrow",
     ).sort(["lang", "source"])
+
+
+def anti_join_customers(sf_dir: str, num_buckets: int = 64):
+    """Distributed ANTI join (NOT EXISTS): customers with no URGENT
+    order, counted per market segment. Same partitioned co-group shape
+    as ``order_priority_revenue``: both sides bucket by ``custkey % B``
+    and union; inside a bucket one vectorized ``isin`` drops matched
+    customers and a per-segment partial count leaves the kernel — only
+    segment-count rows reach the final groupby. The probe side is
+    deduped per batch before the shuffle (an order key ships once per
+    batch, not once per order)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "key": keys,
+            "segment": batch["c_mktsegment"],
+        })
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT"))["o_custkey"])
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "key": keys,
+            "segment": pa.nulls(len(keys), pa.string()),
+        })
+
+    both = cust.map_batches(cust_rows, batch_format="pyarrow",
+                            batch_size=65536).union(
+        orders.map_batches(urgent_keys, batch_format="pyarrow",
+                           batch_size=65536))
+
+    def anti_bucket(group) -> pa.Table:
+        is_cust = group["segment"].notna()
+        have = group.loc[~is_cust, "key"].to_numpy()
+        c = group[is_cust]
+        miss = c[~c["key"].isin(have)]
+        g = miss.groupby("segment", as_index=False).size()
+        return pa.table({
+            "c_mktsegment": pa.array(g["segment"], pa.string()),
+            "n_customers": pa.array(g["size"], pa.int64()),
+        })
+
+    partials = both.groupby("bucket").map_groups(anti_bucket,
+                                                 batch_format="pandas")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("n_customers", alias_name="n_customers"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_customers": pc.cast(t["n_customers"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("c_mktsegment")
+
+
+def rollup_revenue(sf_dir: str):
+    """ROLLUP (year, priority) over order revenue — the hierarchical
+    aggregate (GROUP BY ROLLUP). Only the FINEST level is computed
+    distributed (per-batch partials → small groupby); the subtotal and
+    grand-total levels re-aggregate that years×priorities table
+    driver-side (tens of rows — the documented small-result exception).
+    Subtotal keys surface as ``-1`` / ``'ALL'`` to stay hashable."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+            "price": batch["o_totalprice"],
+        })
+        g = pa.TableGroupBy(t, ["o_year", "o_orderpriority"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return pa.table({
+            "o_year": g["o_year"],
+            "o_orderpriority": g["o_orderpriority"],
+            "price": g["price_sum"],
+            "n": g["price_count"],
+        })
+
+    finest = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .groupby(["o_year", "o_orderpriority"]).aggregate(
+                   Sum("price", alias_name="price"),
+                   Sum("n", alias_name="n"))
+    f = pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
+
+    def level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = pa.TableGroupBy(tbl, keys).aggregate(
+                [("price", "sum"), ("n", "sum")])
+            cols = {k: g[k] for k in keys}
+            price, n = g["price_sum"], g["n_sum"]
+        else:
+            cols = {}
+            price = pa.array([pc.sum(tbl["price"]).as_py() or 0.0])
+            n = pa.array([pc.sum(tbl["n"]).as_py() or 0], pa.int64())
+        ny = len(price)
+        return pa.table({
+            "o_year": cols.get("o_year", pa.array([-1] * ny, pa.int64())),
+            "o_orderpriority": cols.get(
+                "o_orderpriority", pa.array(["ALL"] * ny, pa.string())),
+            "price": price,
+            "n": pc.cast(n, pa.int64()),
+        })
+
+    out = pa.concat_tables([
+        level(f, ["o_year", "o_orderpriority"]),
+        level(f, ["o_year"]),
+        level(f, []),
+    ])
+    out = pa.table({
+        "o_year": out["o_year"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n_orders": out["n"],
+        "sum_price_x100": pc.round(
+            pc.multiply(out["price"], 100.0), 0).cast(pa.int64()),
+    })
+    idx = pc.sort_indices(out, sort_keys=[("o_year", "ascending"),
+                                          ("o_orderpriority", "ascending")])
+    return out.take(idx)
+
+
+def user_running_value(sf_dir: str, num_buckets: int = 64):
+    """Running-total window function: per-user cumulative event value in
+    time order (SUM OVER PARTITION BY ... ROWS UNBOUNDED PRECEDING).
+    Values quantize to exact integer cents FIRST (identical float op in
+    the SQL oracle), so the cumulative sum is integer arithmetic — no
+    float-association drift between engines. Bucketed like sessionize:
+    ``hash(user) % B`` co-locates a user's events, one mergesort + one
+    ``cumsum`` with vectorized per-user offsets serves the whole bucket;
+    no per-user Python, bucket count scales with volume."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        keys = pc.cast(batch["user_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pa.array(cents),
+        })
+
+    def per_bucket(group) -> pa.Table:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "running_x100": pa.array([], pa.int64())})
+        cum = np.cumsum(cents)
+        idx = np.arange(n)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        running = cum - np.where(start > 0, cum[np.maximum(start - 1, 0)], 0)
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "running_x100": pa.array(running, pa.int64()),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          batch_size=65536) \
+             .groupby("bucket") \
+             .map_groups(per_bucket, batch_format="pandas") \
+             .sort("event_id")
