@@ -27,18 +27,23 @@ eager ``.convert("RGB")``, image_backend.py:168):
   palettes, interlace, multi-frame with disposal-ignored full-frame
   composition over the logical screen.
 
-* **JPEG** — baseline sequential DCT (ITU-T T.81): Huffman entropy
-  decode from the file's own DHT tables, 8-bit quantization, gray or
-  YCbCr with any sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0),
-  restart intervals. The IDCT runs vectorized over all blocks of a
-  component (one einsum against the 8×8 DCT basis). Progressive,
-  arithmetic-coded and 12-bit variants are rejected with a clear error.
-  The exact-fingerprint round trip holds because the generator writes
-  constant-per-MCU tiles with identity quantization — a DC-only block
-  reconstructs bit-exactly (see synth.pixels_to_jpeg).
+* **JPEG** — sequential baseline AND progressive DCT (ITU-T T.81):
+  Huffman entropy decode from the file's own DHT tables, 8-bit
+  quantization, gray or YCbCr with any sampling factors up to 2×2
+  (4:4:4 / 4:2:2 / 4:2:0), restart intervals, progressive spectral
+  selection + successive approximation (EOB runs, correction bits).
+  The IDCT runs vectorized over all blocks of a component (one einsum
+  against the 8×8 DCT basis). Arithmetic-coded and 12-bit variants are
+  rejected with a clear error. The exact-fingerprint round trip holds
+  because the generator writes constant-per-MCU tiles with identity
+  quantization — a DC-only block reconstructs bit-exactly
+  (see synth.pixels_to_jpeg).
+* **WebP lossless (VP8L)** — full decoder in ``stages/webp_codec.py``
+  (all four transforms, color cache, meta groups, LZ77); lossy VP8 is
+  rejected with a clear error.
 
-Out of scope in this container (documented, poison-safe): WEBP/HEIC and
-progressive JPEG — these raise :class:`ImageError`, which the extract
+Out of scope in this container (documented, poison-safe): HEIC and
+lossy-VP8 WebP — these raise :class:`ImageError`, which the extract
 path converts to a ``status="failure"`` row, never an exception
 (ConversionStatus parity, base_models.py:85-91).
 """
@@ -1100,9 +1105,7 @@ def _reconstruct(height, width, comps, coefs, qtables,
 # dispatch + page wrapping
 # ---------------------------------------------------------------------------
 
-_UNSUPPORTED_MAGICS = (
-    (b"RIFF", "WEBP"),
-)
+_UNSUPPORTED_MAGICS = ()
 
 
 def _total(fn, data: bytes):
@@ -1136,6 +1139,10 @@ def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
         return _total(decode_gif, data), "gif"
     if data[:2] == b"\xff\xd8":
         return [_total(decode_jpeg, data)], "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from docling_ray.stages.webp_codec import decode_webp
+
+        return [_total(decode_webp, data)], "webp"
     for magic, name in _UNSUPPORTED_MAGICS:
         if data[: len(magic)] == magic:
             raise ImageError(

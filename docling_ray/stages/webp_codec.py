@@ -1,0 +1,531 @@
+"""WebP lossless (VP8L) decoder built from scratch.
+
+The reference's image backend (``docling/backend/image_backend.py:26``)
+accepts WebP via PIL; this module rebuilds the lossless half of that
+capability without an imaging stack, the same playbook as the PNG/TIFF/
+GIF/JPEG decoders in ``stages/image_codec.py``. Implemented per the
+public WebP lossless bitstream specification (RFC 9649):
+
+* RIFF container walk — plain ``VP8L`` files and ``VP8X`` extended
+  containers (the chunk scan skips VP8X/ALPH/EXIF/XMP and finds the
+  VP8L payload). Lossy ``VP8 `` streams still raise a clean error.
+* LSB-first bitstream, canonical (deflate-convention, MSB-first codes)
+  Huffman with both the *simple* (1–2 symbol) and *normal*
+  (code-length-coded, repeat 16/17/18, optional max_symbol) variants.
+* LZ77 backward references with the 120-entry 2D distance map — the
+  map is *generated* from the spec's ordering rule (offsets (x, y),
+  y ∈ 0..7, sorted by x²+y², ties by \\|x\\| with +x first) rather than
+  transcribed, and pinned by a literal test.
+* Color cache (1–11 bits, the 0x1e35a7bd multiplicative hash).
+* Meta-Huffman groups via the sub-resolution entropy image.
+* All four transforms, inverted in reverse stream order: predictor
+  (14 modes, per-tile), cross-color, subtract-green, and color
+  indexing with pixel bundling (1/2/4-bit packed indices).
+
+Decoded output is HxWx3 uint8 RGB (alpha dropped — PIL ``convert("RGB")``
+parity, image_backend.py:168). The synthetic generator carries an
+independent literal-only VP8L *encoder* (synth.pixels_to_webp), so the
+round trip crosses two implementations like the other codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from docling_ray.stages.image_codec import ImageError, _max_pixels
+
+# Code-length-code symbol order (RFC 9649 §5.2.2).
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _dist_map() -> list[tuple[int, int]]:
+    """The 120 short-distance (dx, dy) codes, generated from the spec's
+    ordering: neighborhood offsets with y in 0..7 (x in 1..8 when y=0,
+    else -7..8), sorted by squared euclidean distance, ties by |dx|
+    with the positive dx first."""
+    cand = [(x, 0) for x in range(1, 9)]
+    cand += [(x, y) for y in range(1, 8) for x in range(-7, 9)]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return cand
+
+
+_DIST_MAP = _dist_map()
+
+
+class _Bits:
+    """LSB-first bit reader."""
+
+    __slots__ = ("data", "byte", "acc", "nacc")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.byte = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def read(self, k: int) -> int:
+        while self.nacc < k:
+            if self.byte >= len(self.data):
+                raise ImageError("VP8L: bitstream overrun")
+            self.acc |= self.data[self.byte] << self.nacc
+            self.byte += 1
+            self.nacc += 8
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.nacc -= k
+        return v
+
+
+class _Huff:
+    """Canonical prefix code (deflate convention: codes assigned in
+    symbol order within each length, read MSB-first from the LSB-first
+    stream). A single-symbol code reads zero bits."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: list[int], symbols: list[int] | None = None):
+        # symbols: explicit mapping for the "simple" variant (codes in
+        # read order, not canonical-by-symbol).
+        if symbols is not None:
+            if len(symbols) == 1:
+                self.single, self.table = symbols[0], None
+            else:
+                self.single = None
+                self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+            return
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ImageError("VP8L: empty huffman code")
+        if len(used) == 1:
+            self.single, self.table = used[0][1], None
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in used)
+        if max_len > 15:
+            raise ImageError("VP8L: code length > 15")
+        # Kraft completeness (libwebp rejects over/under-subscribed codes)
+        if sum(1 << (max_len - ln) for ln, _ in used) != (1 << max_len):
+            raise ImageError("VP8L: incomplete huffman code")
+        used.sort()
+        self.table = {}
+        code, prev_len = 0, used[0][0]
+        for ln, sym in used:
+            code <<= ln - prev_len
+            prev_len = ln
+            self.table[(ln, code)] = sym
+            code += 1
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        table = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 15:
+                raise ImageError("VP8L: bad huffman bitstream")
+
+
+def _read_code(alphabet_size: int, br: _Bits) -> _Huff:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first = br.read(8) if br.read(1) else br.read(1)
+        syms = [first]
+        if num_symbols == 2:
+            syms.append(br.read(8))
+        if any(s >= alphabet_size for s in syms):
+            raise ImageError("VP8L: simple-code symbol out of range")
+        return _Huff([], symbols=syms)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_huff = _Huff(cl_lengths)
+    if br.read(1):  # bounded symbol count
+        length_nbits = 2 + 2 * br.read(3)
+        max_tokens = 2 + br.read(length_nbits)
+    else:
+        max_tokens = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size and max_tokens > 0:
+        max_tokens -= 1
+        cl = cl_huff.decode(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ImageError("VP8L: code-length repeat overflows")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _Huff(lengths)
+
+
+def _prefix_value(sym: int, br: _Bits) -> int:
+    """LZ77 length/distance prefix coding (RFC 9649 §4.2.2)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _decode_entropy_image(w: int, h: int, br: _Bits, level0: bool) -> list[int]:
+    """Decode one (sub-)image's ARGB pixels: optional color cache, meta
+    groups (top level only), Huffman-coded literals / LZ77 / cache refs."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageError("VP8L: bad color-cache size")
+    meta_idx = None
+    meta_w = huff_bits = 0
+    num_groups = 1
+    if level0 and br.read(1):
+        huff_bits = br.read(3) + 2
+        meta_w = (w + (1 << huff_bits) - 1) >> huff_bits
+        meta_h = (h + (1 << huff_bits) - 1) >> huff_bits
+        meta_px = _decode_entropy_image(meta_w, meta_h, br, False)
+        meta_idx = [(p >> 8) & 0xFFFF for p in meta_px]
+        num_groups = max(meta_idx) + 1
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(num_groups):
+        groups.append((
+            _read_code(green_alpha, br),  # green + length + cache
+            _read_code(256, br),          # red
+            _read_code(256, br),          # blue
+            _read_code(256, br),          # alpha
+            _read_code(40, br),           # distance
+        ))
+    n = w * h
+    pixels = [0] * n
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    g_code, r_code, b_code, a_code, d_code = groups[0]
+    pos = 0
+    x = 0
+    y = 0
+    while pos < n:
+        if meta_idx is not None:
+            gi = meta_idx[(y >> huff_bits) * meta_w + (x >> huff_bits)]
+            if gi >= num_groups:
+                raise ImageError("VP8L: meta group out of range")
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        s = g_code.decode(br)
+        if s < 256:
+            r = r_code.decode(br)
+            b = b_code.decode(br)
+            a = a_code.decode(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            pixels[pos] = px
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+        elif s < 280:
+            length = _prefix_value(s - 256, br)
+            plane = _prefix_value(d_code.decode(br), br)
+            if plane > 120:
+                dist = plane - 120
+            else:
+                dx, dy = _DIST_MAP[plane - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ImageError("VP8L: backward reference out of range")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+                pos += 1
+            x = pos % w
+            y = pos // w
+        else:
+            if cache is None:
+                raise ImageError("VP8L: cache reference without cache")
+            idx = s - 280
+            pixels[pos] = cache[idx]
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    return pixels
+
+
+# --------------------------------------------------------------------------
+# inverse transforms
+# --------------------------------------------------------------------------
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel modular add of two packed ARGB pixels (SWAR)."""
+    return ((((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+            | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF))
+
+
+def _avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _channels(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    pa = pr = pg = pb = 0
+    la, lr, lg, lb = _channels(l)
+    ta, tr, tg, tb = _channels(t)
+    ca, cr, cg, cb = _channels(tl)
+    pa, pr, pg, pb = la + ta - ca, lr + tr - cr, lg + tg - cg, lb + tb - cb
+    p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+    p_t = abs(pa - ta) + abs(pr - tr) + abs(pg - tg) + abs(pb - tb)
+    return l if p_l < p_t else t
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    lc, tc, cc = _channels(l), _channels(t), _channels(tl)
+    return _pack(*(_clamp(lc[i] + tc[i] - cc[i]) for i in range(4)))
+
+
+def _clamp_add_sub_half(ave: int, tl: int) -> int:
+    ac, cc = _channels(ave), _channels(tl)
+    out = []
+    for i in range(4):
+        d = ac[i] - cc[i]
+        # C truncating division by 2
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(_clamp(ac[i] + half))
+    return _pack(*out)
+
+
+def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(l, t), tl)
+    raise ImageError("VP8L: bad predictor mode")
+
+
+def _inv_predictor(pixels: list[int], w: int, h: int,
+                   tiles: list[int], bits: int) -> None:
+    tw = (w + (1 << bits) - 1) >> bits
+    for pos in range(w * h):
+        x = pos % w
+        y = pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = pixels[pos - 1]
+        elif x == 0:
+            pred = pixels[pos - w]
+        else:
+            mode = (tiles[(y >> bits) * tw + (x >> bits)] >> 8) & 0xFF
+            if mode > 13:
+                raise ImageError("VP8L: bad predictor mode")
+            pred = _predict(mode, pixels[pos - 1], pixels[pos - w],
+                            pixels[pos - w - 1], pixels[pos - w + 1])
+        pixels[pos] = _add_px(pixels[pos], pred)
+
+
+def _int8(v: int) -> int:
+    return v - 256 if v > 127 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    return (_int8(t) * _int8(c)) >> 5
+
+
+def _inv_color_transform(pixels: list[int], w: int, h: int,
+                         tiles: list[int], bits: int) -> None:
+    tw = (w + (1 << bits) - 1) >> bits
+    for pos in range(w * h):
+        x = pos % w
+        y = pos // w
+        te = tiles[(y >> bits) * tw + (x >> bits)]
+        g2r = te & 0xFF          # blue channel of the transform pixel
+        g2b = (te >> 8) & 0xFF   # green channel
+        r2b = (te >> 16) & 0xFF  # red channel
+        px = pixels[pos]
+        a, r, g, b = _channels(px)
+        r = (r + _ct_delta(g2r, g)) & 0xFF
+        b = (b + _ct_delta(g2b, g)) & 0xFF
+        b = (b + _ct_delta(r2b, r)) & 0xFF
+        pixels[pos] = _pack(a, r, g, b)
+
+
+def _inv_subtract_green(pixels: list[int]) -> None:
+    for i, px in enumerate(pixels):
+        g = (px >> 8) & 0xFF
+        r = ((px >> 16) + g) & 0xFF
+        b = (px + g) & 0xFF
+        pixels[i] = (px & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_palette(pixels: list[int], packed_w: int, h: int,
+                 palette: list[int], width_bits: int, out_w: int) -> list[int]:
+    psize = len(palette)
+    if width_bits == 0:
+        out = [0] * (packed_w * h)
+        for i, px in enumerate(pixels):
+            idx = (px >> 8) & 0xFF
+            if idx >= psize:
+                raise ImageError("VP8L: palette index out of range")
+            out[i] = palette[idx]
+        return out
+    per = 1 << width_bits
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1
+    out = [0] * (out_w * h)
+    for y in range(h):
+        ox = 0
+        for px_i in range(packed_w):
+            packed = (pixels[y * packed_w + px_i] >> 8) & 0xFF
+            for k in range(per):
+                if ox >= out_w:
+                    break
+                idx = (packed >> (k * bpp)) & mask
+                if idx >= psize:
+                    raise ImageError("VP8L: palette index out of range")
+                out[y * out_w + ox] = palette[idx]
+                ox += 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# stream + container
+# --------------------------------------------------------------------------
+
+def _decode_vp8l(data: bytes) -> tuple[np.ndarray, str]:
+    br = _Bits(data)
+    if br.read(8) != 0x2F:
+        raise ImageError("VP8L: bad signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_hint = br.read(1)
+    if br.read(3) != 0:
+        raise ImageError("VP8L: unsupported version")
+    if w * h > _max_pixels():
+        raise ImageError("VP8L: image exceeds max_pixels")
+    cur_w = w
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ImageError("VP8L: repeated transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append(("subgreen",))
+        elif ttype == 3:  # color indexing
+            psize = br.read(8) + 1
+            deltas = _decode_entropy_image(psize, 1, br, False)
+            palette = []
+            prev = 0
+            for d in deltas:
+                prev = _add_px(prev, d)
+                palette.append(prev)
+            width_bits = (3 if psize <= 2 else 2 if psize <= 4
+                          else 1 if psize <= 16 else 0)
+            out_w = cur_w
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+            transforms.append(("palette", palette, width_bits, out_w, cur_w))
+        else:  # predictor (0) / cross-color (1)
+            size_bits = br.read(3) + 2
+            tw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            tiles = _decode_entropy_image(tw, th, br, False)
+            transforms.append(("pred" if ttype == 0 else "color",
+                               tiles, size_bits, cur_w))
+    pixels = _decode_entropy_image(cur_w, h, br, True)
+    for t in reversed(transforms):
+        if t[0] == "subgreen":
+            _inv_subtract_green(pixels)
+        elif t[0] == "pred":
+            _inv_predictor(pixels, t[3], h, t[1], t[2])
+        elif t[0] == "color":
+            _inv_color_transform(pixels, t[3], h, t[1], t[2])
+        else:
+            _, palette, width_bits, out_w, packed_w = t
+            pixels = _inv_palette(pixels, packed_w, h, palette,
+                                  width_bits, out_w)
+            cur_w = out_w
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    return rgb, ("RGBA" if alpha_hint else "RGB")
+
+
+def decode_webp(data: bytes) -> tuple[np.ndarray, str]:
+    """RIFF walk → first VP8L chunk → decoded (HxWx3 RGB, mode)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageError("WebP: bad RIFF header")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"VP8L":
+            return _decode_vp8l(data[pos + 8: pos + 8 + size])
+        if tag == b"VP8 ":
+            raise ImageError(
+                "WebP lossy (VP8) decode requires an imaging stack not "
+                "present in this environment")
+        pos += 8 + size + (size & 1)
+    raise ImageError("WebP: no VP8L chunk found")

@@ -1701,6 +1701,421 @@ def pixels_to_jpeg(pixels, width: int, height: int, gray: bool,
     return bytes(out)
 
 
+class _VP8LBitWriter:
+    """LSB-first bit packer; Huffman codes go in MSB-first (deflate
+    convention, mirroring the decoder's read order)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, v: int, k: int) -> None:
+        self.acc |= v << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _pm_lengths(freqs: list[tuple[int, int]], max_len: int) -> dict[int, int]:
+    """Length-limited Huffman code lengths via package-merge.
+    ``freqs``: (symbol, count>0) with >= 2 entries."""
+    pkgs = None
+    solution: dict[int, int] = {s: 0 for s, _ in freqs}
+    for _ in range(max_len - 1):
+        level = [(c, (s,)) for s, c in freqs]
+        if pkgs:
+            level += pkgs
+        level.sort(key=lambda e: e[0])
+        merged = []
+        for i in range(0, len(level) - 1, 2):
+            a, b = level[i], level[i + 1]
+            merged.append((a[0] + b[0], a[1] + b[1]))
+        pkgs = merged
+    # take the 2(n-1) cheapest items across all levels: package-merge's
+    # standard accounting — each symbol's selection count is its length
+    level = [(c, (s,)) for s, c in freqs]
+    if pkgs:
+        level += pkgs
+    level.sort(key=lambda e: e[0])
+    for _, syms in level[: 2 * (len(freqs) - 1)]:
+        for s in syms:
+            solution[s] += 1
+    return solution
+
+
+def _vp8l_canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (symbol order within each length)."""
+    used = sorted((ln, s) for s, ln in lengths.items() if ln > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code, prev = 0, used[0][0]
+    for ln, s in used:
+        code <<= ln - prev
+        prev = ln
+        codes[s] = (code, ln)
+        code += 1
+    return codes
+
+
+def _vp8l_emit_code(w: _VP8LBitWriter, hist: dict[int, int],
+                    alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Write one Huffman code header (simple or normal variant) for the
+    given symbol histogram; returns symbol → (code, length)."""
+    syms = sorted(s for s, c in hist.items() if c > 0)
+    if len(syms) <= 2 and syms[-1] <= 255:  # simple codes carry 8-bit symbols
+        w.put(1, 1)  # simple
+        w.put(len(syms) - 1, 1)
+        w.put(1, 1)  # first symbol in 8 bits
+        w.put(syms[0], 8)
+        if len(syms) == 2:
+            w.put(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    lengths = _pm_lengths([(s, hist[s]) for s in syms], 15)
+    codes = _vp8l_canonical(lengths)
+    # token stream: one literal code length per symbol up to the last used
+    last = max(syms)
+    tokens = [lengths.get(s, 0) for s in range(last + 1)]
+    tok_hist: dict[int, int] = {}
+    for t in tokens:
+        tok_hist[t] = tok_hist.get(t, 0) + 1
+    tok_syms = sorted(tok_hist)
+    if len(tok_syms) == 1:
+        tok_lengths = {tok_syms[0]: 1}
+        tok_codes = {tok_syms[0]: (0, 0)}
+    else:
+        tok_lengths = _pm_lengths([(t, tok_hist[t]) for t in tok_syms], 7)
+        tok_codes = _vp8l_canonical(tok_lengths)
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    need = max(4, 1 + max(order.index(t) for t in tok_syms))
+    w.put(0, 1)  # normal variant
+    w.put(need - 4, 4)
+    for i in range(need):
+        w.put(tok_lengths.get(order[i], 0), 3)
+    # bounded token count: exactly len(tokens) literal tokens follow
+    w.put(1, 1)
+    value = len(tokens) - 2
+    nbits_sel = 0
+    while (2 + 2 * nbits_sel) < max(1, value.bit_length()):
+        nbits_sel += 1
+    w.put(nbits_sel, 3)
+    w.put(value, 2 + 2 * nbits_sel)
+    for t in tokens:
+        w.put_code(*tok_codes[t])
+    return codes
+
+
+def _vp8l_sub_px(a: int, b: int) -> int:
+    """Per-channel modular subtract of packed ARGB pixels."""
+    return (((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+            | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+            | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+            | (((a & 0xFF) - (b & 0xFF)) & 0xFF))
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    return (((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+            | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+            | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+            | (((a & 0xFF) + (b & 0xFF)) & 0xFF))
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    """The 14 spatial predictors (independent re-derivation from the
+    spec; the decoder carries its own copy)."""
+    def ch(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+    def pk(c):
+        return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+    def avg2(a, b):
+        return pk(tuple((x + y) >> 1 for x, y in zip(ch(a), ch(b))))
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return avg2(avg2(l, tr), t)
+    if mode == 6:
+        return avg2(l, tl)
+    if mode == 7:
+        return avg2(l, t)
+    if mode == 8:
+        return avg2(tl, t)
+    if mode == 9:
+        return avg2(t, tr)
+    if mode == 10:
+        return avg2(avg2(l, tl), avg2(t, tr))
+    if mode == 11:
+        lc, tc, cc = ch(l), ch(t), ch(tl)
+        est = [lc[i] + tc[i] - cc[i] for i in range(4)]
+        p_l = sum(abs(est[i] - lc[i]) for i in range(4))
+        p_t = sum(abs(est[i] - tc[i]) for i in range(4))
+        return l if p_l < p_t else t
+    if mode == 12:
+        lc, tc, cc = ch(l), ch(t), ch(tl)
+        return pk(tuple(clamp(lc[i] + tc[i] - cc[i]) for i in range(4)))
+    # mode 13
+    ac, cc = ch(avg2(l, t)), ch(tl)
+    out = []
+    for i in range(4):
+        d = ac[i] - cc[i]
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(clamp(ac[i] + half))
+    return pk(tuple(out))
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _vp8l_value_to_prefix(v: int) -> tuple[int, int, int]:
+    """Inverse of the LZ77 prefix coding: value → (symbol, extra_bits
+    payload, extra_bits count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    extra = (v - 1).bit_length() - 2
+    rem = v - 1 - (2 << extra)
+    sym = 2 + 2 * extra + (rem >> extra)
+    return sym, rem & ((1 << extra) - 1), extra
+
+
+def _vp8l_entropy(w: _VP8LBitWriter, pixels: list[int], *,
+                  level0: bool, cache_bits: int = 0,
+                  lz_runs: bool = False) -> None:
+    """Emit one entropy-coded (sub-)image: color-cache header, meta bit
+    (top level), the five Huffman codes and the token stream. LZ77 run
+    coding (dist=1 repeats, length >= 4) and color-cache references are
+    optional so corpora exercise those decoder paths."""
+    if cache_bits:
+        w.put(1, 1)
+        w.put(cache_bits, 4)
+    else:
+        w.put(0, 1)
+    if level0:
+        w.put(0, 1)  # no meta-huffman
+    # tokenize
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    tokens: list[tuple] = []
+    n = len(pixels)
+    i = 0
+    while i < n:
+        px = pixels[i]
+        if lz_runs and i > 0 and px == pixels[i - 1]:
+            run = 1
+            while (i + run < n and run < 4096
+                   and pixels[i + run] == pixels[i - 1]):
+                run += 1
+            if run >= 4:
+                sym, extra_v, extra_n = _vp8l_value_to_prefix(run)
+                tokens.append(("len", 256 + sym, extra_v, extra_n))
+                if cache is not None:
+                    for j in range(i, i + run):
+                        key = ((0x1E35A7BD * pixels[j]) & 0xFFFFFFFF) >> shift
+                        cache[key] = pixels[j]
+                i += run
+                continue
+        if cache is not None:
+            key = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift
+            if cache[key] == px:
+                tokens.append(("cache", 280 + key))
+                i += 1
+                continue
+            cache[key] = px
+        tokens.append(("lit", px))
+        i += 1
+
+    def hist(vals):
+        h: dict[int, int] = {}
+        for v in vals:
+            h[v] = h.get(v, 0) + 1
+        return h
+
+    g_hist: dict[int, int] = {}
+    r_vals, b_vals, a_vals = [], [], []
+    used_dist = False
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            g_hist[(px >> 8) & 0xFF] = g_hist.get((px >> 8) & 0xFF, 0) + 1
+            r_vals.append((px >> 16) & 0xFF)
+            b_vals.append(px & 0xFF)
+            a_vals.append((px >> 24) & 0xFF)
+        else:
+            g_hist[tok[1]] = g_hist.get(tok[1], 0) + 1
+            if tok[0] == "len":
+                used_dist = True
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    g_codes = _vp8l_emit_code(w, g_hist, green_alpha)
+    r_codes = _vp8l_emit_code(w, hist(r_vals) or {0: 1}, 256)
+    b_codes = _vp8l_emit_code(w, hist(b_vals) or {0: 1}, 256)
+    a_codes = _vp8l_emit_code(w, hist(a_vals) or {0: 1}, 256)
+    # distance: dist=1 is plane code 2 ((dx,dy)=(1,0)) → prefix symbol 1
+    d_codes = _vp8l_emit_code(w, {1: 1} if used_dist else {0: 1}, 40)
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            w.put_code(*g_codes[(px >> 8) & 0xFF])
+            w.put_code(*r_codes[(px >> 16) & 0xFF])
+            w.put_code(*b_codes[px & 0xFF])
+            w.put_code(*a_codes[(px >> 24) & 0xFF])
+        elif tok[0] == "len":
+            _, sym, extra_v, extra_n = tok
+            w.put_code(*g_codes[sym])
+            if extra_n:
+                w.put(extra_v, extra_n)
+            w.put_code(*d_codes[1])  # plane code 2 → distance 1
+        else:
+            w.put_code(*g_codes[tok[1]])
+
+
+def pixels_to_webp(rgb_rows: list[bytes], width: int, height: int, *,
+                   subtract_green: bool = False, predictor: int | None = None,
+                   color_deltas: tuple[int, int, int] | None = None,
+                   palette: bool = False, cache_bits: int = 0,
+                   lz_runs: bool = False) -> bytes:
+    """Lossless WebP (VP8L) writer. Forward transforms (announced in
+    stream order, applied forward in that order — the decoder inverts in
+    reverse): optional predictor (one whole-image tile of the given
+    mode), cross-color (one tile of fixed deltas), subtract-green, or
+    color-indexing with pixel bundling (``palette=True``, exclusive of
+    the others). Entropy options: color cache and dist-1 LZ77 runs.
+    Independent of stages/webp_codec.py — the two sides of the
+    round-trip oracle, like the other raster writers here."""
+    w = _VP8LBitWriter()
+    w.put(0x2F, 8)  # VP8L signature
+    w.put(width - 1, 14)
+    w.put(height - 1, 14)
+    w.put(0, 1)  # alpha hint
+    w.put(0, 3)  # version
+    rgb = b"".join(rgb_rows)
+    n = width * height
+    pixels = [(0xFF << 24) | (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8)
+              | rgb[3 * i + 2] for i in range(n)]
+    img_w = width
+
+    if palette:
+        order: dict[int, int] = {}
+        for px in pixels:
+            if px not in order:
+                order[px] = len(order)
+        colors = list(order)
+        psize = len(colors)
+        if psize > 16:
+            raise ValueError("palette mode requires <= 16 colors")
+        width_bits = 3 if psize <= 2 else 2 if psize <= 4 else 1
+        per = 1 << width_bits
+        bpp = 8 >> width_bits
+        w.put(1, 1)
+        w.put(3, 2)  # color-indexing transform
+        w.put(psize - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:
+            deltas.append(_vp8l_sub_px(c, prev))
+            prev = c
+        _vp8l_entropy(w, deltas, level0=False)
+        packed_w = (width + per - 1) >> width_bits
+        packed = []
+        for y in range(height):
+            for bx in range(packed_w):
+                byte = 0
+                for k in range(per):
+                    x = (bx << width_bits) + k
+                    if x < width:
+                        byte |= order[pixels[y * width + x]] << (k * bpp)
+                packed.append(0xFF000000 | (byte << 8))
+        pixels = packed
+        img_w = packed_w
+    else:
+        if predictor is not None:
+            size_bits = 9  # one 512px tile covers the whole image
+            w.put(1, 1)
+            w.put(0, 2)  # predictor transform
+            w.put(size_bits - 2, 3)
+            _vp8l_entropy(w, [0xFF000000 | (predictor << 8)],
+                          level0=False)
+            res = [0] * n
+            for pos in range(n):
+                x, y = pos % width, pos // width
+                if pos == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[pos - 1]
+                elif x == 0:
+                    pred = pixels[pos - width]
+                else:
+                    pred = _vp8l_predict(
+                        predictor, pixels[pos - 1], pixels[pos - width],
+                        pixels[pos - width - 1], pixels[pos - width + 1])
+                res[pos] = _vp8l_sub_px(pixels[pos], pred)
+            pixels = res
+        if color_deltas is not None:
+            g2r, g2b, r2b = color_deltas
+            size_bits = 9
+            w.put(1, 1)
+            w.put(1, 2)  # cross-color transform
+            w.put(size_bits - 2, 3)
+            te = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _vp8l_entropy(w, [te], level0=False)
+            out = []
+            for px in pixels:
+                a = (px >> 24) & 0xFF
+                r = (px >> 16) & 0xFF
+                g = (px >> 8) & 0xFF
+                b = px & 0xFF
+                nr = (r - _vp8l_ct_delta(g2r, g)) & 0xFF
+                nb = (b - _vp8l_ct_delta(g2b, g) - _vp8l_ct_delta(r2b, r)) \
+                    & 0xFF
+                out.append((a << 24) | (nr << 16) | (g << 8) | nb)
+            pixels = out
+        if subtract_green:
+            w.put(1, 1)
+            w.put(2, 2)  # subtract-green transform
+            out = []
+            for px in pixels:
+                g = (px >> 8) & 0xFF
+                r = (((px >> 16) & 0xFF) - g) & 0xFF
+                b = ((px & 0xFF) - g) & 0xFF
+                out.append((px & 0xFF00FF00) | (r << 16) | b)
+            pixels = out
+    w.put(0, 1)  # end of transforms
+    _vp8l_entropy(w, pixels, level0=True,
+                  cache_bits=cache_bits, lz_runs=lz_runs)
+    payload = w.flush()
+    chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def build_image_doc(
     rng: random.Random, doc_id: str,
 ) -> tuple[str, list[Span], str]:
@@ -1709,7 +2124,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(12)
+    variant = rng.randrange(13)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 0 or variant == 4:  # RGB png / bmp
@@ -1800,6 +2215,41 @@ def build_image_doc(
         # the shared (pinned) color conversion round trip
         expected = ycbcr_to_rgb(rgb_to_ycbcr(img))
         ref = image_media_ref(w, h, "RGB", expected.tobytes())
+    elif variant == 12:  # WebP lossless (VP8L), random transform config
+        cfg = rng.randrange(6)
+        if cfg >= 4:  # paletted / run-heavy content (lz + cache paths)
+            n_colors = rng.randrange(2, 17)
+            pal = [rng.randbytes(3) for _ in range(n_colors)]
+            rows = []
+            for _ in range(h):
+                row = bytearray()
+                x = 0
+                while x < w:
+                    run = min(rng.randrange(1, 10), w - x)
+                    row += pal[rng.randrange(n_colors)] * run
+                    x += run
+                rows.append(bytes(row))
+            if cfg == 4:
+                data = pixels_to_webp(rows, w, h, palette=True)
+            else:
+                data = pixels_to_webp(rows, w, h, lz_runs=True,
+                                      cache_bits=rng.randrange(1, 9))
+        else:
+            rows = [rng.randbytes(3 * w) for _ in range(h)]
+            if cfg == 0:
+                data = pixels_to_webp(rows, w, h)
+            elif cfg == 1:
+                data = pixels_to_webp(rows, w, h, subtract_green=True)
+            elif cfg == 2:
+                data = pixels_to_webp(rows, w, h,
+                                      predictor=rng.randrange(14))
+            else:
+                data = pixels_to_webp(
+                    rows, w, h,
+                    color_deltas=(rng.randrange(256), rng.randrange(256),
+                                  rng.randrange(256)))
+        rgb = b"".join(rows)
+        ref = image_media_ref(w, h, "RGB", rgb)
     else:  # GIF: global palette, 1-2 full-screen frames
         n_colors = rng.randrange(2, 17)
         palette = rng.randbytes(3 * n_colors)

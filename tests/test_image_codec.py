@@ -395,7 +395,9 @@ try:
         from docling_ray.stages.image_codec import decode_frames
 
         for magic in (b"\x89PNG\r\n\x1a\n", b"BM", b"P6\n", b"II*\x00",
-                      b"MM\x00*", b"GIF89a", b"\xff\xd8\xff\xe0"):
+                      b"MM\x00*", b"GIF89a", b"\xff\xd8\xff\xe0",
+                      b"RIFF\xff\x00\x00\x00WEBPVP8L\xf0\x00\x00\x00",
+                      b"RIFF\x10\x00\x00\x00WEBP"):
             try:
                 decode_frames(magic + data)
             except ImageError:
@@ -589,3 +591,124 @@ def test_jpeg_progressive_long_eob_runs():
                           gray=True, progressive=True)
     arr, _ = decode_jpeg(data)
     assert np.abs(arr[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+# --- WebP lossless (VP8L) ---------------------------------------------------
+
+def _webp_rt(rows, w, h, **kw):
+    import numpy as np
+
+    from docling_ray.stages.webp_codec import decode_webp
+    from docling_ray.synth import pixels_to_webp
+
+    arr, mode = decode_webp(pixels_to_webp(rows, w, h, **kw))
+    exp = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, 3)
+    assert arr.shape == exp.shape
+    assert (arr == exp).all(), kw
+
+
+def test_webp_literal_round_trip():
+    import random
+    rng = random.Random(3)
+    for _ in range(8):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 30)
+        _webp_rt([rng.randbytes(3 * w) for _ in range(h)], w, h)
+
+
+def test_webp_all_predictor_modes():
+    import random
+    rng = random.Random(4)
+    for mode in range(14):
+        w, h = rng.randrange(2, 25), rng.randrange(2, 20)
+        rows = [rng.randbytes(3 * w) for _ in range(h)]
+        _webp_rt(rows, w, h, predictor=mode)
+
+
+def test_webp_transforms_and_entropy_features():
+    import random
+    rng = random.Random(5)
+    w, h = 21, 13
+    noise = [rng.randbytes(3 * w) for _ in range(h)]
+    _webp_rt(noise, w, h, subtract_green=True)
+    _webp_rt(noise, w, h, color_deltas=(200, 37, 129))
+    _webp_rt(noise, w, h, predictor=12, subtract_green=True, cache_bits=5)
+    pal = [bytes((i * 31 % 256, i * 7 % 256, i * 91 % 256)) for i in range(5)]
+    runs = [b"".join(pal[rng.randrange(5)] * 3 for _ in range(7)) for _ in range(h)]
+    _webp_rt(runs, 21, h, lz_runs=True)
+    _webp_rt(runs, 21, h, cache_bits=6, lz_runs=True)
+    for ncol in (2, 4, 16):  # bundling widths 3/2/1
+        rows = [b"".join(pal[rng.randrange(min(ncol, 5))]
+                         for _ in range(w)) for _ in range(h)]
+        _webp_rt(rows, w, h, palette=True)
+
+
+def test_webp_distance_map_pinned():
+    """First entries of the generated 2D distance map vs the published
+    spec table (RFC 9649 §4.2.2) — pins the generation rule."""
+    from docling_ray.stages.webp_codec import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+    assert _DIST_MAP[:20] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3)]
+    assert _DIST_MAP[-4:] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
+
+
+def test_webp_rejects_lossy_and_garbage():
+    import pytest
+
+    from docling_ray.stages.image_codec import ImageError, decode_frames
+    from docling_ray.stages.webp_codec import decode_webp
+
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+    with pytest.raises(ImageError, match="lossy"):
+        decode_webp(lossy)
+    with pytest.raises(ImageError):
+        decode_webp(b"RIFF\x08\x00\x00\x00WEBPJUNK")
+    with pytest.raises(ImageError):
+        decode_frames(b"RIFF\x0c\x00\x00\x00WEBPVP8L\x02\x00\x00\x00\x00\x00")
+
+
+def test_webp_vp8x_container_scan():
+    """A VP8X extended container whose VP8L chunk comes after metadata
+    chunks still decodes (the RIFF walk skips unknown chunks)."""
+    import struct
+
+    from docling_ray.stages.webp_codec import decode_webp
+    from docling_ray.synth import pixels_to_webp
+
+    rows = [bytes((9, 8, 7)) * 4 for _ in range(3)]
+    plain = pixels_to_webp(rows, 4, 3)
+    vp8l_chunk = plain[12:]  # "VP8L" + size + payload
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    exif = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"  # odd size, padded
+    body = b"WEBP" + vp8x + exif + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, _ = decode_webp(data)
+    assert arr.shape == (3, 4, 3)
+    assert (arr == [9, 8, 7]).all()
+
+
+def test_webp_corpus_variant_round_trip():
+    """build_image_doc's webp variant: decoded fingerprint must equal the
+    generator's hand-computed media_ref across seeds."""
+    import random
+
+    from docling_ray.stages.image_codec import extract_image_unit
+    from docling_ray.synth import build_image_doc
+
+    seen = 0
+    for i in range(300):
+        rng = random.Random(1000 + i)
+        b64, exp_spans, status = build_image_doc(rng, f"wp{i}")
+        import base64 as b64mod
+        data = b64mod.b64decode(b64)
+        if not (data[:4] == b"RIFF" and data[8:12] == b"WEBP"):
+            continue
+        seen += 1
+        spans, _, _, err = extract_image_unit(b64)
+        assert err is None, err
+        assert [(k, t, m) for k, t, m in spans] == list(exp_spans)
+    assert seen >= 5, f"only {seen} webp variants in 300 seeds"
