@@ -253,6 +253,14 @@ def _token_stats(sf_dir: str):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow").sort("doc_id")
 
 
+def _repetition(sf_dir: str):
+    from docling_ray.stages.text_quality import repetition_batch
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch,
+                          batch_format="pyarrow").sort("doc_id")
+
+
 def _quality(sf_dir: str):
     import ray
 
@@ -715,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "fingerprint": _fingerprint,
         "token_stats": _token_stats,
+        "repetition": _repetition,
         "quality": _quality,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
@@ -1148,6 +1157,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS n_stop, "
             f"CAST(coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0) AS BIGINT) AS tok_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "repetition": (
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, unnest(words) AS word FROM w), "
+            "cnt AS (SELECT doc_id, word, count(*) AS c FROM wc "
+            "GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, max(c) AS top_c, count(*) AS distinct_w, "
+            "CAST(sum(c) AS BIGINT) AS n_words FROM cnt GROUP BY 1), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(words)), i -> words[i] || ' ' || words[i+1])) "
+            "AS bigram FROM w), "
+            "bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg "
+            "GROUP BY 1, 2), "
+            "btop AS (SELECT doc_id, max(c) AS top_b FROM bcnt GROUP BY 1) "
+            "SELECT t.doc_id, t.n_words, "
+            "(t.n_words - t.distinct_w) * 1000000 // t.n_words "
+            "AS dup_word_ppm, "
+            "t.top_c * 1000000 // t.n_words AS top_word_ppm, "
+            "coalesce(b.top_b, 0) * 1000000 // greatest(t.n_words - 1, 1) "
+            "AS top_bigram_ppm "
+            "FROM top t LEFT JOIN btop b USING (doc_id) ORDER BY t.doc_id"
         ),
         "quality": (
             "WITH s AS ("

@@ -164,3 +164,38 @@ def shannon_entropy(text: str) -> float:
         counts[ch] = counts.get(ch, 0) + 1
     n = len(text)
     return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021's
+    repetition filters, word-granular because the corpus is single-line):
+    duplicate-word fraction, top-word fraction, and top word-bigram
+    fraction, each as an exact integer ppm (count * 1e6 // denominator —
+    integer arithmetic, no float parity concerns). Docs with zero words
+    drop out (mirrors the SQL oracle's inner aggregation). Stateless
+    vectorized-per-batch map; the per-doc Counter is C-backed."""
+    from collections import Counter
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_id, out_n, out_dup, out_top, out_big = [], [], [], [], []
+    for doc_id, text in zip(ids, texts):
+        words = [w for w in (text or "").split(" ") if w]
+        n = len(words)
+        if n == 0:
+            continue
+        cnt = Counter(words)
+        big = Counter(zip(words, words[1:]))
+        out_id.append(doc_id)
+        out_n.append(n)
+        out_dup.append((n - len(cnt)) * 1_000_000 // n)
+        out_top.append(max(cnt.values()) * 1_000_000 // n)
+        out_big.append((max(big.values()) if big else 0)
+                       * 1_000_000 // max(n - 1, 1))
+    return pa.table({
+        "doc_id": pa.array(out_id, batch["doc_id"].type),
+        "n_words": pa.array(out_n, pa.int64()),
+        "dup_word_ppm": pa.array(out_dup, pa.int64()),
+        "top_word_ppm": pa.array(out_top, pa.int64()),
+        "top_bigram_ppm": pa.array(out_big, pa.int64()),
+    })
