@@ -47,6 +47,12 @@ DEFAULT_FORMAT_OPTIONS: dict[str, dict[str, Any]] = {
         # the skew router's byte-size threshold (pipelines/extract.py)
         "big_threshold": 1 << 20,
         "batch_size": 32,
+        # per-document wall-clock budget in seconds, 0 = off: once
+        # exceeded, remaining units are skipped as timeout errors and the
+        # doc surfaces as partial_success — reference document_timeout
+        # semantics (standard_pdf_pipeline.py:886-963: close intake,
+        # mark missing pages TIMEOUT, ConversionStatus.PARTIAL_SUCCESS)
+        "document_timeout": 0.0,
     },
     "detect": {
         # treat empty-kind spans as auto-sniffed (stages/assemble.py)

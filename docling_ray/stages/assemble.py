@@ -189,10 +189,30 @@ def assemble_units(
 
 
 def extract_document(input_spans: list[dict]) -> dict:
-    """Fast-path kernel: all units of one document, extracted and assembled."""
+    """Fast-path kernel: all units of one document, extracted and
+    assembled. A positive ``extract.document_timeout`` (settings, in
+    seconds) bounds the per-doc wall clock: the first unit always runs;
+    once the budget is exceeded, remaining units are skipped as timeout
+    errors and the doc comes back ``partial_success`` — the reference's
+    document_timeout semantics (standard_pdf_pipeline.py:886-963: close
+    page intake, mark missing pages TIMEOUT, PARTIAL_SUCCESS). The
+    explode path bounds big-doc wall differently — by unit-level
+    parallelism — so the guard lives here only."""
+    import time as _time
+
+    from docling_ray.settings import options_for
+
+    timeout = float(options_for("extract").get("document_timeout", 0.0)
+                    or 0.0)
+    deadline = (_time.monotonic() + timeout) if timeout > 0 else None
     units = []
     for s in input_spans:
         kind = s.get("kind", "")
+        if (deadline is not None and units
+                and _time.monotonic() >= deadline):
+            units.append((int(s.get("offset", 0)), kind, [], -1, 1.0,
+                          "document timeout: unit skipped"))
+            continue
         spans, page_no, score, err = extract_unit(
             kind, s.get("text") or "", s.get("media_ref") or ""
         )

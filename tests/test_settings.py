@@ -129,3 +129,24 @@ def test_image_and_chunker_options():
     unmerged = chunk_docs_batch(rows)
     settings.reset()
     assert merged.num_rows == 1 and unmerged.num_rows == 2
+
+
+def test_document_timeout_partial_success():
+    """A tiny document_timeout lets the first unit through, skips the
+    rest as timeout errors, and surfaces the doc as partial_success —
+    reference document_timeout parity (standard_pdf_pipeline.py:886-963)."""
+    from docling_ray import settings
+    from docling_ray.stages.assemble import extract_document
+
+    spans = [{"kind": "text", "text": f"unit {i}", "media_ref": "",
+              "offset": i} for i in range(4)]
+    try:
+        settings.configure("extract", document_timeout=1e-9)
+        out = extract_document(spans)
+        assert out["status"] == "partial_success"
+        assert any("timeout" in e for e in out["errors"])
+        assert 1 <= out["n_spans"] < 4
+    finally:
+        settings.reset()
+    out = extract_document(spans)  # timeout off: all units extracted
+    assert out["status"] == "success" and out["n_spans"] == 4
