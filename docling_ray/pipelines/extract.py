@@ -67,6 +67,25 @@ def add_byte_size(batch: pa.Table) -> pa.Table:
 # fast path
 # ---------------------------------------------------------------------------
 
+def _limits() -> tuple[int, int]:
+    from docling_ray.settings import options_for
+
+    o = options_for("extract")
+    return int(o.get("max_file_size", 0) or 0), \
+        int(o.get("max_num_pages", 0) or 0)
+
+
+def _limit_error(size: int, n_units: int,
+                 max_bytes: int, max_units: int) -> str | None:
+    """Document-limits check (reference DocumentLimits, settings.py:23-26
+    — enforced at intake, before conversion)."""
+    if max_bytes and size > max_bytes:
+        return f"document exceeds max_file_size ({size} > {max_bytes})"
+    if max_units and n_units > max_units:
+        return f"document exceeds max_num_pages ({n_units} > {max_units})"
+    return None
+
+
 def extract_docs_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
     """Whole-document extraction kernel (fast path). ``settings_overrides``
     is the driver's ``settings.snapshot()`` shipped via ``fn_kwargs`` so a
@@ -77,12 +96,19 @@ def extract_docs_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
         settings.ensure(settings_overrides)
     if "byte_size" not in batch.column_names:
         batch = add_byte_size(batch)
+    max_bytes, max_units = _limits()
     doc_ids = batch["doc_id"].to_pylist()
     spans_rows = batch["spans"].to_pylist()
     sizes = batch["byte_size"].to_pylist()
     out = []
     for did, spans, size in zip(doc_ids, spans_rows, sizes):
-        res = extract_document(spans or [])
+        limit_err = _limit_error(size, len(spans or []),
+                                 max_bytes, max_units)
+        if limit_err is not None:
+            res = {"spans": [], "status": S.STATUS_FAILURE, "n_spans": 0,
+                   "errors": [limit_err], "parse_score": 0.0}
+        else:
+            res = extract_document(spans or [])
         res["doc_id"] = did
         res["byte_size"] = size
         out.append(res)
@@ -166,6 +192,7 @@ def extract_units_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
         from docling_ray import settings
 
         settings.ensure(settings_overrides)
+    max_bytes, max_units = _limits()
     out = []
     for row in batch.to_pylist():
         if row["n_units"] == 0:
@@ -175,9 +202,14 @@ def extract_units_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
                 "n_units": 0, "byte_size": row["byte_size"],
             })
             continue
-        unit_spans, page_no, score, err = extract_unit(
-            row["kind"], row["text"], row["media_ref"]
-        )
+        limit_err = _limit_error(row["byte_size"], row["n_units"],
+                                 max_bytes, max_units)
+        if limit_err is not None:  # intake limits, no extraction work
+            unit_spans, page_no, score, err = [], -1, 0.0, limit_err
+        else:
+            unit_spans, page_no, score, err = extract_unit(
+                row["kind"], row["text"], row["media_ref"]
+            )
         out.append({
             "doc_id": row["doc_id"],
             "unit_offset": row["unit_offset"],

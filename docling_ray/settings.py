@@ -53,6 +53,11 @@ DEFAULT_FORMAT_OPTIONS: dict[str, dict[str, Any]] = {
         # semantics (standard_pdf_pipeline.py:886-963: close intake,
         # mark missing pages TIMEOUT, ConversionStatus.PARTIAL_SUCCESS)
         "document_timeout": 0.0,
+        # document limits, 0 = off — reference DocumentLimits
+        # (settings.py:23-26): an over-limit doc becomes one failure row
+        # at intake, before any extraction or explosion work
+        "max_file_size": 0,
+        "max_num_pages": 0,
     },
     "detect": {
         # treat empty-kind spans as auto-sniffed (stages/assemble.py)

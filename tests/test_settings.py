@@ -150,3 +150,40 @@ def test_document_timeout_partial_success():
         settings.reset()
     out = extract_document(spans)  # timeout off: all units extracted
     assert out["status"] == "success" and out["n_spans"] == 4
+
+
+def test_document_limits_fail_at_intake(ray_session):
+    """DocumentLimits parity (reference settings.py:23-26): over-limit
+    docs become one failure row before extraction, on BOTH physical
+    plans."""
+    import ray
+
+    from docling_ray import settings
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.synth import make_corpus
+
+    inp, exp = make_corpus(40, seed=55)
+    try:
+        settings.configure("extract", max_num_pages=2)
+        for mode in ("fast", "explode"):
+            out = extract_corpus(
+                ray.data.from_arrow(inp), mode=mode).to_pandas()
+            big = {r["doc_id"] for r in inp.to_pylist()
+                   if len(r["spans"]) > 2}
+            assert big, "corpus should contain multi-unit docs"
+            got = out.set_index("doc_id")
+            for d in big:
+                assert got.loc[d, "status"] == "failure", (mode, d)
+                assert any("max_num_pages" in e
+                           for e in got.loc[d, "errors"]), (mode, d)
+            small_ok = [d for d in got.index if d not in big]
+            assert all(got.loc[d, "status"] != "failure" or
+                       len(got.loc[d, "errors"]) > 0 for d in small_ok)
+        settings.reset()
+        settings.configure("extract", max_file_size=1)
+        out = extract_corpus(ray.data.from_arrow(inp)).to_pandas()
+        assert (out["status"] == "failure").all()
+        assert out["errors"].map(
+            lambda es: any("max_file_size" in e for e in es)).all()
+    finally:
+        settings.reset()
