@@ -27,6 +27,8 @@ fail a block — errors are ``status``/``errors`` columns (see
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,6 +77,18 @@ def _limits() -> tuple[int, int]:
         int(o.get("max_num_pages", 0) or 0)
 
 
+def _profile_on() -> bool:
+    from docling_ray.settings import options_for
+
+    return bool(options_for("extract").get("profile", False))
+
+
+def _with_profile(schema: pa.Schema) -> pa.Schema:
+    """OUTPUT/UNIT schema + the opt-in extract_ms timing column
+    (reference TimeRecorder parity, docling/utils/profiling.py)."""
+    return schema.append(pa.field("extract_ms", pa.float64()))
+
+
 def _limit_error(size: int, n_units: int,
                  max_bytes: int, max_units: int) -> str | None:
     """Document-limits check (reference DocumentLimits, settings.py:23-26
@@ -97,6 +111,7 @@ def extract_docs_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
     if "byte_size" not in batch.column_names:
         batch = add_byte_size(batch)
     max_bytes, max_units = _limits()
+    profile = _profile_on()
     doc_ids = batch["doc_id"].to_pylist()
     spans_rows = batch["spans"].to_pylist()
     sizes = batch["byte_size"].to_pylist()
@@ -107,12 +122,19 @@ def extract_docs_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
         if limit_err is not None:
             res = {"spans": [], "status": S.STATUS_FAILURE, "n_spans": 0,
                    "errors": [limit_err], "parse_score": 0.0}
+            if profile:
+                res["extract_ms"] = 0.0
+        elif profile:
+            t0 = time.perf_counter()
+            res = extract_document(spans or [])
+            res["extract_ms"] = (time.perf_counter() - t0) * 1000.0
         else:
             res = extract_document(spans or [])
         res["doc_id"] = did
         res["byte_size"] = size
         out.append(res)
-    return pa.Table.from_pylist(out, schema=S.OUTPUT_SCHEMA)
+    schema = _with_profile(S.OUTPUT_SCHEMA) if profile else S.OUTPUT_SCHEMA
+    return pa.Table.from_pylist(out, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -193,24 +215,29 @@ def extract_units_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
 
         settings.ensure(settings_overrides)
     max_bytes, max_units = _limits()
+    profile = _profile_on()
     out = []
     for row in batch.to_pylist():
         if row["n_units"] == 0:
-            out.append({
+            rec = {
                 "doc_id": row["doc_id"], "unit_offset": 0, "kind": "",
                 "spans": [], "page_no": -1, "score": 1.0, "error": None,
                 "n_units": 0, "byte_size": row["byte_size"],
-            })
+            }
+            if profile:
+                rec["extract_ms"] = 0.0
+            out.append(rec)
             continue
         limit_err = _limit_error(row["byte_size"], row["n_units"],
                                  max_bytes, max_units)
+        t0 = time.perf_counter() if profile else 0.0
         if limit_err is not None:  # intake limits, no extraction work
             unit_spans, page_no, score, err = [], -1, 0.0, limit_err
         else:
             unit_spans, page_no, score, err = extract_unit(
                 row["kind"], row["text"], row["media_ref"]
             )
-        out.append({
+        rec = {
             "doc_id": row["doc_id"],
             "unit_offset": row["unit_offset"],
             "kind": row["kind"],
@@ -220,8 +247,12 @@ def extract_units_batch(batch: pa.Table, settings_overrides=None) -> pa.Table:
             "error": err,
             "n_units": row["n_units"],
             "byte_size": row["byte_size"],
-        })
-    return pa.Table.from_pylist(out, schema=_UNIT_SCHEMA)
+        }
+        if profile:
+            rec["extract_ms"] = (time.perf_counter() - t0) * 1000.0
+        out.append(rec)
+    schema = _with_profile(_UNIT_SCHEMA) if profile else _UNIT_SCHEMA
+    return pa.Table.from_pylist(out, schema=schema)
 
 
 def reassemble_group(group) -> "pa.Table":
@@ -246,6 +277,10 @@ def reassemble_group(group) -> "pa.Table":
     res = assemble_units(units)
     res["doc_id"] = doc_id
     res["byte_size"] = byte_size
+    if "extract_ms" in group.columns:  # profile on: doc time = Σ unit time
+        res["extract_ms"] = float(group["extract_ms"].sum())
+        return pa.Table.from_pylist(
+            [res], schema=_with_profile(S.OUTPUT_SCHEMA))
     return pa.Table.from_pylist([res], schema=S.OUTPUT_SCHEMA)
 
 

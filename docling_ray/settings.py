@@ -58,6 +58,10 @@ DEFAULT_FORMAT_OPTIONS: dict[str, dict[str, Any]] = {
         # at intake, before any extraction or explosion work
         "max_file_size": 0,
         "max_num_pages": 0,
+        # per-doc kernel timing column (reference TimeRecorder,
+        # docling/utils/profiling.py): when on, output rows carry
+        # extract_ms — the skew-diagnosis signal for 100 TB runs
+        "profile": False,
     },
     "detect": {
         # treat empty-kind spans as auto-sniffed (stages/assemble.py)

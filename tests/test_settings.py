@@ -187,3 +187,27 @@ def test_document_limits_fail_at_intake(ray_session):
             lambda es: any("max_file_size" in e for e in es)).all()
     finally:
         settings.reset()
+
+
+def test_profile_emits_timing_column(ray_session):
+    """extract.profile=True adds an extract_ms column on both plans
+    (TimeRecorder parity, docling/utils/profiling.py); off by default."""
+    import ray
+
+    from docling_ray import settings
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.synth import make_corpus
+
+    inp, _ = make_corpus(20, seed=66)
+    out = extract_corpus(ray.data.from_arrow(inp)).to_pandas()
+    assert "extract_ms" not in out.columns
+    try:
+        settings.configure("extract", profile=True)
+        for mode in ("fast", "explode"):
+            out = extract_corpus(
+                ray.data.from_arrow(inp), mode=mode).to_pandas()
+            assert "extract_ms" in out.columns, mode
+            assert (out["extract_ms"] >= 0).all()
+            assert out["extract_ms"].sum() > 0
+    finally:
+        settings.reset()
