@@ -775,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": A.train_split,
         "docs_by_lang_source": A.docs_by_lang_source,
         "anti_join_customers": A.anti_join_customers,
+        "stratified_sample": A.stratified_sample,
         "rollup_revenue": A.rollup_revenue,
         "user_running_value": A.user_running_value,
     }
@@ -1034,6 +1035,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
             "::UBIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS split "
             "FROM documents ORDER BY doc_id"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::UBIGINT % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END) "
+            "ORDER BY doc_id"
         ),
         "pii_scrub": (
             "WITH aug AS (SELECT doc_id, COALESCE(text, '') || "

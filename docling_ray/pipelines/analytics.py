@@ -649,6 +649,19 @@ def range_join_events_orders(sf_dir: str, days: int = 7,
         }), batch_format="pyarrow").sort("event_type")
 
 
+def _md5_bucket(ids: "pa.ChunkedArray") -> np.ndarray:
+    """Content-free deterministic 0-99 bucket per id: first 8 hex digits
+    of md5(str(id)) mod 100 — hexdigest()[:8] as an int == big-endian
+    first 4 digest bytes; numpy does all arithmetic (the md5 calls are
+    C-backed). SQL-recomputable (the DuckDB oracles rerun the identical
+    md5 arithmetic)."""
+    import hashlib
+
+    prefixes = b"".join(
+        hashlib.md5(str(i).encode()).digest()[:4] for i in ids.to_pylist())
+    return np.frombuffer(prefixes, dtype=">u4").astype(np.int64) % 100
+
+
 def train_split(sf_dir: str, pct_train: int = 80, pct_val: int = 10):
     """Deterministic train/val/test assignment by content-free hash:
     bucket = first 8 hex digits of md5(doc_id) mod 100 — stable across
@@ -659,14 +672,7 @@ def train_split(sf_dir: str, pct_train: int = 80, pct_val: int = 10):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        # hexdigest()[:8] as an int == big-endian first 4 digest bytes;
-        # join the 4-byte prefixes and let numpy do all arithmetic and
-        # label selection (the md5 calls themselves are C-backed).
-        prefixes = b"".join(
-            hashlib.md5(str(i).encode()).digest()[:4]
-            for i in batch["doc_id"].to_pylist()
-        )
-        bucket = np.frombuffer(prefixes, dtype=">u4").astype(np.int64) % 100
+        bucket = _md5_bucket(batch["doc_id"])
         splits = np.select(
             [bucket < pct_train, bucket < pct_train + pct_val],
             ["train", "val"], default="test",
@@ -952,3 +958,22 @@ def user_running_value(sf_dir: str, num_buckets: int = 64):
              .groupby("bucket") \
              .map_groups(per_bucket, batch_format="pandas") \
              .sort("event_id")
+
+
+def stratified_sample(sf_dir: str, en_pct: int = 20, other_pct: int = 10):
+    """Deterministic stratified corpus sample — the training-data mixing
+    primitive (per-stratum rates without a shuffle or an RNG): a doc is
+    kept iff its content-free md5 bucket falls under its language's
+    rate, so the sample is stable across runs, machines and engines
+    (the SQL oracle reruns the identical arithmetic). Stateless
+    vectorized map; scales as a pure filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bucket = _md5_bucket(batch["doc_id"])
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        rate = np.where(lang == "en", en_pct, other_pct)
+        t = batch.filter(pa.array(bucket < rate))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
