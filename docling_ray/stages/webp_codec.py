@@ -77,13 +77,38 @@ class _Bits:
         self.nacc -= k
         return v
 
+    def peek8(self) -> int:
+        """Next 8 bits without consuming; past end-of-stream bits read as
+        zero (a valid code shorter than the peek may end the stream)."""
+        while self.nacc < 8 and self.byte < len(self.data):
+            self.acc |= self.data[self.byte] << self.nacc
+            self.byte += 1
+            self.nacc += 8
+        return self.acc & 0xFF
+
+    def consume(self, k: int) -> None:
+        if self.nacc < k:
+            raise ImageError("VP8L: bitstream overrun")
+        self.acc >>= k
+        self.nacc -= k
+
+
+def _rev(code: int, length: int) -> int:
+    out = 0
+    for _ in range(length):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
 
 class _Huff:
     """Canonical prefix code (deflate convention: codes assigned in
     symbol order within each length, read MSB-first from the LSB-first
-    stream). A single-symbol code reads zero bits."""
+    stream). A single-symbol code reads zero bits. Decoding peeks 8 raw
+    stream bits into a root table (codes <= 8 bits — the common case —
+    resolve in one lookup); longer codes fall back to the bitwise walk."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "root")
 
     def __init__(self, lengths: list[int], symbols: list[int] | None = None):
         # symbols: explicit mapping for the "simple" variant (codes in
@@ -91,9 +116,10 @@ class _Huff:
         if symbols is not None:
             if len(symbols) == 1:
                 self.single, self.table = symbols[0], None
-            else:
-                self.single = None
-                self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+                return
+            self.single = None
+            self.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+            self._build_root()
             return
         used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
         if not used:
@@ -116,10 +142,24 @@ class _Huff:
             prev_len = ln
             self.table[(ln, code)] = sym
             code += 1
+        self._build_root()
+
+    def _build_root(self) -> None:
+        root: list = [None] * 256
+        for (ln, code), sym in self.table.items():
+            if ln <= 8:
+                entry = (sym, ln)
+                for idx in range(_rev(code, ln), 256, 1 << ln):
+                    root[idx] = entry
+        self.root = root
 
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        hit = self.root[br.peek8()]
+        if hit is not None:
+            br.consume(hit[1])
+            return hit[0]
         code = 0
         length = 0
         table = self.table
