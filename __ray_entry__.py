@@ -776,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang_source": A.docs_by_lang_source,
         "anti_join_customers": A.anti_join_customers,
         "stratified_sample": A.stratified_sample,
+        "customer_urgent_counts": A.customer_urgent_counts,
         "rollup_revenue": A.rollup_revenue,
         "user_running_value": A.user_running_value,
     }
@@ -1035,6 +1036,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
             "::UBIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS split "
             "FROM documents ORDER BY doc_id"
+        ),
+        "customer_urgent_counts": (
+            "SELECT c.c_custkey, count(o.o_orderkey) AS n_urgent "
+            "FROM customer c LEFT JOIN orders o "
+            "ON o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT' "
+            "GROUP BY c.c_custkey ORDER BY c.c_custkey"
         ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "

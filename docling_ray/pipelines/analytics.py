@@ -977,3 +977,53 @@ def stratified_sample(sf_dir: str, en_pct: int = 20, other_pct: int = 10):
         return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
 
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def customer_urgent_counts(sf_dir: str, num_buckets: int = 64):
+    """LEFT OUTER join: every customer with its count of URGENT orders
+    (zero-filled — the outer-family member next to the inner/broadcast/
+    as-of/range/anti joins). Same partitioned co-group shape as
+    ``anti_join_customers``, but the probe side pre-aggregates per
+    (bucket, key) inside ``map_batches`` first, so the shuffle carries
+    one count row per customer per batch, not one row per order."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "key": keys,
+            "cnt": pa.nulls(len(keys), pa.int64()),  # null marks cust side
+        })
+
+    def urgent_partials(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(pc.equal(batch["o_orderpriority"],
+                                     "1-URGENT"))["o_custkey"]
+        g = pa.TableGroupBy(pa.table({"key": keys}), "key").aggregate(
+            [("key", "count")])
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(g["key"], num_buckets - 1),
+                              pa.int32()),
+            "key": g["key"],
+            "cnt": pc.cast(g["key_count"], pa.int64()),
+        })
+
+    both = cust.map_batches(cust_rows, batch_format="pyarrow",
+                            batch_size=65536).union(
+        orders.map_batches(urgent_partials, batch_format="pyarrow",
+                           batch_size=65536))
+
+    def left_bucket(group) -> pa.Table:
+        is_cust = group["cnt"].isna()
+        counts = group[~is_cust].groupby("key")["cnt"].sum()
+        keys = group.loc[is_cust, "key"].to_numpy()
+        n = counts.reindex(keys, fill_value=0).to_numpy()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "n_urgent": pa.array(n.astype(np.int64)),
+        })
+
+    return both.groupby("bucket").map_groups(
+        left_bucket, batch_format="pandas").sort("c_custkey")
