@@ -13,9 +13,11 @@ regions from real PDF files using only the stdlib:
     brute-force ``N 0 obj`` scan fallback for broken xrefs;
   * the COS object model — dicts, arrays, names, numbers, literal and hex
     strings, references, streams (``/Length`` may itself be a reference);
-  * ``FlateDecode`` via ``zlib``, plus PNG/TIFF predictors declared in
-    ``/DecodeParms`` (Predictor 2 and 10–15, the forms real xref streams
-    use);
+  * stream filters: ``FlateDecode`` via ``zlib``, plus from-scratch
+    ``LZWDecode`` (MSB-first variable width, EarlyChange),
+    ``RunLengthDecode``, ``ASCIIHexDecode`` and ``ASCII85Decode``;
+    PNG/TIFF predictors declared in ``/DecodeParms`` (Predictor 2 and
+    10–15, the forms real xref streams use) apply after Flate/LZW;
   * page-tree walk with ``/MediaBox``/``/Resources`` inheritance;
   * a content-stream interpreter for the text ops ``BT ET Tf TL Td TD Tm
     T* Tj TJ ' "`` plus ``q/Q/cm`` (translate+scale), ``re``+paint
@@ -32,8 +34,9 @@ pipeline unchanged, so PDF bytes and pre-parsed ``pdf_cells`` payloads
 share every downstream rule (reference parity anchors in pdf_layout.py).
 
 Limitations (documented, not silent): rotation/skew matrices are ignored
-(translation+scale honored), per-glyph kerning in ``TJ`` is not applied to
-geometry, and only ``FlateDecode`` streams decode.
+(translation+scale honored), per-glyph kerning in ``TJ`` is not applied
+to geometry, and JBIG2/JPX/DCT image-payload filters stay undecoded
+(image XObjects carry provenance refs, never pixels, on this path).
 """
 
 from __future__ import annotations
@@ -221,6 +224,134 @@ class _Lexer:
         if len(hx) % 2:
             hx += b"0"
         return _decode_pdf_text(bytes.fromhex(hx.decode("ascii"))), j + 1
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace ignored, '>'
+    terminates, odd trailing nibble pads with 0."""
+    hx = []
+    for b in data:
+        c = chr(b)
+        if c == ">":
+            break
+        if c.strip():
+            if c not in "0123456789abcdefABCDEF":
+                raise PdfError("ASCIIHexDecode: bad hex digit")
+            hx.append(c)
+    if len(hx) % 2:
+        hx.append("0")
+    return bytes.fromhex("".join(hx))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 7.4.3): base-85 groups, 'z' = four zero bytes,
+    '~>' terminates, partial final group truncates."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\f\x00":
+            i += 1
+            continue
+        if c == 0x7E:  # '~' begins EOD
+            break
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ASCII85Decode: z inside group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError("ASCII85Decode: char out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise PdfError("ASCII85Decode: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85Decode: lone trailing digit")
+        k = len(group)
+        v = 0
+        for d in group + [84] * (5 - k):
+            v = v * 85 + d
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 7.4.5): n<128 copy n+1 literals; n>128 repeat
+    the next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise PdfError("RunLengthDecode: truncated literal run")
+            out += data[i: i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise PdfError("RunLengthDecode: truncated repeat run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _pdf_lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 7.4.4): MSB-first variable-width codes, clear=256,
+    EOD=257, code width grows at 511/1023/2047 (one code earlier with
+    EarlyChange=1, the default). The GIF decoder in image_codec is
+    LSB-first — a different wire format, hence the separate routine."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("LZWDecode: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("LZWDecode: code out of range")
+            out += entry
+            prev = entry
+            if (len(table) >= (1 << width) - (1 if early_change else 0)
+                    and width < 12):
+                width += 1
+    return bytes(out)
 
 
 def _decode_pdf_text(raw: bytes) -> str:
@@ -444,13 +575,24 @@ class PdfDocument:
         parms_list = parms if isinstance(parms, list) else [parms]
         for k, f in enumerate(filters):
             f = self.resolve(f)
+            p = self.resolve(parms_list[k]) if k < len(parms_list) else None
             if f == "FlateDecode":
                 data = zlib.decompress(data)
-                p = self.resolve(parms_list[k]) if k < len(parms_list) else None
+            elif f == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif f == "LZWDecode":
+                early = 1
                 if isinstance(p, dict):
-                    data = self._apply_predictor(data, p)
+                    early = int(self.resolve(p.get("EarlyChange", 1)) or 0)
+                data = _pdf_lzw_decode(data, early)
             else:
                 raise PdfError(f"unsupported stream filter {f!r}")
+            if f in ("FlateDecode", "LZWDecode") and isinstance(p, dict):
+                data = self._apply_predictor(data, p)
         return data
 
     def _apply_predictor(self, data: bytes, parms: dict) -> bytes:

@@ -677,9 +677,95 @@ def _pdf_text_op(text: str) -> str:
     return "<" + raw.hex().upper() + ">"
 
 
+def _enc_asciihex(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _enc_ascii85(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i: i + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if v == 0 and k == 4:
+            out += b"z"
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(33 + d for d in reversed(digits))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _enc_runlength(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        lits = bytearray()
+        while j < n and len(lits) < 128:
+            run = 1
+            while j + run < n and run < 3 and data[j + run] == data[j]:
+                run += 1
+            if run >= 3:
+                break
+            lits.append(data[j])
+            j += 1
+        out += bytes([len(lits) - 1]) + lits
+        i = j
+    return bytes(out) + b"\x80"
+
+
+def _enc_pdf_lzw(data: bytes) -> bytes:
+    """LZW writer, literal-only with a CLEAR every 250 codes so the
+    decoder's table never reaches a width boundary — spec-valid
+    (encoders may clear at any time) and protocol-unambiguous; codes
+    pack MSB-first at a constant 9 bits."""
+    codes = [256]
+    since_clear = 0
+    for b in data:
+        if since_clear >= 250:
+            codes.append(256)
+            since_clear = 0
+        codes.append(b)
+        since_clear += 1
+    codes.append(257)
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_PDF_CONTENT_FILTERS = {
+    "flate": (b"/FlateDecode", lambda d: zlib.compress(d)),
+    "lzw": (b"/LZWDecode", _enc_pdf_lzw),
+    "rl": (b"/RunLengthDecode", _enc_runlength),
+    "ahx": (b"/ASCIIHexDecode", _enc_asciihex),
+    "a85": (b"/ASCII85Decode", _enc_ascii85),
+}
+
+
 def pages_to_pdf_bytes(pages: list[dict],
                        outline: list[tuple[int, str, int]] | None = None,
-                       style: str = "classic") -> bytes:
+                       style: str = "classic",
+                       content_filter: str = "flate") -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF file:
     FlateDecode content streams, Helvetica Type1 font, text placed so the
     parser's geometry convention (baseline at cell bottom, leading = cell
@@ -690,7 +776,10 @@ def pages_to_pdf_bytes(pages: list[dict],
     table; ``style="xrefstream"`` serializes a PDF 1.5 file whose
     non-stream objects live in a compressed /ObjStm and whose xref is a
     /Type /XRef stream (W [1 4 2], Flate + PNG-Up Predictor 12) — the
-    modern-PDF shape the parser must handle independently."""
+    modern-PDF shape the parser must handle independently.
+    ``content_filter`` picks the page-content stream encoding: flate
+    (default) / lzw / rl / ahx / a85 — the classic PDF stream filters,
+    each encoded here independently of the parser's decoders."""
     objs: dict[int, bytes] = {}
     stream_ids: set[int] = set()
     next_id = [4]  # 1=catalog, 2=pages, 3=font
@@ -740,9 +829,11 @@ def pages_to_pdf_bytes(pages: list[dict],
                 f"{_pdf_num(img['l'])} {_pdf_num(h - img['b'])} cm "
                 f"/{name} Do Q"
             )
-        content = zlib.compress("\n".join(ops).encode("latin-1"))
+        filt_name, filt_fn = _PDF_CONTENT_FILTERS[content_filter]
+        content = filt_fn("\n".join(ops).encode("latin-1"))
         content_id = add(
-            b"<< /Filter /FlateDecode /Length " + str(len(content)).encode()
+            b"<< /Filter " + filt_name + b" /Length "
+            + str(len(content)).encode()
             + b" >>\nstream\n" + content + b"\nendstream",
             is_stream=True,
         )
@@ -956,10 +1047,14 @@ def build_pdf_bytes_doc(
                 lvl = 1 if has_title else 0
                 outline.append((lvl, text, pg_idx))
                 exp_outline.append((text, lvl, pg_idx + 1))
-    # half the corpus uses the modern PDF 1.5 shape (xref stream + ObjStm)
+    # half the corpus uses the modern PDF 1.5 shape (xref stream + ObjStm);
+    # a third of content streams use a non-Flate filter (LZW / RunLength /
+    # ASCIIHex / ASCII85 — each an independently-written encoder)
     style = "xrefstream" if rng.random() < 0.5 else "classic"
+    content_filter = (rng.choice(["lzw", "rl", "ahx", "a85"])
+                      if rng.random() < 0.33 else "flate")
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
-                              style=style)
+                              style=style, content_filter=content_filter)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
             exp_outline)

@@ -270,3 +270,57 @@ def test_xrefstream_broken_falls_back_to_scan():
         base64.b64encode(broken).decode())
     assert isinstance(spans, list)
     assert err is None or isinstance(err, str)
+
+
+# --- classic stream filters (PDF 7.4.2-7.4.5) ------------------------------
+
+def test_filter_decoders_pinned_literals():
+    """Hand-written byte vectors per decoder — the literal leg; the
+    writer round trip is the other leg (synth content_filter variants)."""
+    from docling_ray.stages.pdf_bytes import (_ascii85_decode,
+                                              _asciihex_decode, _pdf_lzw_decode,
+                                              _runlength_decode)
+
+    assert _asciihex_decode(b"48 65 6c6C 6F>") == b"Hello"
+    assert _asciihex_decode(b"7>") == b"\x70"  # odd nibble pads 0
+    assert _ascii85_decode(b"9jqo^~>") == b"Man "  # the published vector
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b"9jqo~>") == b"Man"  # partial group
+    assert _runlength_decode(b"\x02abc\xfeX\x80") == b"abcXXX"
+    # LZW: codes [CLEAR, 'A', 'B', EOD] packed MSB-first at 9 bits
+    bits = ""
+    for c in (256, 65, 66, 257):
+        bits += format(c, "09b")
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert _pdf_lzw_decode(data) == b"AB"
+    # LZW KwKwK case: [CLEAR, 'A', 258, EOD] -> "A" + "AA"
+    bits = "".join(format(c, "09b") for c in (256, 65, 258, 257))
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert _pdf_lzw_decode(data) == b"AAA"
+
+
+def test_filter_variants_extract_end_to_end():
+    """Docs whose content streams use LZW/RunLength/ASCIIHex/ASCII85
+    extract identically to their Flate twins."""
+    import json as _json
+
+    from docling_ray.stages.pdf_bytes import parse_pdf_pages
+    from docling_ray.synth import build_pdf_page, pages_to_pdf_bytes
+    import random
+
+    rng = random.Random(9)
+    payload, exp, _ = build_pdf_page(rng, ["alpha", "beta", "gamma"],
+                                     "f1", page_no=1, media_seq=[0],
+                                     first_page=True, two_col_allowed=False)
+    page = _json.loads(payload)
+    base = None
+    for filt in ("flate", "lzw", "rl", "ahx", "a85"):
+        data = pages_to_pdf_bytes([page], content_filter=filt)
+        pages = parse_pdf_pages(data)
+        cells = [(c["text"], round(c["l"], 2), round(c["t"], 2))
+                 for c in pages[0]["cells"]]
+        if base is None:
+            base = cells
+        assert cells == base, filt
