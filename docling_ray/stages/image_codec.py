@@ -13,9 +13,9 @@ Supported containers (decode → HxWx3 uint8 RGB, like the reference's
 eager ``.convert("RGB")``, image_backend.py:168):
 
 * **PNG** — bit depth 8 and 16 (high byte) for gray/RGB/RGBA/gray+alpha,
-  palette at bit depth 1/2/4/8, all five scanline filters, tRNS ignored
-  (RGB conversion drops alpha, PIL parity). Adam7 interlace is rejected
-  with a clear error.
+  palette at bit depth 1/2/4/8, all five scanline filters, Adam7
+  interlace (seven independently-filtered passes scattered onto the
+  grid), tRNS ignored (RGB conversion drops alpha, PIL parity).
 * **BMP** — uncompressed BI_RGB 24/32-bit, bottom-up or top-down rows.
 * **PNM** — binary P5 (gray) / P6 (RGB), maxval ≤ 65535 (16-bit scaled
   down by high byte), plus ASCII P2/P3.
@@ -161,6 +161,50 @@ def _unpack_bits(row_bytes: np.ndarray, depth: int, width: int) -> np.ndarray:
     return samples[:, :width].astype(np.uint8)
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_recon(raw: bytes, width: int, height: int, depth: int,
+                 channels: int) -> tuple[np.ndarray, bool]:
+    """Adam7 deinterlace: seven independently-filtered sub-images
+    scattered onto the full grid. Returns (plane, unpacked): for
+    depth >= 8 the plane matches the sequential ``recon`` byte layout
+    (height × width·bytes_per_px); for sub-byte depths it is one SAMPLE
+    per entry (height × width) and ``unpacked`` is True."""
+    sample_bits = depth * channels
+    if depth >= 8:
+        bpx = sample_bits // 8
+        out = np.zeros((height, width * bpx), dtype=np.uint8)
+    else:
+        bpx = 0
+        out = np.zeros((height, width), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * sample_bits + 7) // 8
+        need = ph * (1 + stride)
+        if pos + need > len(raw):
+            raise ImageError("PNG interlaced pixel data truncated")
+        sub = np.frombuffer(raw[pos: pos + need],
+                            dtype=np.uint8).reshape(ph, 1 + stride)
+        pos += need
+        rec = _unfilter(sub, ph, stride, max(1, sample_bits // 8))
+        ys = y0 + np.arange(ph) * dy
+        xs = x0 + np.arange(pw) * dx
+        if depth >= 8:
+            px = rec[:, : pw * bpx].reshape(ph, pw, bpx)
+            out.reshape(height, width, bpx)[np.ix_(ys, xs)] = px
+        else:
+            out[np.ix_(ys, xs)] = _unpack_bits(rec, depth, pw)
+    if pos != len(raw):
+        raise ImageError("PNG interlaced pixel data length mismatch")
+    return out, depth < 8
+
+
 def decode_png(data: bytes) -> tuple[np.ndarray, str]:
     """PNG bytes → (HxWx3 uint8 RGB array, original mode string)."""
     if data[:8] != PNG_SIG:
@@ -190,8 +234,8 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
         raise ImageError("PNG missing IHDR")
     if width <= 0 or height <= 0 or width * height > _max_pixels():
         raise ImageError(f"PNG bad dimensions {width}x{height}")
-    if interlace:
-        raise ImageError("PNG Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ImageError(f"PNG unknown interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ImageError(f"PNG unknown color type {ctype}")
     channels = _PNG_CHANNELS[ctype]
@@ -209,17 +253,25 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
         raise ImageError(f"PNG IDAT inflate failed: {e}") from None
 
     sample_bits = depth * channels
-    stride = (width * sample_bits + 7) // 8
-    if len(raw) != height * (1 + stride):
-        raise ImageError(
-            f"PNG pixel data length {len(raw)} != expected {height * (1 + stride)}"
-        )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    bpp = max(1, sample_bits // 8)
-    recon = _unfilter(arr, height, stride, bpp)
+    pre_unpacked = False
+    if interlace:
+        recon, pre_unpacked = _adam7_recon(raw, width, height, depth,
+                                           channels)
+    else:
+        stride = (width * sample_bits + 7) // 8
+        if len(raw) != height * (1 + stride):
+            raise ImageError(
+                f"PNG pixel data length {len(raw)} != expected "
+                f"{height * (1 + stride)}"
+            )
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+        bpp = max(1, sample_bits // 8)
+        recon = _unfilter(arr, height, stride, bpp)
 
     if ctype == 3:
-        if depth < 8:
+        if pre_unpacked:
+            idx = recon
+        elif depth < 8:
             idx = _unpack_bits(recon, depth, width)
         else:
             idx = recon[:, :width]

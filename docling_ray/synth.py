@@ -1140,13 +1140,35 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
             + _struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 6: 4}  # color type → samples per pixel
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def pixels_to_png(scanlines: list[bytes], width: int, height: int,
                   color_type: int, bit_depth: int = 8,
-                  palette: bytes | None = None) -> bytes:
-    """Minimal PNG writer: filter byte 0 per scanline, one IDAT."""
+                  palette: bytes | None = None,
+                  interlace: bool = False) -> bytes:
+    """Minimal PNG writer: filter byte 0 per scanline, one IDAT.
+    ``interlace=True`` writes Adam7 (8-bit types only): the seven passes
+    serialized as independent filter-0 sub-images in pass order."""
+    if interlace:
+        if bit_depth != 8:
+            raise ValueError("interlaced writer supports bit depth 8 only")
+        spp = _PNG_SPP[color_type]
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            for y in range(y0, height, dy):
+                row = scanlines[y]
+                sub = b"".join(row[x * spp: (x + 1) * spp]
+                               for x in range(x0, width, dx))
+                if sub:
+                    body += b"\x00" + sub
+        body = bytes(body)
+    else:
+        body = b"".join(b"\x00" + ln for ln in scanlines)
     ihdr = _struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
-                        0, 0, 0)
-    body = b"".join(b"\x00" + ln for ln in scanlines)
+                        0, 0, 1 if interlace else 0)
     out = [b"\x89PNG\r\n\x1a\n", _png_chunk(b"IHDR", ihdr)]
     if palette is not None:
         out.append(_png_chunk(b"PLTE", palette))
@@ -2226,7 +2248,8 @@ def build_image_doc(
         rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]
         rgb = b"".join(rgb_rows)
         if variant == 0:
-            data = pixels_to_png(rgb_rows, w, h, color_type=2)
+            data = pixels_to_png(rgb_rows, w, h, color_type=2,
+                                 interlace=rng.random() < 0.3)
         else:
             data = pixels_to_bmp(rgb_rows, w, h)
         ref = image_media_ref(w, h, "RGB", rgb)
@@ -2234,7 +2257,8 @@ def build_image_doc(
         g_rows = [rng.randbytes(w) for _ in range(h)]
         rgb = b"".join(bytes(v for b_ in row for v in (b_, b_, b_))
                        for row in g_rows)
-        data = pixels_to_png(g_rows, w, h, color_type=0)
+        data = pixels_to_png(g_rows, w, h, color_type=0,
+                             interlace=rng.random() < 0.3)
         ref = image_media_ref(w, h, "L", rgb)
     elif variant == 2:  # palette png (8-bit indices)
         n_colors = rng.randrange(2, 17)
@@ -2244,14 +2268,16 @@ def build_image_doc(
         rgb = b"".join(
             bytes(v for i in row for v in palette[3 * i: 3 * i + 3])
             for row in idx_rows)
-        data = pixels_to_png(idx_rows, w, h, color_type=3, palette=palette)
+        data = pixels_to_png(idx_rows, w, h, color_type=3, palette=palette,
+                             interlace=rng.random() < 0.3)
         ref = image_media_ref(w, h, "P", rgb)
     elif variant == 3:  # RGBA png (alpha dropped on RGB conversion)
         rgba_rows = [rng.randbytes(4 * w) for _ in range(h)]
         rgb = b"".join(bytes(v for x in range(w)
                              for v in row[4 * x: 4 * x + 3])
                        for row in rgba_rows)
-        data = pixels_to_png(rgba_rows, w, h, color_type=6)
+        data = pixels_to_png(rgba_rows, w, h, color_type=6,
+                             interlace=rng.random() < 0.3)
         ref = image_media_ref(w, h, "RGBA", rgb)
     elif variant == 5:  # binary PPM
         rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]

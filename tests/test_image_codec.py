@@ -204,18 +204,26 @@ def test_poison_becomes_error_string(payload):
     assert spans == [] and err is not None
 
 
-def test_png_crc_and_interlace_rejected():
+def test_png_crc_and_unknown_interlace():
     rows = [b"\x00" + bytes([1, 2, 3])]
     good = _png(1, 1, 8, 2, rows)
     bad_crc = good[:-8] + b"\x00\x00\x00\x00" + good[-4:]
     with pytest.raises(ImageError):
         decode_png(bad_crc)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # interlace=1
+    # Adam7 (method 1) decodes: a 1x1 image is pass 1 alone
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
     interlaced = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
                   + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
                   + _chunk(b"IEND", b""))
+    arr, _ = decode_png(interlaced)
+    assert arr.tolist() == [[[1, 2, 3]]]
+    # unknown interlace methods still reject
+    ihdr2 = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr2)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+           + _chunk(b"IEND", b""))
     with pytest.raises(ImageError, match="interlace"):
-        decode_png(interlaced)
+        decode_png(bad)
 
 
 def test_decode_image_dispatch():
@@ -712,3 +720,67 @@ def test_webp_corpus_variant_round_trip():
         assert err is None, err
         assert [(k, t, m) for k, t, m in spans] == list(exp_spans)
     assert seen >= 5, f"only {seen} webp variants in 300 seeds"
+
+
+# --- PNG Adam7 interlace ----------------------------------------------------
+
+def test_adam7_pass_table_partitions_grid():
+    """The seven passes exactly tile the 8x8 reference grid (libpng
+    canonical layout — row 0 reads 1 6 4 6 2 6 4 6)."""
+    from docling_ray.stages.image_codec import _ADAM7
+
+    grid = {}
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert (x, y) not in grid
+                grid[(x, y)] = p + 1
+    assert len(grid) == 64
+    assert [grid[(x, 0)] for x in range(8)] == [1, 6, 4, 6, 2, 6, 4, 6]
+    assert [grid[(x, 1)] for x in range(8)] == [7] * 8
+
+
+def test_adam7_round_trip_all_color_types():
+    import random
+
+    from docling_ray.synth import pixels_to_png
+
+    rng = random.Random(21)
+    for ct, spp in ((0, 1), (2, 3), (3, 1), (6, 4)):
+        for _ in range(4):
+            w, h = rng.randrange(1, 36), rng.randrange(1, 30)
+            rows = [rng.randbytes(spp * w) for _ in range(h)]
+            pal = None
+            if ct == 3:
+                pal = rng.randbytes(3 * 16)
+                rows = [bytes(b % 16 for b in r) for r in rows]
+            arr, _ = decode_png(pixels_to_png(rows, w, h, color_type=ct,
+                                              palette=pal, interlace=True))
+            seq, _ = decode_png(pixels_to_png(rows, w, h, color_type=ct,
+                                              palette=pal))
+            assert (arr == seq).all(), (ct, w, h)
+
+
+def test_adam7_literal_tiny():
+    """2x2 RGB interlaced by hand: pass 1 carries (0,0), pass 2/3 empty,
+    pass 4 empty (w<3), pass 5 empty (h<3), pass 6 carries (1,0)? —
+    no: for 2x2, pass 1=(0,0), 6=(1,0), 7=(0,1),(1,1)."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(tag, payload):
+        return (st.pack(">I", len(payload)) + tag + payload
+                + st.pack(">I", zl.crc32(tag + payload) & 0xFFFFFFFF))
+
+    px = {(0, 0): b"\x10\x20\x30", (1, 0): b"\x40\x50\x60",
+          (0, 1): b"\x70\x80\x90", (1, 1): b"\xa0\xb0\xc0"}
+    body = (b"\x00" + px[(0, 0)]          # pass 1
+            + b"\x00" + px[(1, 0)]        # pass 6
+            + b"\x00" + px[(0, 1)] + px[(1, 1)])  # pass 7
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zl.compress(body)) + chunk(b"IEND", b""))
+    arr, mode = decode_png(data)
+    assert mode == "RGB"
+    assert arr.tolist() == [[[0x10, 0x20, 0x30], [0x40, 0x50, 0x60]],
+                            [[0x70, 0x80, 0x90], [0xA0, 0xB0, 0xC0]]]
