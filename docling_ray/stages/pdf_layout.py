@@ -154,6 +154,17 @@ def _nearest_index(pos: list[float], v: float) -> int:
     return i if pos[i] - v < v - pos[i - 1] else i - 1
 
 
+def _nearest_indices(pos: list[float], vals: list[float]) -> "np.ndarray":
+    """Vectorized :func:`_nearest_index` over all cells at once (same
+    tie rule: the left center wins an exact midpoint)."""
+    p = np.asarray(pos, dtype=np.float64)
+    v = np.asarray(vals, dtype=np.float64)
+    if len(p) == 1:
+        return np.zeros(len(v), dtype=np.int64)
+    i = np.clip(np.searchsorted(p, v), 1, len(p) - 1)
+    return np.where(p[i] - v < v - p[i - 1], i, i - 1)
+
+
 def table_grid_from_cells(
     cells: list[tuple], rich_pics: list[dict] | None = None,
 ) -> list[list[str]]:
@@ -170,17 +181,17 @@ def table_grid_from_cells(
     col_pos = _cluster_positions([c[0] for c in cells], tol=4.0)
     row_pos = _cluster_positions([c[1] for c in cells], tol=4.0)
     grid = [["" for _ in col_pos] for _ in row_pos]
-    coords: list[tuple[int, int, tuple]] = []
-    for c in cells:
-        ci = _nearest_index(col_pos, c[0])
-        ri = _nearest_index(row_pos, c[1])
-        coords.append((ri, ci, c))
+    cis = _nearest_indices(col_pos, [c[0] for c in cells])
+    ris = _nearest_indices(row_pos, [c[1] for c in cells])
+    for ri, ci, c in zip(ris.tolist(), cis.tolist(), cells):
         t = c[5]
         txt = t.strip() if t.isascii() else sanitize_cell_text([t])
         if grid[ri][ci]:
             grid[ri][ci] += " " + txt
         else:
             grid[ri][ci] = txt
+    coords = (list(zip(ris.tolist(), cis.tolist(), cells))
+              if rich_pics else [])
     for pic in rich_pics or ():
         px = 0.5 * (pic["l"] + pic["r"])
         py = 0.5 * (pic["t"] + pic["b"])
