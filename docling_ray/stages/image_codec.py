@@ -24,8 +24,9 @@ eager ``.convert("RGB")``, image_backend.py:168):
   (PackBits); multi-page via chained IFDs (each page a frame, the
   reference's eager multi-frame extraction, image_backend.py:160-170).
 * **GIF** — LZW decode (variable code width, clear/EOI), global/local
-  palettes, interlace, multi-frame with disposal-ignored full-frame
-  composition over the logical screen.
+  palettes, interlace, multi-frame animation composition over the
+  logical screen honoring GCE transparency and disposal methods
+  (keep / restore-to-background / restore-previous).
 
 * **JPEG** — sequential baseline AND progressive DCT (ITU-T T.81):
   Huffman entropy decode from the file's own DHT tables, 8-bit
@@ -581,8 +582,13 @@ def _lzw_decode(min_code_size: int, data: bytes, max_px: int) -> bytes:
 
 
 def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
-    """GIF bytes → [(HxWx3 RGB, mode 'P')] per frame, each composed onto
-    the full logical screen (disposal ignored — frames independent)."""
+    """GIF bytes → [(HxWx3 RGB, mode 'P')] per frame, composed onto the
+    logical screen with animation semantics: each frame renders over the
+    accumulated canvas honoring the Graphic Control Extension's
+    transparency index, and its disposal method (1 keep, 2 restore the
+    frame rect to background, 3 restore the pre-frame canvas) decides
+    what the NEXT frame composes over — PIL's seek-through-frames
+    convert(\"RGB\") parity."""
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ImageError("not a GIF")
     sw, sh = struct.unpack("<HH", data[6:10])
@@ -600,15 +606,22 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
     screen = np.zeros((sh, sw), np.uint8)
     if gct is not None:
         screen[:] = bg
+    disposal = 0
+    transparent = -1
     while i < len(data):
         b0 = data[i]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
-            i += 2
-            while i < len(data) and data[i]:
-                i += 1 + data[i]
-            i += 1
+        if b0 == 0x21:  # extension
+            label = data[i + 1] if i + 1 < len(data) else 0
+            j = i + 2
+            if label == 0xF9 and j < len(data) and data[j] >= 4:
+                packed = data[j + 1]
+                disposal = (packed >> 2) & 7
+                transparent = data[j + 4] if packed & 1 else -1
+            while j < len(data) and data[j]:
+                j += 1 + data[j]
+            i = j + 1
             continue
         if b0 != 0x2C:
             raise ImageError(f"GIF unknown block 0x{b0:02x}")
@@ -643,9 +656,22 @@ def decode_gif(data: bytes) -> list[tuple[np.ndarray, str]]:
             grid = de
         if int(grid.max(initial=0)) >= len(pal):
             raise ImageError("GIF palette index out of range")
-        frame = screen.copy()
-        frame[fy: fy + fh, fx: fx + fw] = grid
-        frames.append((pal[frame], "P"))
+        if fy + fh > sh or fx + fw > sw:
+            raise ImageError("GIF frame rect outside logical screen")
+        before = screen.copy()
+        target = screen[fy: fy + fh, fx: fx + fw]
+        if transparent >= 0:
+            mask = grid != transparent
+            target[mask] = grid[mask]
+        else:
+            target[:] = grid
+        frames.append((pal[screen], "P"))
+        if disposal == 2:  # restore frame rect to background
+            screen[fy: fy + fh, fx: fx + fw] = bg if gct is not None else 0
+        elif disposal == 3:  # restore to previous canvas
+            screen = before
+        disposal = 0
+        transparent = -1
     if not frames:
         raise ImageError("GIF has no frames")
     return frames

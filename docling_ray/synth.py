@@ -1314,8 +1314,14 @@ def _gif_lzw_encode(min_code_size: int, idx: bytes) -> bytes:
 
 
 def pixels_to_gif(frames_idx: list[bytes], width: int, height: int,
-                  palette: bytes) -> bytes:
-    """Minimal GIF89a writer: global palette, full-screen frames."""
+                  palette: bytes,
+                  frames_meta: list[dict] | None = None) -> bytes:
+    """Minimal GIF89a writer: global palette; full-screen frames by
+    default. ``frames_meta[k]`` (optional, per frame) may carry
+    ``rect=(x, y, w, h)`` for a sub-rectangle frame (its pixel bytes
+    then cover just the rect), ``disposal`` (0-3) and ``transparent``
+    (palette index) — emitted as a Graphic Control Extension, the
+    animation paths the decoder must compose."""
     n_colors = len(palette) // 3
     depth = max(1, (n_colors - 1).bit_length())
     pal_size = 1 << depth
@@ -1325,8 +1331,20 @@ def pixels_to_gif(frames_idx: list[bytes], width: int, height: int,
     out += b"\x00\x00"  # bg index, aspect
     out += palette + b"\x00" * (3 * pal_size - len(palette))
     min_code = max(2, depth)
-    for idx in frames_idx:
-        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, width, height)
+    for k, idx in enumerate(frames_idx):
+        meta = (frames_meta[k] if frames_meta and k < len(frames_meta)
+                else {}) or {}
+        rect = meta.get("rect", (0, 0, width, height))
+        disposal = int(meta.get("disposal", 0))
+        transparent = meta.get("transparent", None)
+        if disposal or transparent is not None:
+            packed = (disposal & 7) << 2
+            tidx = 0
+            if transparent is not None:
+                packed |= 1
+                tidx = int(transparent)
+            out += bytes([0x21, 0xF9, 4, packed, 0, 0, tidx, 0])
+        out += b"\x2c" + _struct.pack("<HHHH", *rect)
         out.append(0)  # no local palette, not interlaced
         out.append(min_code)
         enc = _gif_lzw_encode(min_code, idx)
@@ -2371,17 +2389,67 @@ def build_image_doc(
                                   rng.randrange(256)))
         rgb = b"".join(rows)
         ref = image_media_ref(w, h, "RGB", rgb)
-    else:  # GIF: global palette, 1-2 full-screen frames
+    else:  # GIF: global palette; plain full-screen or animated frames
+        import numpy as np
+
         n_colors = rng.randrange(2, 17)
         palette = rng.randbytes(3 * n_colors)
-        n_frames = rng.randrange(1, 3)
-        frames_idx = [bytes(rng.randrange(n_colors) for _ in range(w * h))
-                      for _ in range(n_frames)]
-        data = pixels_to_gif(frames_idx, w, h, palette)
-        refs = []
-        for idx in frames_idx:
-            rgb = b"".join(palette[3 * i: 3 * i + 3] for i in idx)
-            refs.append(image_media_ref(w, h, "P", rgb))
+        pal_arr = np.frombuffer(palette, np.uint8).reshape(n_colors, 3)
+        if rng.random() < 0.5:  # plain: 1-2 independent full-screen frames
+            n_frames = rng.randrange(1, 3)
+            frames_idx = [bytes(rng.randrange(n_colors)
+                                for _ in range(w * h))
+                          for _ in range(n_frames)]
+            data = pixels_to_gif(frames_idx, w, h, palette)
+            refs = []
+            for idx in frames_idx:
+                rgb = b"".join(palette[3 * i: 3 * i + 3] for i in idx)
+                refs.append(image_media_ref(w, h, "P", rgb))
+        else:  # animated: subrects + disposal + transparency; the
+            # generator composes frames itself (independent of the
+            # decoder's composition) to hand-compute the expectations
+            n_frames = rng.randrange(2, 4)
+            frames_idx: list[bytes] = []
+            metas: list[dict] = []
+            screen = np.zeros((h, w), np.uint8)  # bg index 0
+            refs = []
+            for k in range(n_frames):
+                if k == 0:
+                    rect = (0, 0, w, h)
+                else:
+                    fw = rng.randrange(1, w + 1)
+                    fh = rng.randrange(1, h + 1)
+                    rect = (rng.randrange(0, w - fw + 1),
+                            rng.randrange(0, h - fh + 1), fw, fh)
+                grid = np.frombuffer(
+                    rng.randbytes(rect[2] * rect[3]), np.uint8
+                ).astype(np.uint8) % n_colors
+                grid = grid.reshape(rect[3], rect[2])
+                meta: dict = {"rect": rect}
+                if k > 0:
+                    meta["disposal"] = rng.choice([0, 2, 3])
+                    if rng.random() < 0.5 and n_colors > 1:
+                        meta["transparent"] = int(grid.flat[0])
+                frames_idx.append(grid.tobytes())
+                metas.append(meta)
+                before = screen.copy()
+                x0, y0, fw, fh = rect
+                target = screen[y0: y0 + fh, x0: x0 + fw]
+                t = meta.get("transparent")
+                if t is not None:
+                    m = grid != t
+                    target[m] = grid[m]
+                else:
+                    target[:] = grid
+                refs.append(image_media_ref(
+                    w, h, "P", pal_arr[screen].tobytes()))
+                d = meta.get("disposal", 0)
+                if d == 2:
+                    screen[y0: y0 + fh, x0: x0 + fw] = 0
+                elif d == 3:
+                    screen = before
+            data = pixels_to_gif(frames_idx, w, h, palette,
+                                 frames_meta=metas)
         b64 = base64.b64encode(data).decode("ascii")
         return (b64, [("picture", "", r) for r in refs],
                 S.STATUS_SUCCESS)

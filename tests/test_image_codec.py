@@ -784,3 +784,49 @@ def test_adam7_literal_tiny():
     assert mode == "RGB"
     assert arr.tolist() == [[[0x10, 0x20, 0x30], [0x40, 0x50, 0x60]],
                             [[0x70, 0x80, 0x90], [0xA0, 0xB0, 0xC0]]]
+
+
+def test_gif_disposal_and_transparency_literal():
+    """Hand-built 2-frame GIF: frame 1 paints a 1x1 subrect with a
+    transparent-index pixel (leaves canvas) after frame 0 painted the
+    screen; disposal 2 on frame 0 restores background first."""
+    from docling_ray.stages.image_codec import decode_gif
+    from docling_ray.synth import pixels_to_gif
+
+    pal = bytes([10, 0, 0,  0, 20, 0,  0, 0, 30])  # idx0 bg, idx1, idx2
+    # frame 0: full 2x1 screen [1, 2], disposal 2 (restore to bg after)
+    # frame 1: rect (1,0,1,1) painting transparent idx 1 -> canvas kept
+    data = pixels_to_gif(
+        [bytes([1, 2]), bytes([1])], 2, 1, pal,
+        frames_meta=[{"rect": (0, 0, 2, 1), "disposal": 2},
+                     {"rect": (1, 0, 1, 1), "transparent": 1}])
+    frames = decode_gif(data)
+    assert len(frames) == 2
+    f0 = frames[0][0].tolist()
+    assert f0 == [[[0, 20, 0], [0, 0, 30]]]
+    # after disposal 2 the canvas is bg (idx 0) everywhere; frame 1's
+    # only pixel is transparent, so the composed frame is all-bg
+    f1 = frames[1][0].tolist()
+    assert f1 == [[[10, 0, 0], [10, 0, 0]]]
+
+
+def test_gif_disposal_previous():
+    """Disposal 3 restores the pre-frame canvas for the NEXT frame."""
+    from docling_ray.stages.image_codec import decode_gif
+    from docling_ray.synth import pixels_to_gif
+
+    pal = bytes([1, 1, 1,  2, 2, 2,  3, 3, 3])
+    data = pixels_to_gif(
+        [bytes([0]), bytes([1]), bytes([2])], 1, 1, pal,
+        frames_meta=[{}, {"rect": (0, 0, 1, 1), "disposal": 3}, {}])
+    frames = decode_gif(data)
+    assert [f[0][0, 0].tolist() for f in frames] == [
+        [1, 1, 1], [2, 2, 2], [3, 3, 3]]
+    # and with a transparent third frame the restored canvas (frame 0)
+    # shows through
+    data = pixels_to_gif(
+        [bytes([0]), bytes([1]), bytes([2])], 1, 1, pal,
+        frames_meta=[{}, {"rect": (0, 0, 1, 1), "disposal": 3},
+                     {"transparent": 2}])
+    frames = decode_gif(data)
+    assert frames[2][0][0, 0].tolist() == [1, 1, 1]
