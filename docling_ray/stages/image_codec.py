@@ -500,8 +500,11 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
             raise ImageError(f"TIFF bad dimensions {width}x{height}")
         if any(b != 8 for b in bits):
             raise ImageError(f"TIFF bits/sample {bits} not supported")
-        if comp not in (1, 32773):
+        if comp not in (1, 5, 32773):
             raise ImageError(f"TIFF compression {comp} not supported")
+        predictor = tags.get(317, [1])[0]
+        if predictor not in (1, 2):
+            raise ImageError(f"TIFF predictor {predictor} not supported")
         if spp not in (1, 3, 4):
             raise ImageError(f"TIFF {spp} samples/px not supported")
         if not strip_offs:
@@ -515,12 +518,23 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
             if comp == 32773:
                 n_rows = min(rows_per_strip, height - si * rows_per_strip)
                 chunk = _unpackbits_decode(chunk, n_rows * row_bytes)
+            elif comp == 5:  # TIFF LZW: the PDF filter's wire format
+                from docling_ray.stages.pdf_bytes import (PdfError,
+                                                          _pdf_lzw_decode)
+
+                try:
+                    chunk = _pdf_lzw_decode(chunk, early_change=1)
+                except PdfError as e:
+                    raise ImageError(f"TIFF LZW: {e}") from None
             raster += chunk
         need = height * row_bytes
         if len(raster) < need:
             raise ImageError("TIFF raster truncated")
         px = np.frombuffer(bytes(raster[:need]), dtype=np.uint8) \
             .reshape(height, width, spp)
+        if predictor == 2:  # horizontal differencing: cumsum per row
+            px = (np.cumsum(px.astype(np.int64), axis=1) % 256) \
+                .astype(np.uint8)
         if spp == 1:
             if photometric == 0:  # WhiteIsZero
                 px = 255 - px

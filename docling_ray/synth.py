@@ -1205,17 +1205,31 @@ def pixels_to_pnm(rows: list[bytes], width: int, height: int,
 
 
 def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
-                   gray: bool, packbits: bool = False) -> bytes:
+                   gray: bool, packbits: bool = False,
+                   lzw: bool = False, predictor: bool = False) -> bytes:
     """Minimal little-endian TIFF writer: one IFD per frame, one strip,
-    compression none or PackBits (literal-run-only encoding — valid
-    PackBits, independent of the decoder)."""
+    compression none, PackBits (literal-run-only encoding — valid
+    PackBits) or LZW (compression 5, sharing the literal+CLEAR
+    MSB-first encoder with the PDF filter writer), optionally with
+    predictor 2 (horizontal differencing) — all independent of the
+    decoder."""
     spp = 1 if gray else 3
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_pos = 4
 
     for fi, rows in enumerate(frames):
+        if predictor:  # horizontal differencing per row, per sample
+            diffed = []
+            for row in rows:
+                d = bytearray(row)
+                for x in range(len(d) - 1, spp - 1, -1):
+                    d[x] = (d[x] - d[x - spp]) & 0xFF
+                diffed.append(bytes(d))
+            rows = diffed
         raster = b"".join(rows)
-        if packbits:
+        if lzw:
+            strip = _enc_pdf_lzw(raster)
+        elif packbits:
             # literal runs of ≤128 bytes per row (no RLE — still valid)
             enc = bytearray()
             for row in rows:
@@ -1226,6 +1240,7 @@ def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
             strip = bytes(enc)
         else:
             strip = raster
+        comp_tag = 5 if lzw else (32773 if packbits else 1)
         strip_off = len(out)
         out += strip
         if len(out) % 2:
@@ -1235,13 +1250,15 @@ def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
             (256, 4, 1, width),            # ImageWidth
             (257, 4, 1, height),           # ImageLength
             (258, 3, spp, None),           # BitsPerSample (8 each)
-            (259, 3, 1, 32773 if packbits else 1),
+            (259, 3, 1, comp_tag),
             (262, 3, 1, 1),                # BlackIsZero
             (273, 4, 1, strip_off),        # StripOffsets
             (277, 3, 1, spp),              # SamplesPerPixel
             (278, 4, 1, height),           # RowsPerStrip
             (279, 4, 1, len(strip)),       # StripByteCounts
         ]
+        if predictor:
+            entries.append((317, 3, 1, 2))  # Predictor: horizontal diff
         extra = b""
         extra_base = ifd_off + 2 + 12 * len(entries) + 4
         body = bytearray(_struct.pack("<H", len(entries)))
@@ -2312,8 +2329,13 @@ def build_image_doc(
         n_pages = rng.randrange(1, 4)
         frames = [[rng.randbytes(3 * w) for _ in range(h)]
                   for _ in range(n_pages)]
-        data = pixels_to_tiff(frames, w, h, gray=False,
-                              packbits=(variant == 8))
+        if variant == 8:
+            data = pixels_to_tiff(frames, w, h, gray=False, packbits=True)
+        elif rng.random() < 0.5:  # LZW strips, half with predictor 2
+            data = pixels_to_tiff(frames, w, h, gray=False, lzw=True,
+                                  predictor=rng.random() < 0.5)
+        else:
+            data = pixels_to_tiff(frames, w, h, gray=False)
         refs = [image_media_ref(w, h, "RGB", b"".join(rows))
                 for rows in frames]
         b64 = base64.b64encode(data).decode("ascii")

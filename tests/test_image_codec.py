@@ -830,3 +830,20 @@ def test_gif_disposal_previous():
                      {"transparent": 2}])
     frames = decode_gif(data)
     assert frames[2][0][0, 0].tolist() == [1, 1, 1]
+
+
+def test_tiff_lzw_and_predictor():
+    """Compression 5 (LZW, the PDF filter's wire format) with and
+    without predictor 2 (horizontal differencing)."""
+    import random
+
+    from docling_ray.stages.image_codec import decode_tiff
+    from docling_ray.synth import pixels_to_tiff
+
+    rng = random.Random(8)
+    frames = [[rng.randbytes(3 * 9) for _ in range(7)]]
+    for pred in (False, True):
+        arr, mode = decode_tiff(pixels_to_tiff(frames, 9, 7, gray=False,
+                                               lzw=True, predictor=pred))[0]
+        exp = np.frombuffer(b"".join(frames[0]), np.uint8).reshape(7, 9, 3)
+        assert mode == "RGB" and (arr == exp).all(), pred
