@@ -299,8 +299,46 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
 # BMP
 # ---------------------------------------------------------------------------
 
+def _bmp_rle8(data: bytes, width: int, height: int) -> np.ndarray:
+    """BI_RLE8 → index grid in STORAGE row order (bottom-up handled by
+    the caller). Escapes: 0=end-of-line, 1=end-of-bitmap, 2=delta;
+    count>=3 after 0 is absolute mode (word-aligned)."""
+    grid = np.zeros((height, width), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= height or x + cnt > width:
+                raise ImageError("BMP RLE8 run outside bitmap")
+            grid[y, x: x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return grid
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ImageError("BMP RLE8 truncated delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ImageError("BMP RLE8 delta outside bitmap")
+        else:  # absolute mode: val literal indices, padded to even
+            if y >= height or x + val > width or i + val > n:
+                raise ImageError("BMP RLE8 absolute run outside bitmap")
+            grid[y, x: x + val] = np.frombuffer(data, np.uint8, val, i)
+            x += val
+            i += val + (val & 1)
+    return grid
+
+
 def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
-    """BMP bytes → (HxWx3 uint8 RGB, mode). BI_RGB 24/32-bit only."""
+    """BMP bytes → (HxWx3 uint8 RGB, mode). BI_RGB 24/32-bit truecolor,
+    plus 8-bit paletted (BI_RGB or BI_RLE8 runs)."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ImageError("not a BMP")
     pix_off = struct.unpack("<I", data[10:14])[0]
@@ -310,14 +348,42 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
     width, height_raw = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     compression = struct.unpack("<I", data[30:34])[0]
-    if compression != 0:
+    clr_used = struct.unpack("<I", data[46:50])[0]
+    if bpp == 8:
+        if compression not in (0, 1):
+            raise ImageError(f"BMP compression {compression} not supported")
+    elif compression != 0:
         raise ImageError(f"BMP compression {compression} not supported")
-    if bpp not in (24, 32):
+    if bpp not in (8, 24, 32):
         raise ImageError(f"BMP {bpp}-bit not supported")
     if width <= 0 or height_raw == 0 or \
             width * abs(height_raw) > _max_pixels():
         raise ImageError(f"BMP bad dimensions {width}x{height_raw}")
     height = abs(height_raw)
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(data):
+            raise ImageError("BMP palette truncated")
+        quads = np.frombuffer(data, np.uint8, 4 * n_colors,
+                              pal_off).reshape(n_colors, 4)
+        palette = np.ascontiguousarray(quads[:, 2::-1])  # BGRx → RGB
+        if compression == 1:
+            grid = _bmp_rle8(data[pix_off:], width, height)
+        else:
+            row_bytes = (width + 3) & ~3
+            need = pix_off + row_bytes * height
+            if len(data) < need:
+                raise ImageError(
+                    f"BMP pixel data truncated ({len(data)} < {need})")
+            grid = np.frombuffer(data, np.uint8, row_bytes * height,
+                                 pix_off).reshape(height,
+                                                  row_bytes)[:, :width]
+        if int(grid.max(initial=0)) >= n_colors:
+            raise ImageError("BMP palette index out of range")
+        if height_raw > 0:  # bottom-up storage
+            grid = grid[::-1]
+        return np.ascontiguousarray(palette[grid]), "P"
     bytes_px = bpp // 8
     row_bytes = (width * bytes_px + 3) & ~3
     need = pix_off + row_bytes * height

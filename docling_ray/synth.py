@@ -1196,6 +1196,42 @@ def pixels_to_bmp(rgb_rows: list[bytes], width: int, height: int) -> bytes:
     return header + bytes(raster)
 
 
+def pixels_to_bmp8(idx_rows: list[bytes], width: int, height: int,
+                   palette: bytes, rle: bool = False) -> bytes:
+    """8-bit paletted BMP writer (bottom-up rows), BI_RGB or BI_RLE8
+    (encoded runs + end-of-line/end-of-bitmap escapes). ``palette`` is
+    RGB triples; storage quads are BGR0."""
+    n_colors = len(palette) // 3
+    quads = b"".join(bytes((palette[3 * i + 2], palette[3 * i + 1],
+                            palette[3 * i], 0)) for i in range(n_colors))
+    if rle:
+        raster = bytearray()
+        for row in reversed(idx_rows):  # bottom-up
+            x = 0
+            while x < width:
+                run = 1
+                while (x + run < width and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                raster += bytes([run, row[x]])
+                x += run
+            raster += b"\x00\x00"  # end of line
+        raster += b"\x00\x01"  # end of bitmap
+        compression = 1
+    else:
+        pad = (-width) % 4
+        raster = bytearray()
+        for row in reversed(idx_rows):
+            raster += row + b"\x00" * pad
+        compression = 0
+    pix_off = 54 + len(quads)
+    header = (b"BM" + _struct.pack("<IHHI", pix_off + len(raster), 0, 0,
+                                   pix_off)
+              + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                             compression, len(raster), 0, 0, n_colors, 0))
+    return header + quads + bytes(raster)
+
+
 def pixels_to_pnm(rows: list[bytes], width: int, height: int,
                   gray: bool) -> bytes:
     """Binary P5 (gray) / P6 (RGB) writer."""
@@ -2279,7 +2315,18 @@ def build_image_doc(
     variant = rng.randrange(13)
     from docling_ray.functions.refs import image_media_ref
 
-    if variant == 0 or variant == 4:  # RGB png / bmp
+    if variant == 4 and rng.random() < 0.5:  # paletted BMP (plain / RLE8)
+        n_colors = rng.randrange(2, 17)
+        palette = rng.randbytes(3 * n_colors)
+        idx_rows = [bytes(rng.randrange(n_colors) for _ in range(w))
+                    for _ in range(h)]
+        data = pixels_to_bmp8(idx_rows, w, h, palette,
+                              rle=rng.random() < 0.5)
+        rgb = b"".join(
+            bytes(v for i in row for v in palette[3 * i: 3 * i + 3])
+            for row in idx_rows)
+        ref = image_media_ref(w, h, "P", rgb)
+    elif variant == 0 or variant == 4:  # RGB png / bmp
         rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]
         rgb = b"".join(rgb_rows)
         if variant == 0:

@@ -847,3 +847,37 @@ def test_tiff_lzw_and_predictor():
                                                lzw=True, predictor=pred))[0]
         exp = np.frombuffer(b"".join(frames[0]), np.uint8).reshape(7, 9, 3)
         assert mode == "RGB" and (arr == exp).all(), pred
+
+
+def test_bmp8_palette_rle_and_absolute_mode():
+    """Paletted BMP: writer round trip for plain/RLE8, plus a hand-built
+    RLE8 stream exercising absolute mode and the delta escape."""
+    import struct as st
+
+    from docling_ray.stages.image_codec import decode_bmp
+    from docling_ray.synth import pixels_to_bmp8
+
+    pal = bytes([250, 0, 0,  0, 250, 0,  0, 0, 250,  9, 9, 9])
+    rows = [bytes([0, 1, 2, 3]), bytes([3, 3, 3, 3])]
+    for rle in (False, True):
+        arr, mode = decode_bmp(pixels_to_bmp8(rows, 4, 2, pal, rle=rle))
+        assert mode == "P"
+        assert arr[0].tolist() == [[250, 0, 0], [0, 250, 0],
+                                   [0, 0, 250], [9, 9, 9]]
+        assert arr[1].tolist() == [[9, 9, 9]] * 4
+    # hand-built: absolute run of 3, delta (0,1), a run — 4x3 top-down
+    quads = b"".join(bytes((pal[3*i+2], pal[3*i+1], pal[3*i], 0))
+                     for i in range(4))
+    raster = (b"\x00\x03" + bytes([0, 1, 2]) + b"\x00"  # absolute 3 + pad
+              + b"\x00\x02\x00\x01"                      # delta dx=0 dy=1
+              + b"\x01\x03"                              # run: one idx 3
+              + b"\x00\x01")                             # end of bitmap
+    pix_off = 54 + len(quads)
+    hdr = (b"BM" + st.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
+           + st.pack("<IiiHHIIiiII", 40, 4, -3, 1, 8, 1, len(raster),
+                     0, 0, 4, 0))  # top-down (negative height)
+    arr, _ = decode_bmp(hdr + quads + raster)
+    assert arr[0].tolist() == [[250, 0, 0], [0, 250, 0], [0, 0, 250],
+                               [250, 0, 0]]  # idx 0,1,2, untouched bg 0
+    assert arr[1].tolist() == [[250, 0, 0]] * 3 + [[9, 9, 9]]
+    assert arr[2].tolist() == [[250, 0, 0]] * 4  # untouched bg row
