@@ -925,7 +925,18 @@ def interpret_content(
                 x, y = lx, ly
                 emit(stack[-1] if isinstance(stack[-1], str) else "")
             elif op == "TJ" and stack and isinstance(stack[-1], list):
-                emit("".join(t for t in stack[-1] if isinstance(t, str)))
+                # numeric array elements kern the pen by -n/1000 em;
+                # kerns wider than ~a space are word gaps many real PDFs
+                # use instead of space glyphs — render them as spaces so
+                # words don't fuse (pdfium/docling word assembly parity)
+                parts: list[str] = []
+                for t in stack[-1]:
+                    if isinstance(t, str):
+                        parts.append(t)
+                    elif isinstance(t, (int, float)) and float(t) <= -180:
+                        if parts and not parts[-1].endswith(" "):
+                            parts.append(" ")
+                emit("".join(parts))
             elif op == "q":
                 ctm_stack.append(ctm)
             elif op == "Q":

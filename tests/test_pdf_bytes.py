@@ -324,3 +324,39 @@ def test_filter_variants_extract_end_to_end():
         if base is None:
             base = cells
         assert cells == base, filt
+
+
+def test_tj_kern_word_gaps():
+    """TJ numeric kerns wider than ~a space become word separators;
+    small kerns (letter-fitting) do not split words."""
+    import zlib as zl
+
+    from docling_ray.stages.pdf_bytes import parse_pdf_pages
+
+    content = b"BT /F1 10 Tf 12 TL 50 700 Td " \
+              b"[(Hello) -300 (world) -40 (!)] TJ ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R >>",
+    }
+    comp = zl.compress(content)
+    objs[4] = (b"<< /Filter /FlateDecode /Length "
+               + str(len(comp)).encode() + b" >>\nstream\n" + comp
+               + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num in sorted(objs):
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for num in sorted(objs):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    pages = parse_pdf_pages(bytes(out))
+    texts = [c["text"] for c in pages[0]["cells"]]
+    assert texts == ["Hello world!"]
