@@ -354,6 +354,71 @@ def _pdf_lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def _parse_tounicode(text: bytes) -> tuple[dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream (beginbfchar / beginbfrange /
+    begincodespacerange) → (code → unicode map, code byte length).
+    bfrange destinations increment their final 16-bit unit per the CMap
+    spec; array-form ranges list one destination per code."""
+    mapping: dict[int, str] = {}
+    code_len = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", text, re.S)
+    if m:
+        h = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if h:
+            code_len = max(1, len(h.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", text, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                              m.group(1)):
+            src = int(pm.group(1), 16)
+            mapping[src] = bytes.fromhex(
+                pm.group(2).decode("ascii")).decode("utf-16-be", "replace")
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", text, re.S):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)", m.group(1)
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise PdfError("ToUnicode: bad bfrange bounds")
+            tgt = rm.group(3)
+            if tgt.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", tgt)
+                for k, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + k] = bytes.fromhex(
+                        d.decode("ascii")).decode("utf-16-be", "replace")
+            else:
+                base = bytes.fromhex(tgt[1:-1].decode("ascii"))
+                if len(base) >= 2:
+                    head, last = base[:-2], int.from_bytes(base[-2:], "big")
+                else:
+                    head, last = b"", int.from_bytes(base, "big")
+                for k in range(hi - lo + 1):
+                    dst = head + ((last + k) & 0xFFFF).to_bytes(2, "big")
+                    mapping[lo + k] = dst.decode("utf-16-be", "replace")
+    return mapping, code_len
+
+
+def _apply_tounicode(s: str, mapping: dict[int, str], code_len: int) -> str:
+    """Re-map a show-text string through the active font's ToUnicode
+    CMap. The lexer decoded string bytes as latin-1 (lossless byte ↔
+    char), so the raw code bytes are recoverable; strings that came in
+    as real UTF-16 text pass through unchanged."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s
+    out = []
+    n = len(raw)
+    i = 0
+    while i + code_len <= n:
+        out.append(mapping.get(
+            int.from_bytes(raw[i: i + code_len], "big"), "�"))
+        i += code_len
+    if i < n:  # trailing short code
+        out.append(mapping.get(int.from_bytes(raw[i:], "big"), "�"))
+    return "".join(out)
+
+
 def _decode_pdf_text(raw: bytes) -> str:
     """PDF text-string decode: UTF-16BE when BOM-prefixed, else latin-1
     (the PDFDocEncoding subset our writer/corpus uses)."""
@@ -813,8 +878,29 @@ def interpret_content(
     stack: list[Any] = []
     pending_rects: list[tuple[float, float, float, float]] = []
 
+    # per-font ToUnicode CMaps (CID/Type0 text), resolved lazily on Tf
+    cmap: tuple[dict[int, str], int] | None = None
+    cmap_cache: dict[str, tuple[dict[int, str], int] | None] = {}
+
+    def font_cmap(name: str):
+        if name in cmap_cache:
+            return cmap_cache[name]
+        result = None
+        if doc is not None and isinstance(resources, dict):
+            fonts = doc.resolve(resources.get("Font"))
+            if isinstance(fonts, dict):
+                fd = doc.resolve(fonts.get(name))
+                if isinstance(fd, dict):
+                    tu = doc.resolve(fd.get("ToUnicode"))
+                    if isinstance(tu, Stream):
+                        result = _parse_tounicode(doc.stream_data(tu))
+        cmap_cache[name] = result
+        return result
+
     def emit(text: str) -> None:
         nonlocal x
+        if cmap is not None:
+            text = _apply_tounicode(text, cmap[0], cmap[1])
         if text == "":
             return
         b = height - y
@@ -837,6 +923,17 @@ def interpret_content(
     n = len(content)
     match_token = _CS_TOKEN_RE.match
     match_simple = _SIMPLE_BT_RE.match
+    # the fast path skips Tf font tracking, so it must stand down when
+    # any page font carries a ToUnicode CMap (CID text needs remapping)
+    if doc is not None and isinstance(resources, dict):
+        fonts = doc.resolve(resources.get("Font"))
+        if isinstance(fonts, dict):
+            for v in fonts.values():
+                fd = doc.resolve(v)
+                if isinstance(fd, dict) and fd.get("ToUnicode") is not None:
+                    def match_simple(_c, _i):  # noqa: E306
+                        return None
+                    break
     while i < n:
         ms = match_simple(content, i)
         if ms is not None:
@@ -899,6 +996,10 @@ def interpret_content(
                 lx = ly = x = y = 0.0
             elif op == "Tf" and len(stack) >= 2:
                 font = float(stack[-1])
+                fname = stack[-2]
+                cmap = (font_cmap(fname[1])
+                        if isinstance(fname, tuple) and len(fname) == 2
+                        else None)
             elif op == "TL" and stack:
                 leading = float(stack[-1])
             elif op == "Td" and len(stack) >= 2:

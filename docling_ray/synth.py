@@ -762,10 +762,47 @@ _PDF_CONTENT_FILTERS = {
 }
 
 
+def _build_tounicode_cmap(cid_map: dict[str, int]) -> bytes:
+    """Serialize a /ToUnicode CMap for char → CID mapping: runs of >= 3
+    consecutive (ord, cid) pairs become bfrange entries (exercising the
+    increment rule), the rest bfchar — both section kinds appear."""
+    items = sorted((cid, ch) for ch, cid in cid_map.items())
+    ranges: list[tuple[int, int, int]] = []  # (cid_lo, cid_hi, ord_lo)
+    chars: list[tuple[int, int]] = []
+    i = 0
+    while i < len(items):
+        j = i
+        while (j + 1 < len(items)
+               and items[j + 1][0] == items[j][0] + 1
+               and ord(items[j + 1][1]) == ord(items[j][1]) + 1):
+            j += 1
+        if j - i + 1 >= 3:
+            ranges.append((items[i][0], items[j][0], ord(items[i][1])))
+        else:
+            chars.extend((c, ord(ch)) for c, ch in items[i: j + 1])
+        i = j + 1
+    out = [b"/CIDInit /ProcSet findresource begin\n"
+           b"begincmap\n"
+           b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"]
+    if chars:
+        out.append(b"%d beginbfchar\n" % len(chars))
+        for cid, o in chars:
+            out.append(b"<%04X> <%04X>\n" % (cid, o))
+        out.append(b"endbfchar\n")
+    if ranges:
+        out.append(b"%d beginbfrange\n" % len(ranges))
+        for lo, hi, o in ranges:
+            out.append(b"<%04X> <%04X> <%04X>\n" % (lo, hi, o))
+        out.append(b"endbfrange\n")
+    out.append(b"endcmap\nend\n")
+    return b"".join(out)
+
+
 def pages_to_pdf_bytes(pages: list[dict],
                        outline: list[tuple[int, str, int]] | None = None,
                        style: str = "classic",
-                       content_filter: str = "flate") -> bytes:
+                       content_filter: str = "flate",
+                       cid_font: bool = False) -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF file:
     FlateDecode content streams, Helvetica Type1 font, text placed so the
     parser's geometry convention (baseline at cell bottom, leading = cell
@@ -779,10 +816,26 @@ def pages_to_pdf_bytes(pages: list[dict],
     modern-PDF shape the parser must handle independently.
     ``content_filter`` picks the page-content stream encoding: flate
     (default) / lzw / rl / ahx / a85 — the classic PDF stream filters,
-    each encoded here independently of the parser's decoders."""
+    each encoded here independently of the parser's decoders.
+    ``cid_font=True`` writes the text through an Identity-H Type0 font:
+    show strings become 2-byte-CID hex strings and a /ToUnicode CMap
+    stream (bfchar + bfrange sections) carries the mapping — the
+    modern-subset-font shape whose text is garbage without CMap
+    support."""
     objs: dict[int, bytes] = {}
     stream_ids: set[int] = set()
     next_id = [4]  # 1=catalog, 2=pages, 3=font
+    cid_map: dict[str, int] = {}
+    if cid_font:
+        charset = sorted({ch for page in pages
+                          for c in page.get("cells", [])
+                          for ch in c["text"]})
+        cid_map = {ch: k + 1 for k, ch in enumerate(charset)}
+
+    def text_op(text: str) -> str:
+        if not cid_font:
+            return _pdf_text_op(text)
+        return "<" + "".join("%04X" % cid_map[ch] for ch in text) + ">"
 
     def add(body: bytes, *, is_stream: bool = False) -> int:
         oid = next_id[0]
@@ -804,7 +857,7 @@ def pages_to_pdf_bytes(pages: list[dict],
                 f"BT /F1 {_pdf_num(c['font_size'])} Tf "
                 f"{_pdf_num(lead)} TL "
                 f"{_pdf_num(c['l'])} {_pdf_num(h - c['b'])} Td "
-                f"{_pdf_text_op(c['text'])} Tj ET"
+                f"{text_op(c['text'])} Tj ET"
             )
         for reg in page.get("tables", []):
             ops.append(
@@ -893,7 +946,22 @@ def pages_to_pdf_bytes(pages: list[dict],
     objs[2] = (b"<< /Type /Pages /Kids ["
                + b" ".join(b"%d 0 R" % p for p in page_ids)
                + b"] /Count " + str(len(page_ids)).encode() + b" >>")
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if cid_font:
+        cmap_data = zlib.compress(_build_tounicode_cmap(cid_map))
+        tu_id = add(
+            b"<< /Filter /FlateDecode /Length "
+            + str(len(cmap_data)).encode() + b" >>\nstream\n" + cmap_data
+            + b"\nendstream", is_stream=True)
+        desc_id = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>")
+        objs[3] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+                   b" /Encoding /Identity-H /DescendantFonts ["
+                   + str(desc_id).encode() + b" 0 R] /ToUnicode "
+                   + str(tu_id).encode() + b" 0 R >>")
+    else:
+        objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     if style == "xrefstream":
         return _serialize_pdf_xrefstream(objs, stream_ids)
@@ -1053,8 +1121,11 @@ def build_pdf_bytes_doc(
     style = "xrefstream" if rng.random() < 0.5 else "classic"
     content_filter = (rng.choice(["lzw", "rl", "ahx", "a85"])
                       if rng.random() < 0.33 else "flate")
+    # a quarter of files write text through an Identity-H Type0 font
+    # with a /ToUnicode CMap (the modern-subset-font shape)
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
-                              style=style, content_filter=content_filter)
+                              style=style, content_filter=content_filter,
+                              cid_font=rng.random() < 0.25)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
             exp_outline)

@@ -360,3 +360,48 @@ def test_tj_kern_word_gaps():
     pages = parse_pdf_pages(bytes(out))
     texts = [c["text"] for c in pages[0]["cells"]]
     assert texts == ["Hello world!"]
+
+
+def test_tounicode_cmap_literals():
+    """Pin the CMap parser on hand-written bfchar/bfrange sections."""
+    from docling_ray.stages.pdf_bytes import _apply_tounicode, _parse_tounicode
+
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <0041>\n<0002> <00E9>\nendbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+            b"1 beginbfrange\n<0020> <0021> [<0058> <20AC>]\nendbfrange\n")
+    mapping, code_len = _parse_tounicode(cmap)
+    assert code_len == 2
+    assert mapping[1] == "A" and mapping[2] == "é"
+    assert (mapping[0x10], mapping[0x11], mapping[0x12]) == ("a", "b", "c")
+    assert mapping[0x20] == "X" and mapping[0x21] == "€"
+    # raw 2-byte codes arrive latin-1-decoded from the lexer
+    raw = bytes([0, 1, 0, 0x10, 0, 0x21]).decode("latin-1")
+    assert _apply_tounicode(raw, mapping, 2) == "Aa€"
+    # unmapped code -> replacement char, never an exception
+    raw = bytes([0, 0x7F]).decode("latin-1")
+    assert _apply_tounicode(raw, mapping, 2) == "�"
+
+
+def test_cid_font_extracts_like_type1():
+    """Identity-H Type0 text with /ToUnicode recovers the same cells as
+    the Type1 twin across styles and stream filters."""
+    import json as _json
+    import random
+
+    from docling_ray.stages.pdf_bytes import parse_pdf_pages
+    from docling_ray.synth import build_pdf_page, pages_to_pdf_bytes
+
+    rng = random.Random(15)
+    payload, _, _ = build_pdf_page(rng, ["spark", "graft", "table"], "cf",
+                                   page_no=1, media_seq=[0],
+                                   first_page=True, two_col_allowed=False)
+    page = _json.loads(payload)
+    base = parse_pdf_pages(pages_to_pdf_bytes([page]))
+    for style in ("classic", "xrefstream"):
+        for filt in ("flate", "lzw"):
+            got = parse_pdf_pages(pages_to_pdf_bytes(
+                [page], style=style, content_filter=filt, cid_font=True))
+            a = [(c["text"], round(c["l"], 2)) for c in base[0]["cells"]]
+            b = [(c["text"], round(c["l"], 2)) for c in got[0]["cells"]]
+            assert a == b, (style, filt)
