@@ -33,10 +33,16 @@ embedded font programs). The output feeds the existing geometric layout
 pipeline unchanged, so PDF bytes and pre-parsed ``pdf_cells`` payloads
 share every downstream rule (reference parity anchors in pdf_layout.py).
 
+Text through CID/Type0 fonts decodes via the font's ``/ToUnicode`` CMap
+(bfchar/bfrange/codespacerange); wide negative ``TJ`` kerns render as
+word separators; inline images (``BI..ID..EI``) are skipped as opaque
+spans so their binary payload never reaches the tokenizer.
+
 Limitations (documented, not silent): rotation/skew matrices are ignored
-(translation+scale honored), per-glyph kerning in ``TJ`` is not applied
-to geometry, and JBIG2/JPX/DCT image-payload filters stay undecoded
-(image XObjects carry provenance refs, never pixels, on this path).
+(translation+scale honored), small per-glyph ``TJ`` kerns are not
+applied to geometry, and JBIG2/JPX/DCT image-payload filters stay
+undecoded (image XObjects carry provenance refs, never pixels, on this
+path).
 """
 
 from __future__ import annotations
@@ -1055,6 +1061,17 @@ def interpret_content(
                 flush_rects()
             elif op == "n":
                 pending_rects.clear()
+            elif op == "BI":
+                # inline image: skip to the EI delimiter past the binary
+                # payload (whitespace-EI-whitespace, the standard scan) so
+                # raw sample bytes never reach the tokenizer
+                m_ei = re.compile(
+                    rb"[\x00\t\n\x0c\r\x20]EI(?=[\x00\t\n\x0c\r\x20]|$)"
+                ).search(content, i)
+                if m_ei is None:
+                    raise PdfError("inline image missing EI")
+                i = m_ei.end()
+                stack.clear()
             elif op == "Do" and stack and resources is not None and doc is not None:
                 name = stack[-1][1] if isinstance(stack[-1], tuple) else None
                 xobjs = doc.resolve(resources.get("XObject", {})) or {}

@@ -405,3 +405,16 @@ def test_cid_font_extracts_like_type1():
             a = [(c["text"], round(c["l"], 2)) for c in base[0]["cells"]]
             b = [(c["text"], round(c["l"], 2)) for c in got[0]["cells"]]
             assert a == b, (style, filt)
+
+
+def test_inline_image_skipped():
+    """BI..ID..EI binary payload (including bytes that look like tokens)
+    is skipped; surrounding text still extracts."""
+    from docling_ray.stages.pdf_bytes import interpret_content
+
+    content = (b"BT /F1 10 Tf 12 TL 50 700 Td (before) Tj ET\n"
+               b"BI /W 4 /H 1 /CS /G /BPC 8 ID \x00\xff(\\garbage BT ( EI\n"
+               b"BT /F1 10 Tf 12 TL 50 680 Td (after) Tj ET")
+    page = interpret_content(content, height=792.0, page_no=1,
+                             resources=None, doc=None)
+    assert [c["text"] for c in page["cells"]] == ["before", "after"]
