@@ -811,7 +811,7 @@ class PdfDocument:
 # path is a pure shortcut, never a semantic change.
 _SIMPLE_BT_RE = re.compile(
     rb"""[\x00\t\n\x0c\r\x20]*BT
-     [\x00\t\n\x0c\r\x20]+/[^\x00\t\n\x0c\r\x20]+
+     [\x00\t\n\x0c\r\x20]+/(?P<fn>[^\x00\t\n\x0c\r\x20]+)
      [\x00\t\n\x0c\r\x20]+(?P<fs>[+-]?(?:\d+\.?\d*|\.\d+))
      [\x00\t\n\x0c\r\x20]+Tf
      [\x00\t\n\x0c\r\x20]+(?P<tl>[+-]?(?:\d+\.?\d*|\.\d+))
@@ -819,7 +819,8 @@ _SIMPLE_BT_RE = re.compile(
      [\x00\t\n\x0c\r\x20]+(?P<x>[+-]?(?:\d+\.?\d*|\.\d+))
      [\x00\t\n\x0c\r\x20]+(?P<y>[+-]?(?:\d+\.?\d*|\.\d+))
      [\x00\t\n\x0c\r\x20]+Td
-     [\x00\t\n\x0c\r\x20]+\((?P<txt>(?:[^()\\]|\\.)*)\)
+     [\x00\t\n\x0c\r\x20]+(?:\((?P<txt>(?:[^()\\]|\\.)*)\)
+       |<(?P<htx>[0-9A-Fa-f\x00\t\n\x0c\r\x20]*)>)
      [\x00\t\n\x0c\r\x20]*Tj
      [\x00\t\n\x0c\r\x20]+ET(?=[\x00\t\n\x0c\r\x20]|$)""",
     re.VERBOSE | re.DOTALL,
@@ -929,28 +930,29 @@ def interpret_content(
     n = len(content)
     match_token = _CS_TOKEN_RE.match
     match_simple = _SIMPLE_BT_RE.match
-    # the fast path skips Tf font tracking, so it must stand down when
-    # any page font carries a ToUnicode CMap (CID text needs remapping)
-    if doc is not None and isinstance(resources, dict):
-        fonts = doc.resolve(resources.get("Font"))
-        if isinstance(fonts, dict):
-            for v in fonts.values():
-                fd = doc.resolve(v)
-                if isinstance(fd, dict) and fd.get("ToUnicode") is not None:
-                    def match_simple(_c, _i):  # noqa: E306
-                        return None
-                    break
     while i < n:
         ms = match_simple(content, i)
+        if ms is not None and b"#" in ms.group("fn"):
+            ms = None  # #-escaped font name: take the general tokenizer
         if ms is not None:
             font = float(ms.group("fs"))
             leading = float(ms.group("tl"))
             lx = x = float(ms.group("x"))
             ly = y = float(ms.group("y"))
+            # the fast path tracks the block's font too, so CID/Type0
+            # text (ToUnicode CMaps) stays on the shortcut
+            cmap = font_cmap(ms.group("fn").decode("latin-1"))
             raw = ms.group("txt")
-            if b"\\" in raw:
-                raw = _unescape_lit(raw)
-            emit(_decode_pdf_text(raw))
+            if raw is not None:
+                if b"\\" in raw:
+                    raw = _unescape_lit(raw)
+                emit(_decode_pdf_text(raw))
+            else:
+                hx = re.sub(rb"[\x00\t\n\x0c\r\x20]", b"",
+                            ms.group("htx"))
+                if len(hx) % 2:
+                    hx += b"0"
+                emit(_decode_pdf_text(bytes.fromhex(hx.decode("ascii"))))
             i = ms.end()
             continue
         m = match_token(content, i)
