@@ -261,6 +261,20 @@ def _repetition(sf_dir: str):
                           batch_format="pyarrow").sort("doc_id")
 
 
+def _line_dedup(sf_dir: str):
+    from docling_ray.stages.dedup import line_dedup
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(ds, words_per_line=3, min_docs=2).sort("doc_id")
+
+
+def _tfidf_topk(sf_dir: str):
+    from docling_ray.stages.text_quality import tfidf_topk
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=5).sort(["doc_id", "rank"])
+
+
 def _quality(sf_dir: str):
     import ray
 
@@ -725,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "repetition": _repetition,
         "quality": _quality,
+        "line_dedup": _line_dedup,
+        "tfidf_topk": _tfidf_topk,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
@@ -1195,6 +1211,48 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(b.top_b, 0) * 1000000 // greatest(t.n_words - 1, 1) "
             "AS top_bigram_ppm "
             "FROM top t LEFT JOIN btop b USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "line_dedup": (
+            # 'lines' = fixed 3-word runs (single-line synthetic corpus);
+            # a line is common when >= 2 distinct docs contain it
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS words "
+            "FROM documents), "
+            "l AS (SELECT doc_id, i AS line_idx, "
+            "array_to_string(words[(i*3+1):(i*3+3)], ' ') AS line "
+            "FROM w, UNNEST(range(0, (len(words) + 2) // 3)) t(i)), "
+            "common AS (SELECT line FROM l GROUP BY line "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_lines, "
+            "sum(CASE WHEN line IN (SELECT line FROM common) "
+            "THEN 1 ELSE 0 END)::BIGINT AS n_removed, "
+            "array_to_string(list(line ORDER BY line_idx) "
+            "FILTER (WHERE line NOT IN (SELECT line FROM common)), ' ') "
+            "AS text_clean FROM l GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines, "
+            "coalesce(a.n_removed, 0) AS n_removed, "
+            "coalesce(a.text_clean, '') AS text_clean "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "ORDER BY d.doc_id"
+        ),
+        "tfidf_topk": (
+            # linear-idf TF-IDF: score = tf * N * 1e6 // df (integer
+            # arithmetic both sides — no float log); ties by token asc
+            "WITH tk AS (SELECT doc_id, "
+            f"{_TOKS} AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS token FROM tk), "
+            "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf "
+            "FROM t GROUP BY 1, 2), "
+            "df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM t GROUP BY 1), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "tf.tf * n.n * 1000000 // df.df AS score, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * n.n * 1000000 // df.df DESC, tf.token) "
+            "AS rank FROM tf JOIN df USING (token), n) "
+            "SELECT doc_id, rank, token, tf, df, score FROM s "
+            "WHERE rank <= 5 ORDER BY doc_id, rank"
         ),
         "quality": (
             "WITH s AS ("

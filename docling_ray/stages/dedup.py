@@ -566,3 +566,98 @@ def simhash_clusters(
         bucket_verified_pairs, batch_format="pyarrow")
     edges = _distinct_pairs(pairs)
     return connected_components(edges).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (RefinedWeb / CCNet paragraph dedup analogue)
+# ---------------------------------------------------------------------------
+
+def _doc_lines(text: str, words_per_line: int) -> list[str]:
+    """Deterministic line segmentation: the corpus is single-line synthetic
+    text, so a 'line' is a fixed run of ``words_per_line`` space-separated
+    words (the last line may be short). Mirrored exactly by the SQL
+    oracle's ``words[(i*w+1):(i*w+w)]`` slices."""
+    words = [w for w in (text or "").split(" ") if w]
+    w = words_per_line
+    return [" ".join(words[i: i + w]) for i in range(0, len(words), w)]
+
+
+def _line_df_partial(batch: pa.Table, words_per_line: int,
+                     text_col: str) -> pa.Table:
+    """Per-batch partial document-frequency of each DISTINCT-per-doc line:
+    emits (line_hash, ndocs) pre-aggregated within the batch so the
+    ``groupby`` shuffle moves one row per (line, batch), never per
+    occurrence. Hashes (not raw lines) ride the shuffle — 8 bytes/row."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        for line in set(_doc_lines(t, words_per_line)):
+            cnt[stable_hash64(line)] += 1
+    items = sorted(cnt.items())
+    return pa.table({
+        "line_hash": pa.array([k for k, _ in items], pa.int64()),
+        "ndocs": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    words_per_line: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Corpus-level line deduplication (the RefinedWeb/CCNet paragraph-hash
+    dedup shape): strip every line whose exact text occurs in >=
+    ``min_docs`` distinct documents. Two passes over the corpus:
+
+      1. distinct-per-doc line hashes -> per-batch partial counts ->
+         ``groupby(line_hash).sum`` -> common-line set. Only (hash, count)
+         pairs shuffle; the text never leaves its block.
+      2. broadcast the common-line hash set (``ray.put`` once, read per
+         task) and strip matching lines per batch.
+
+    Scale note (10^12 docs): the common set is bounded by lines that
+    repeat across documents (boilerplate — small relative to the corpus);
+    if it outgrows the object store, swap the frozenset broadcast for the
+    Bloom bitmap used by the MinHash path (``state/bloom.py``) — false
+    positives then only admit lines into an exact re-check against a
+    partitioned common-lines table. No reference analogue (its scope ends
+    at extraction); semantics defined here, oracle-checked against DuckDB.
+
+    Output: (doc_id, n_lines, n_removed, text_clean), text_clean = kept
+    lines rejoined with single spaces.
+    """
+    from ray.data.aggregate import Sum
+
+    df = ds.map_batches(
+        _line_df_partial, batch_format="pyarrow",
+        fn_kwargs={"words_per_line": words_per_line, "text_col": text_col},
+    ).groupby("line_hash").aggregate(Sum("ndocs", alias_name="ndocs"))
+    common = df.filter(expr=f"ndocs >= {int(min_docs)}") \
+               .select_columns(["line_hash"])
+    common_set = frozenset(
+        h for b in common.iter_batches(batch_format="pyarrow")
+        for h in b["line_hash"].to_numpy(zero_copy_only=False).tolist())
+    common_ref = ray.put(common_set)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        commons = ray.get(common_ref)  # object-store read, once per task
+        n_lines = np.empty(batch.num_rows, np.int64)
+        n_removed = np.empty(batch.num_rows, np.int64)
+        cleaned: list[str] = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            lines = _doc_lines(t, words_per_line)
+            kept = [ln for ln in lines
+                    if stable_hash64(ln) not in commons]
+            n_lines[i] = len(lines)
+            n_removed[i] = len(lines) - len(kept)
+            cleaned.append(" ".join(kept))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines),
+            "n_removed": pa.array(n_removed),
+            "text_clean": pa.array(cleaned, pa.string()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -199,3 +199,91 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
         "top_word_ppm": pa.array(out_top, pa.int64()),
         "top_bigram_ppm": pa.array(out_big, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — corpus document frequency broadcast, per-doc scoring.
+# ---------------------------------------------------------------------------
+
+def _df_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial document frequency: one (token, ndocs) row per
+    distinct token per batch — pre-aggregated so the ``groupby`` shuffle
+    moves vocabulary-sized partials, never per-occurrence rows."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        for tok in set(tokenize(t or "")):
+            cnt[tok] += 1
+    items = sorted(cnt.items())
+    return pa.table({
+        "token": pa.array([k for k, _ in items], pa.string()),
+        "df": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def tfidf_topk(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document top-``k`` distinctive terms by TF-IDF with a *linear*
+    inverse document frequency: ``score = tf * N * 1e6 // df`` (integer
+    arithmetic end to end — monotone in tf·(N/df), no float log so the
+    DuckDB oracle matches bit for bit; see the float policy in
+    pipelines/analytics.py). Ties break by token ascending.
+
+    Scale shape: DF is a per-batch partial count + one vocabulary-sized
+    ``groupby(token).sum`` shuffle; the resulting DF table is
+    language-vocabulary-sized (millions of rows at web scale, not
+    corpus-sized) so it is gathered once and ``ray.put`` broadcast; the
+    scoring pass streams with no shuffle. No reference analogue
+    (SURVEY.md §4); semantics defined here, oracle-checked.
+
+    Output: (doc_id, rank, token, tf, df, score), rank in 1..k.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    df_tbl = ds.map_batches(
+        _df_partial, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    ).groupby("token").aggregate(Sum("df", alias_name="df"))
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b["token"].to_pylist(),
+                          b["df"].to_numpy(zero_copy_only=False).tolist()))
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfs = ray.get(df_ref)  # object-store read, once per task
+        out_id, out_rank, out_tok, out_tf, out_df, out_score = (
+            [], [], [], [], [], [])
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            tf = Counter(tokenize(t or ""))
+            scored = sorted(
+                ((-(c * n_docs * 1_000_000 // dfs[tok]), tok, c)
+                 for tok, c in tf.items()),
+            )[:k]
+            for rank, (neg, tok, c) in enumerate(scored, start=1):
+                out_id.append(did)
+                out_rank.append(rank)
+                out_tok.append(tok)
+                out_tf.append(c)
+                out_df.append(dfs[tok])
+                out_score.append(-neg)
+        return pa.table({
+            "doc_id": pa.array(out_id, batch[id_col].type),
+            "rank": pa.array(out_rank, pa.int64()),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "score": pa.array(out_score, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

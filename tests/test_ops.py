@@ -402,3 +402,57 @@ def test_training_corpus_pipeline(ray_session):
     # 3 fails quality; 4 is an exact dup of 1; 2 is a near-dup of 1
     # (cluster rep = 1) → survivors are 1 and 5
     assert got == [1, 5]
+
+
+def test_line_dedup_strips_shared_lines(ray_session):
+    from docling_ray.stages.dedup import line_dedup
+
+    # docs 1 and 2 share the line "a b c" (words 0-2); doc 3 is clean;
+    # doc 4 is empty (must still appear, zero lines)
+    ds = _docs_ds([
+        (1, "a b c x y z"),
+        (2, "a b c q r s"),
+        (3, "u v w m n o"),
+        (4, ""),
+    ])
+    got = line_dedup(ds, words_per_line=3, min_docs=2).sort("doc_id") \
+        .to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_lines"] == 2 and got.loc[1, "n_removed"] == 1
+    assert got.loc[1, "text_clean"] == "x y z"
+    assert got.loc[2, "text_clean"] == "q r s"
+    assert got.loc[3, "n_removed"] == 0
+    assert got.loc[3, "text_clean"] == "u v w m n o"
+    assert got.loc[4, "n_lines"] == 0 and got.loc[4, "text_clean"] == ""
+
+
+def test_line_dedup_duplicate_line_within_doc_counts_once(ray_session):
+    from docling_ray.stages.dedup import line_dedup
+
+    # "a b c" appears twice in doc 1 but only doc 1 contains it -> kept
+    ds = _docs_ds([(1, "a b c a b c"), (2, "x y z p q r")])
+    got = line_dedup(ds, words_per_line=3, min_docs=2).sort("doc_id") \
+        .to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_removed"] == 0
+    assert got.loc[1, "text_clean"] == "a b c a b c"
+
+
+def test_tfidf_topk_ranks_rare_terms(ray_session):
+    from docling_ray.stages.text_quality import tfidf_topk
+
+    # 'zebra' is unique to doc 1 (df=1) -> outranks the ubiquitous 'the'
+    ds = _docs_ds([
+        (1, "the the zebra the"),
+        (2, "the cat"),
+        (3, "the dog"),
+        (4, "the cat dog"),
+    ])
+    got = tfidf_topk(ds, k=2).sort(["doc_id", "rank"]).to_pandas()
+    d1 = got[got.doc_id == 1].set_index("rank")
+    assert d1.loc[1, "token"] == "zebra" and d1.loc[1, "df"] == 1
+    # score = tf * N * 1e6 // df = 1 * 4e6 // 1
+    assert d1.loc[1, "score"] == 4_000_000
+    # 'the': tf=3, df=4 -> 3 * 4e6 // 4 = 3e6
+    assert d1.loc[2, "token"] == "the" and d1.loc[2, "score"] == 3_000_000
+    # empty-token docs yield no rows; every other doc has <= k rows
+    assert set(got.doc_id) == {1, 2, 3, 4}
+    assert got.groupby("doc_id").size().max() <= 2
