@@ -74,6 +74,25 @@ class Stream(NamedTuple):
     raw: bytes
 
 
+class PdfString(str):
+    """A parsed PDF string that remembers its raw (decrypted) bytes —
+    /O /U /OE /UE and /ID values are binary, and a bytes-roundtrip
+    through the text decode would corrupt anything starting with a
+    UTF-16 BOM."""
+
+    raw: bytes = b""
+
+
+def _str_raw(x: Any) -> bytes:
+    """Raw bytes of a parsed PDF string (lossless via PdfString.raw;
+    latin-1 re-encode as the fallback for plain strs)."""
+    if isinstance(x, PdfString):
+        return x.raw
+    if isinstance(x, str):
+        return x.encode("latin-1", errors="replace")
+    return b""
+
+
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_SCAN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r\x20()<>\[\]{}/%]*")
@@ -85,6 +104,11 @@ class _Lexer:
 
     def __init__(self, data: bytes):
         self.data = data
+        # encryption context: a _StdSecurityHandler plus the (num, gen)
+        # of the object being parsed; strings decrypt at the bytes level
+        # before text decoding (PDF 32000-1 §7.6.2)
+        self.crypt: Any = None
+        self.crypt_obj: tuple[int, int] | None = None
 
     def skip_ws(self, i: int) -> int:
         # one C-level regex pass over the whitespace/comment run
@@ -215,7 +239,7 @@ class _Lexer:
             elif c == 0x29:  # )
                 depth -= 1
                 if depth == 0:
-                    return _decode_pdf_text(bytes(out)), i + 1
+                    return self._finish_string(bytes(out)), i + 1
                 out.append(c)
                 i += 1
             else:
@@ -229,7 +253,15 @@ class _Lexer:
         hx = re.sub(rb"\s", b"", d[i + 1 : j])
         if len(hx) % 2:
             hx += b"0"
-        return _decode_pdf_text(bytes.fromhex(hx.decode("ascii"))), j + 1
+        return self._finish_string(
+            bytes.fromhex(hx.decode("ascii"))), j + 1
+
+    def _finish_string(self, raw: bytes) -> PdfString:
+        if self.crypt is not None and self.crypt_obj is not None:
+            raw = self.crypt.decrypt_string(raw, *self.crypt_obj)
+        s = PdfString(_decode_pdf_text(raw))
+        s.raw = raw
+        return s
 
 
 def _asciihex_decode(data: bytes) -> bytes:
@@ -433,6 +465,102 @@ def _decode_pdf_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+class _StdSecurityHandler:
+    """Standard security handler (/Filter /Standard), empty user
+    password — the "encrypted but openable" shape that covers the vast
+    majority of encrypted PDFs in the wild. Supports V1/V2 (RC4), V4
+    crypt filters (V2 = RC4, AESV2 = AES-128-CBC) and V5/R6 (AESV3 =
+    AES-256). Reference capability anchor: pdfium's standard handler
+    (docling/backend/pypdfium2_backend.py:409). Anything else —
+    non-Standard filters, a required non-empty password — raises
+    PdfError, which the extractor records as a failure row (errors are
+    data, never exceptions)."""
+
+    def __init__(self, edict: dict, id0: bytes, resolve) -> None:
+        from docling_ray.functions.pdfcrypt import (
+            compute_u, r6_file_key_from_user, std_file_key)
+
+        filt = resolve(edict.get("Filter"))
+        if filt != "Standard":
+            raise PdfError(f"unsupported encryption filter {filt!r}")
+        v = int(resolve(edict.get("V", 0)) or 0)
+        rev = int(resolve(edict.get("R", 2)))
+        length = int(resolve(edict.get("Length", 40)) or 40)
+        o_raw = _str_raw(resolve(edict.get("O")))
+        u_raw = _str_raw(resolve(edict.get("U")))
+        p = int(resolve(edict.get("P", -1)))
+        em = resolve(edict.get("EncryptMetadata", True))
+        em = True if em is None else bool(em)
+        self.stm_cfm = self.str_cfm = "V2"  # RC4 unless crypt filters say
+        if v in (1, 2):
+            key_len = 5 if v == 1 else max(5, min(16, length // 8))
+        elif v == 4:
+            key_len = max(5, min(16, length // 8))
+            cf = resolve(edict.get("CF")) or {}
+
+            def cfm_of(name: Any) -> str:
+                name = resolve(name) or "Identity"
+                if name == "Identity":
+                    return "Identity"
+                d = resolve(cf.get(name)) or {}
+                return str(resolve(d.get("CFM", "None")))
+
+            self.stm_cfm = cfm_of(edict.get("StmF", "Identity"))
+            self.str_cfm = cfm_of(edict.get("StrF", "Identity"))
+            for m in (self.stm_cfm, self.str_cfm):
+                if m not in ("V2", "AESV2", "Identity"):
+                    raise PdfError(f"unsupported crypt filter CFM {m!r}")
+            if "AESV2" in (self.stm_cfm, self.str_cfm):
+                key_len = 16
+        elif v == 5:
+            self.stm_cfm = self.str_cfm = "AESV3"
+            ue_raw = _str_raw(resolve(edict.get("UE")))
+            key = r6_file_key_from_user(b"", u_raw, ue_raw)
+            if key is None:
+                raise PdfError("encrypted PDF: password required")
+            self.file_key = key
+            self.rev = rev
+            return
+        else:
+            raise PdfError(f"unsupported encryption version V={v}")
+        self.rev = rev
+        self.file_key = std_file_key(b"", o_raw, p, id0, rev, key_len,
+                                     encrypt_metadata=em)
+        # authenticate the empty user password (Algorithm 6)
+        expect = compute_u(self.file_key, id0, rev)
+        ok = (expect[:16] == u_raw[:16]) if rev >= 3 \
+            else (expect == u_raw[:32])
+        if not ok:
+            raise PdfError("encrypted PDF: password required")
+
+    def _apply(self, data: bytes, num: int, gen: int, cfm: str) -> bytes:
+        from docling_ray.functions.pdfcrypt import (
+            aes_cbc_decrypt, object_key, rc4)
+
+        if cfm == "Identity" or not data:
+            return data
+        if cfm == "AESV3":
+            key = self.file_key  # Algorithm 1.A: no per-object key
+        else:
+            key = object_key(self.file_key, num, gen, aes=cfm == "AESV2")
+        if cfm == "V2":
+            return rc4(key, data)
+        # AES-CBC: leading 16-byte IV, trailing RFC-2898-style padding
+        if len(data) < 32 or len(data) % 16:
+            raise PdfError("encrypted PDF: bad AES payload length")
+        plain = aes_cbc_decrypt(key, data[:16], data[16:])
+        padn = plain[-1]
+        if not 1 <= padn <= 16:
+            raise PdfError("encrypted PDF: bad AES padding")
+        return plain[:-padn]
+
+    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.str_cfm)
+
+    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.stm_cfm)
+
+
 class PdfDocument:
     """Parsed PDF file: object store + page tree."""
 
@@ -451,6 +579,24 @@ class PdfDocument:
             self._scan_objects()
         if not self.offsets and not self.compressed:
             self._scan_objects()
+        self._crypt = None
+        self._encrypt_num = -1
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            if isinstance(enc, Ref):
+                self._encrypt_num = enc.num
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = _str_raw(ids[0]) if isinstance(ids, list) and ids else b""
+            self._crypt = _StdSecurityHandler(
+                self.resolve(enc), id0, self.resolve)
+            self.lex.crypt = self._crypt
+            # objects cached before the handler existed (the /Encrypt
+            # chain itself) hold still-encrypted strings; drop them so a
+            # later fetch re-parses under the decryption context
+            self._cache = {
+                n: v for n, v in self._cache.items()
+                if n == self._encrypt_num}
+            self._loaded_objstms.clear()
         if "Root" not in self.trailer:
             # find the catalog by scanning
             for num in self.offsets:
@@ -624,11 +770,22 @@ class PdfDocument:
         m = re.match(rb"\s*\d+\s+\d+\s+obj", d[off : off + 64])
         if not m:
             raise PdfError(f"object header missing at {off}")
-        val, i = self.lex.parse(off + m.end())
+        decrypting = (self._crypt is not None
+                      and ref.num != self._encrypt_num)
+        if decrypting:
+            self.lex.crypt_obj = (ref.num, ref.gen)
+        try:
+            val, i = self.lex.parse(off + m.end())
+        finally:
+            self.lex.crypt_obj = None
         if isinstance(val, tuple) and val and val[0] == "__stream__":
             _, sdict, data_start = val
             length = self.resolve(sdict.get("Length", 0))
             raw = d[data_start : data_start + int(length)]
+            # streams decrypt before filters (crypt is the outermost
+            # layer); xref streams are never encrypted by spec
+            if decrypting and sdict.get("Type") != "XRef":
+                raw = self._crypt.decrypt_stream(raw, ref.num, ref.gen)
             val = Stream(sdict, raw)
         self._cache[ref.num] = val
         return val

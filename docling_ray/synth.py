@@ -28,8 +28,9 @@ from __future__ import annotations
 
 import base64
 import json
-import zlib
 import random
+import re
+import zlib
 
 import pyarrow as pa
 
@@ -761,6 +762,166 @@ _PDF_CONTENT_FILTERS = {
     "a85": (b"/ASCII85Decode", _enc_ascii85),
 }
 
+# corpus-wide AES-256 material: FIXED (not per-doc) so the expensive
+# revision-6 Algorithm-2.B derivation runs once per process on both the
+# writer (r6_make_entries) and reader (r6_file_key_from_user) lru_caches
+_AES256_FILE_KEY = __import__("hashlib").sha256(
+    b"docling_ray synthetic corpus aes256 file key").digest()
+_AES256_SALTS = __import__("hashlib").sha256(
+    b"docling_ray synthetic corpus aes256 salts").digest()
+
+
+class _PdfEncryptor:
+    """Writer-side standard security handler (empty user/owner password).
+    Serialization-level protocol code lives HERE, independently of the
+    reader (stages/pdf_bytes.py); only the published algorithms in
+    functions/pdfcrypt.py (spec-vector-pinned) are shared. Modes:
+    ``rc4`` = V2/R3 RC4-128, ``aes`` = V4/R4 AESV2 (AES-128-CBC),
+    ``aes256`` = V5/R6 AESV3."""
+
+    def __init__(self, mode: str, seed_bytes: bytes) -> None:
+        import hashlib
+
+        from docling_ray.functions import pdfcrypt as PC
+
+        self.mode = mode
+        self.p = -44
+        h = hashlib.sha256(b"pdfenc" + seed_bytes).digest()
+        self.id0 = h[:16]
+        self._iv_ctr = 0
+        if mode == "rc4":
+            self.rev, self.aes = 3, False
+            self.o = PC.compute_o(b"", b"", 3, 16)
+            self.key = PC.std_file_key(b"", self.o, self.p, self.id0, 3, 16)
+            self.u = PC.compute_u(self.key, self.id0, 3)
+        elif mode == "aes":
+            self.rev, self.aes = 4, True
+            self.o = PC.compute_o(b"", b"", 4, 16)
+            self.key = PC.std_file_key(b"", self.o, self.p, self.id0, 4, 16)
+            self.u = PC.compute_u(self.key, self.id0, 4)
+        elif mode == "aes256":
+            self.rev, self.aes = 6, True
+            self.key = _AES256_FILE_KEY
+            self.u, self.ue, self.o, self.oe = PC.r6_make_entries(
+                self.key, salts=_AES256_SALTS)
+        else:
+            raise ValueError(f"unknown encrypt mode {mode!r}")
+
+    def _iv(self) -> bytes:
+        import hashlib
+
+        self._iv_ctr += 1
+        return hashlib.md5(
+            self.id0 + self._iv_ctr.to_bytes(4, "big")).digest()
+
+    def enc_bytes(self, data: bytes, num: int) -> bytes:
+        from docling_ray.functions import pdfcrypt as PC
+
+        if self.mode == "aes256":
+            key = self.key  # Algorithm 1.A: file key used directly
+        else:
+            key = PC.object_key(self.key, num, 0, aes=self.aes)
+        if not self.aes:
+            return PC.rc4(key, data)
+        padn = 16 - len(data) % 16
+        iv = self._iv()
+        return iv + PC.aes_cbc_encrypt(key, iv,
+                                       data + bytes([padn]) * padn)
+
+    def encrypt_dict(self) -> bytes:
+        from docling_ray.functions import pdfcrypt as PC
+
+        def hexs(b: bytes) -> bytes:
+            return b"<" + b.hex().encode("ascii") + b">"
+
+        if self.mode == "rc4":
+            return (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44"
+                    b" /O " + hexs(self.o) + b" /U " + hexs(self.u)
+                    + b" >>")
+        if self.mode == "aes":
+            return (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44"
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                    b" /O " + hexs(self.o) + b" /U " + hexs(self.u)
+                    + b" >>")
+        import struct
+
+        perms = PC.aes_encrypt_blocks(
+            self.key, struct.pack("<i", self.p) + b"\xff\xff\xff\xff"
+            + b"Tadb" + self.id0[:4])
+        return (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O " + hexs(self.o) + b" /U " + hexs(self.u)
+                + b" /OE " + hexs(self.oe) + b" /UE " + hexs(self.ue)
+                + b" /Perms " + hexs(perms) + b" >>")
+
+    def _enc_strings(self, body: bytes, num: int) -> bytes:
+        """Re-emit every string in a serialized object body encrypted
+        (always as hex strings). The writer's own literal escapes are
+        only ``\\\\ \\( \\)``, so unescaping here is exact."""
+        out = bytearray()
+        i, n = 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == 0x28:  # ( literal
+                j = i + 1
+                depth = 1
+                buf = bytearray()
+                while j < n and depth:
+                    ch = body[j]
+                    if ch == 0x5C:
+                        nxt = body[j + 1: j + 2]
+                        buf += nxt if nxt in (b"\\", b"(", b")") \
+                            else b"\\" + nxt
+                        j += 2
+                    elif ch == 0x28:
+                        depth += 1
+                        buf.append(ch)
+                        j += 1
+                    elif ch == 0x29:
+                        depth -= 1
+                        if depth:
+                            buf.append(ch)
+                        j += 1
+                    else:
+                        buf.append(ch)
+                        j += 1
+                out += (b"<" + self.enc_bytes(bytes(buf), num)
+                        .hex().encode("ascii") + b">")
+                i = j
+            elif c == 0x3C and body[i + 1: i + 2] == b"<":  # <<
+                out += b"<<"
+                i += 2
+            elif c == 0x3C:  # hex string
+                j = body.index(b">", i)
+                raw = bytes.fromhex(body[i + 1: j].decode("ascii"))
+                out += (b"<" + self.enc_bytes(raw, num)
+                        .hex().encode("ascii") + b">")
+                i = j + 1
+            else:
+                out.append(c)
+                i += 1
+        return bytes(out)
+
+    def encrypt_obj_body(self, num: int, body: bytes) -> bytes:
+        """Encrypt one serialized object: stream data as a unit (crypt is
+        the outermost filter; /Length rewritten), strings individually."""
+        sm = body.find(b">>\nstream\n")
+        if sm < 0:
+            return self._enc_strings(body, num)
+        dpart = self._enc_strings(body[: sm + 2], num)
+        data = body[sm + len(b">>\nstream\n"): -len(b"\nendstream")]
+        enc = self.enc_bytes(data, num)
+        dpart = re.sub(rb"/Length \d+",
+                       b"/Length %d" % len(enc), dpart, count=1)
+        return dpart + b"\nstream\n" + enc + b"\nendstream"
+
+    def trailer_entries(self, encrypt_oid: int) -> bytes:
+        idhex = b"<" + self.id0.hex().encode("ascii") + b">"
+        return (b" /Encrypt %d 0 R /ID [" % encrypt_oid
+                + idhex + b" " + idhex + b"]")
+
 
 def _build_tounicode_cmap(cid_map: dict[str, int]) -> bytes:
     """Serialize a /ToUnicode CMap for char → CID mapping: runs of >= 3
@@ -802,7 +963,8 @@ def pages_to_pdf_bytes(pages: list[dict],
                        outline: list[tuple[int, str, int]] | None = None,
                        style: str = "classic",
                        content_filter: str = "flate",
-                       cid_font: bool = False) -> bytes:
+                       cid_font: bool = False,
+                       encrypt: str | None = None) -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF file:
     FlateDecode content streams, Helvetica Type1 font, text placed so the
     parser's geometry convention (baseline at cell bottom, leading = cell
@@ -963,21 +1125,34 @@ def pages_to_pdf_bytes(pages: list[dict],
     else:
         objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    enc = None
+    if encrypt is not None:
+        seed = __import__("hashlib").sha256(
+            b"\x00".join(objs[o] for o in sorted(objs))).digest()
+        enc = _PdfEncryptor(encrypt, seed)
     if style == "xrefstream":
-        return _serialize_pdf_xrefstream(objs, stream_ids)
+        return _serialize_pdf_xrefstream(objs, stream_ids, enc)
+    encrypt_oid = -1
+    if enc is not None:
+        encrypt_oid = max(objs) + 1
+        objs[encrypt_oid] = enc.encrypt_dict()
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for oid in sorted(objs):
         offsets[oid] = len(out)
-        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+        body = objs[oid]
+        if enc is not None and oid != encrypt_oid:
+            body = enc.encrypt_obj_body(oid, body)
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
     xref_pos = len(out)
     n_obj = max(objs) + 1
     out += b"xref\n0 %d\n" % n_obj
     out += b"0000000000 65535 f \n"
     for oid in range(1, n_obj):
         out += b"%010d 00000 n \n" % offsets[oid]
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
-            % (n_obj, xref_pos))
+    extra = enc.trailer_entries(encrypt_oid) if enc is not None else b""
+    out += (b"trailer\n<< /Size %d /Root 1 0 R" % n_obj + extra
+            + b" >>\nstartxref\n%d\n%%%%EOF" % xref_pos)
     return bytes(out)
 
 
@@ -994,13 +1169,25 @@ def _png_up_filter(rows: list[bytes]) -> bytes:
 
 
 def _serialize_pdf_xrefstream(objs: dict[int, bytes],
-                              stream_ids: set[int]) -> bytes:
+                              stream_ids: set[int],
+                              enc: "_PdfEncryptor | None" = None) -> bytes:
     """PDF 1.5 serialization: non-stream objects packed into one Flate
     /ObjStm (type-2 xref entries), stream objects written top-level
     (type 1), cross-reference emitted as a /Type /XRef stream whose entry
     table is Flate + PNG-Up (Predictor 12) encoded — exercising the
-    parser's W-array, /Index, ObjStm and predictor paths."""
-    nonstream = sorted(oid for oid in objs if oid not in stream_ids)
+    parser's W-array, /Index, ObjStm and predictor paths.
+
+    With ``enc``: top-level streams (incl. the ObjStm payload) encrypt
+    as units; objects INSIDE the ObjStm are protected by its encryption
+    and never individually encrypted (PDF 32000-1 §7.5.7); the /Encrypt
+    dictionary itself is written top-level unencrypted; the xref stream
+    is never encrypted and carries /Encrypt + /ID."""
+    encrypt_oid = -1
+    if enc is not None:
+        encrypt_oid = max(objs) + 1
+        objs[encrypt_oid] = enc.encrypt_dict()
+    nonstream = sorted(oid for oid in objs
+                       if oid not in stream_ids and oid != encrypt_oid)
     objstm_id = max(objs) + 1
     xref_id = objstm_id + 1
 
@@ -1012,6 +1199,8 @@ def _serialize_pdf_xrefstream(objs: dict[int, bytes],
         body += objs[oid] + b"\n"
     header = " ".join(f"{o} {off}" for o, off in pair_offs).encode() + b"\n"
     payload = zlib.compress(bytes(header) + bytes(body))
+    if enc is not None:
+        payload = enc.enc_bytes(payload, objstm_id)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
         b" /Length %d >>\nstream\n" % (len(nonstream), len(header),
@@ -1023,7 +1212,14 @@ def _serialize_pdf_xrefstream(objs: dict[int, bytes],
     offsets: dict[int, int] = {}
     for oid in sorted(stream_ids):
         offsets[oid] = len(out)
-        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+        body_i = objs[oid]
+        if enc is not None:
+            body_i = enc.encrypt_obj_body(oid, body_i)
+        out += b"%d 0 obj\n" % oid + body_i + b"\nendobj\n"
+    if encrypt_oid >= 0:
+        offsets[encrypt_oid] = len(out)
+        out += b"%d 0 obj\n" % encrypt_oid + objs[encrypt_oid] \
+            + b"\nendobj\n"
     offsets[objstm_id] = len(out)
     out += b"%d 0 obj\n" % objstm_id + objstm_body + b"\nendobj\n"
 
@@ -1045,10 +1241,12 @@ def _serialize_pdf_xrefstream(objs: dict[int, bytes],
             rows.append(b"\x01" + offsets[num].to_bytes(4, "big")
                         + (0).to_bytes(2, "big"))
     xdata = zlib.compress(_png_up_filter(rows))
+    extra = enc.trailer_entries(encrypt_oid) if enc is not None else b""
     out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
-            b" /Filter /FlateDecode"
+            % (xref_id, size) + extra
+            + b" /Filter /FlateDecode"
             b" /DecodeParms << /Predictor 12 /Columns 7 >>"
-            b" /Length %d >>\nstream\n" % (xref_id, size, len(xdata))
+            b" /Length %d >>\nstream\n" % len(xdata)
             + xdata + b"\nendstream\nendobj\n")
     out += b"startxref\n%d\n%%%%EOF" % xref_pos
     return bytes(out)
@@ -1121,11 +1319,19 @@ def build_pdf_bytes_doc(
     style = "xrefstream" if rng.random() < 0.5 else "classic"
     content_filter = (rng.choice(["lzw", "rl", "ahx", "a85"])
                       if rng.random() < 0.33 else "flate")
+    # ~18% of files are encrypted with the standard security handler,
+    # split across RC4-128 (V2/R3), AES-128 (V4/R4 AESV2) and AES-256
+    # (V5/R6 AESV3) — all with an empty user password, the
+    # encrypted-but-openable shape of real-world protected PDFs
+    er = rng.random()
+    encrypt = ("rc4" if er < 0.06 else "aes" if er < 0.12
+               else "aes256" if er < 0.18 else None)
     # a quarter of files write text through an Identity-H Type0 font
     # with a /ToUnicode CMap (the modern-subset-font shape)
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
                               style=style, content_filter=content_filter,
-                              cid_font=rng.random() < 0.25)
+                              cid_font=rng.random() < 0.25,
+                              encrypt=encrypt)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
             exp_outline)

@@ -418,3 +418,82 @@ def test_inline_image_skipped():
     page = interpret_content(content, height=792.0, page_no=1,
                              resources=None, doc=None)
     assert [c["text"] for c in page["cells"]] == ["before", "after"]
+
+
+# ----------------------------------------------------------------------
+# encrypted PDFs (standard security handler, empty user password)
+# ----------------------------------------------------------------------
+
+def test_encrypted_roundtrip_all_modes_and_styles():
+    import json
+
+    pages = _simple_pages()
+    outline = [(0, "Tïtle (Ünïcode)", 0)]
+    base_cells = json.dumps(parse_pdf_pages(
+        pages_to_pdf_bytes(pages, outline=outline)),
+        sort_keys=True, default=str)
+    from docling_ray.stages.pdf_bytes import PdfDocument
+
+    base_outline = PdfDocument(
+        pages_to_pdf_bytes(pages, outline=outline)).outline()
+    for mode in ("rc4", "aes", "aes256"):
+        for style in ("classic", "xrefstream"):
+            data = pages_to_pdf_bytes(pages, outline=outline, style=style,
+                                      encrypt=mode)
+            assert b"/Encrypt" in data
+            got = json.dumps(parse_pdf_pages(data),
+                             sort_keys=True, default=str)
+            assert got == base_cells, (mode, style)
+            # outline titles are strings OUTSIDE content streams — they
+            # exercise the string-decryption path incl. UTF-16 titles
+            assert PdfDocument(data).outline() == base_outline, (mode,
+                                                                 style)
+
+
+def test_encrypted_plaintext_not_in_file():
+    pages = _simple_pages()
+    for mode in ("rc4", "aes", "aes256"):
+        data = pages_to_pdf_bytes(pages, encrypt=mode,
+                                  content_filter="ahx")
+        # with the hex content filter the plaintext WOULD be visible
+        # unencrypted; under encryption it must not be
+        assert b"A Title Here" not in data
+        assert "A Title Here".encode().hex().encode() not in data.lower()
+
+
+def test_encrypted_wrong_password_is_detected():
+    from docling_ray.stages.pdf_bytes import PdfDocument, PdfError
+
+    data = pages_to_pdf_bytes(_simple_pages(), encrypt="rc4")
+    i = data.find(b"/U <") + 5
+    bad = data[:i] + (b"0" if data[i:i+1] != b"0" else b"1") + data[i+1:]
+    with pytest.raises(PdfError, match="password"):
+        PdfDocument(bad)
+
+
+def test_encrypted_corruption_is_total():
+    # corrupting bytes all over an encrypted file must yield failure
+    # spans, never exceptions (errors are data)
+    data = bytearray(pages_to_pdf_bytes(_simple_pages(), encrypt="aes"))
+    for pos in range(50, len(data), 97):
+        mut = bytearray(data)
+        mut[pos] ^= 0x55
+        b64 = base64.b64encode(bytes(mut)).decode()
+        spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
+        assert isinstance(spans, list)  # no exception escaped
+
+
+def test_encrypted_docs_flow_through_corpus_generator():
+    # build_pdf_bytes_doc emits encrypted variants (~18%); every one
+    # must still round-trip span-exactly
+    n_enc = 0
+    for seed in range(40):
+        rng = random.Random(9000 + seed)
+        b64, exp, status, _outline = build_pdf_bytes_doc(
+            rng, VOCAB, f"e{seed}")
+        raw = base64.b64decode(b64)
+        enc = b"/Encrypt" in raw
+        n_enc += enc
+        spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
+        assert spans == exp, f"seed {seed} (encrypted={enc})"
+    assert n_enc >= 3  # the encrypted slice actually exercised
