@@ -936,6 +936,60 @@ class PdfDocument:
         walk(ol.get("First"), 0)
         return out
 
+    def form_fields(self) -> list[dict]:
+        """AcroForm interactive fields in document order:
+        [{key, value, widget}] with widget ∈ {input, checkbox, choice}.
+        Walks /AcroForm /Fields with /Kids recursion (fully-qualified
+        names join with '.'), /FT inheritance from parent to terminal
+        field, /V decode (string for Tx/Ch, on-state name for Btn —
+        anything but /Off counts as checked). Reference capability
+        anchor: the reference reads filled forms through pdfium's form
+        API (docling/backend/pypdfium2_backend.py:409); the output
+        pairs feed the same kv miner as HTML DOM forms
+        (kv_extract.mine_pairs)."""
+        root = self.resolve(self.trailer["Root"])
+        acro = self.resolve(root.get("AcroForm")) \
+            if isinstance(root, dict) else None
+        if not isinstance(acro, dict):
+            return []
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(ref: Any, prefix: str, ft_inh: str | None) -> None:
+            if isinstance(ref, Ref):
+                if ref.num in seen:
+                    return
+                seen.add(ref.num)
+            f = self.resolve(ref)
+            if not isinstance(f, dict):
+                return
+            t = self.resolve(f.get("T"))
+            name = (f"{prefix}.{t}" if prefix and t
+                    else str(t or prefix or ""))
+            ft = self.resolve(f.get("FT")) or ft_inh
+            kids = self.resolve(f.get("Kids"))
+            if isinstance(kids, list) and kids:
+                for k in kids:
+                    walk(k, name, ft)
+                return
+            v = self.resolve(f.get("V"))
+            if ft == "Btn":
+                on = isinstance(v, str) and str(v) not in ("", "Off")
+                out.append({"key": name,
+                            "value": "true" if on else "false",
+                            "widget": "checkbox"})
+            elif ft in ("Tx", "Ch"):
+                if isinstance(v, list):  # multi-select choice
+                    val = ", ".join(str(x) for x in v)
+                else:
+                    val = str(v) if v is not None else ""
+                out.append({"key": name, "value": val,
+                            "widget": "input" if ft == "Tx" else "choice"})
+
+        for f in (self.resolve(acro.get("Fields")) or []):
+            walk(f, "", None)
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
         if contents is None:
@@ -1253,7 +1307,10 @@ def interpret_content(
 
 def parse_pdf_pages(data: bytes) -> list[dict]:
     """PDF bytes → list of page dicts in the pdf_cells payload schema."""
-    doc = PdfDocument(data)
+    return _pages_from_doc(PdfDocument(data))
+
+
+def _pages_from_doc(doc: PdfDocument) -> list[dict]:
     out: list[dict] = []
     for pno, page in enumerate(doc.pages(), start=1):
         media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
@@ -1277,7 +1334,8 @@ def extract_pdf_bytes_unit(
     pdf_cells path (errors are data, never exceptions)."""
     try:
         data = base64.b64decode(payload_b64, validate=True)
-        pages = parse_pdf_pages(data)
+        doc = PdfDocument(data)
+        pages = _pages_from_doc(doc)
     except Exception as e:
         return [], -1, 0.0, f"pdf parse error: {type(e).__name__}: {e}"
     spans: list[Span] = []
@@ -1308,4 +1366,22 @@ def extract_pdf_bytes_unit(
                 page_lists[i + 1] = (pb_, merged[1])
     for _pno, p_spans in page_lists:
         spans.extend(p_spans)
+    # AcroForm fields append after page content with the same span
+    # convention as HTML DOM forms (html_extract._handle_form): the
+    # field set is document data, not page geometry
+    try:
+        fields = doc.form_fields()
+    except Exception as e:  # a broken form tree never drops the doc
+        fields = []
+        errs.append(f"acroform error: {type(e).__name__}: {e}")
+    for f in fields:
+        if f["widget"] == "checkbox":
+            spans.append(("checkbox_selected" if f["value"] == "true"
+                          else "checkbox_unselected", "", ""))
+            if f["key"]:
+                spans.append(("text", f["key"], ""))
+        elif f["key"] and f["value"]:
+            spans.append(("text", f"{f['key']}: {f['value']}", ""))
+        elif f["value"]:
+            spans.append(("text", f["value"], ""))
     return spans, -1, score, ("; ".join(errs) or None)

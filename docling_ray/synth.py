@@ -964,7 +964,8 @@ def pages_to_pdf_bytes(pages: list[dict],
                        style: str = "classic",
                        content_filter: str = "flate",
                        cid_font: bool = False,
-                       encrypt: str | None = None) -> bytes:
+                       encrypt: str | None = None,
+                       acroform: list[dict] | None = None) -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF file:
     FlateDecode content streams, Helvetica Type1 font, text placed so the
     parser's geometry convention (baseline at cell bottom, leading = cell
@@ -1104,7 +1105,42 @@ def pages_to_pdf_bytes(pages: list[dict],
                          if top else b"<< /Type /Outlines /Count 0 >>")
         outline_root = b" /Outlines %d 0 R" % root_id
 
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R" + outline_root + b" >>"
+    acro_entry = b""
+    if acroform:
+        # interactive form fields: /FT /Tx text, /Btn checkbox (/V on
+        # name or /Off), /Ch choice (+/Opt); nested dicts via /Kids with
+        # /FT inheritable from the parent
+        def field_obj(f: dict) -> int:
+            t = _pdf_text_op(f["name"]).encode("latin-1")
+            kids = f.get("kids")
+            if kids:
+                kid_ids = [field_obj(k) for k in kids]
+                ftp = (b" /FT /" + f["ft"].encode("ascii")
+                       if f.get("ft") else b"")
+                return add(b"<< /T " + t + ftp + b" /Kids ["
+                           + b" ".join(b"%d 0 R" % i for i in kid_ids)
+                           + b"] >>")
+            ft = f.get("ft", "Tx")
+            if ft == "Btn":
+                v = b"/Yes" if f.get("on") else b"/Off"
+                return add(b"<< /FT /Btn /T " + t + b" /V " + v + b" >>")
+            vz = _pdf_text_op(f.get("value", "")).encode("latin-1")
+            if ft == "Ch":
+                opts = b""
+                if f.get("options"):
+                    opts = (b" /Opt ["
+                            + b" ".join(_pdf_text_op(o).encode("latin-1")
+                                        for o in f["options"]) + b"]")
+                return add(b"<< /FT /Ch /T " + t + b" /V " + vz + opts
+                           + b" >>")
+            return add(b"<< /FT /Tx /T " + t + b" /V " + vz + b" >>")
+
+        fids = [field_obj(f) for f in acroform]
+        acro_id = add(b"<< /Fields ["
+                      + b" ".join(b"%d 0 R" % i for i in fids) + b"] >>")
+        acro_entry = b" /AcroForm %d 0 R" % acro_id
+    objs[1] = (b"<< /Type /Catalog /Pages 2 0 R" + outline_root
+               + acro_entry + b" >>")
     objs[2] = (b"<< /Type /Pages /Kids ["
                + b" ".join(b"%d 0 R" % p for p in page_ids)
                + b"] /Count " + str(len(page_ids)).encode() + b" >>")
@@ -1316,6 +1352,31 @@ def build_pdf_bytes_doc(
     # half the corpus uses the modern PDF 1.5 shape (xref stream + ObjStm);
     # a third of content streams use a non-Flate filter (LZW / RunLength /
     # ASCIIHex / ASCII85 — each an independently-written encoder)
+    # a quarter of files carry a filled AcroForm; the expected spans are
+    # hand-computed HERE from the same field list handed to the writer
+    # (never via the extractor) — checkbox kind + label, or the
+    # canonical "Key: value" text line the kv miner consumes
+    acroform: list[dict] | None = None
+    if rng.random() < 0.25:
+        acroform = []
+        for fi in range(rng.randint(1, 4)):
+            w1, w2 = rng.choice(pool), rng.choice(pool)
+            key = f"{w1.capitalize()} {fi + 1}"
+            r = rng.random()
+            if r < 0.30:
+                on = rng.random() < 0.5
+                acroform.append({"name": key, "ft": "Btn", "on": on})
+                expected.append(("checkbox_selected" if on
+                                 else "checkbox_unselected", "", ""))
+                expected.append(("text", key, ""))
+            elif r < 0.45:
+                acroform.append({"name": key, "ft": "Ch", "value": w2,
+                                 "options": sorted({w2, rng.choice(pool)})})
+                expected.append(("text", f"{key}: {w2}", ""))
+            else:
+                val = f"{w2} {rng.choice(pool)}"
+                acroform.append({"name": key, "ft": "Tx", "value": val})
+                expected.append(("text", f"{key}: {val}", ""))
     style = "xrefstream" if rng.random() < 0.5 else "classic"
     content_filter = (rng.choice(["lzw", "rl", "ahx", "a85"])
                       if rng.random() < 0.33 else "flate")
@@ -1331,7 +1392,7 @@ def build_pdf_bytes_doc(
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
                               style=style, content_filter=content_filter,
                               cid_font=rng.random() < 0.25,
-                              encrypt=encrypt)
+                              encrypt=encrypt, acroform=acroform)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
             exp_outline)

@@ -497,3 +497,75 @@ def test_encrypted_docs_flow_through_corpus_generator():
         spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
         assert spans == exp, f"seed {seed} (encrypted={enc})"
     assert n_enc >= 3  # the encrypted slice actually exercised
+
+
+# ----------------------------------------------------------------------
+# AcroForm interactive fields
+# ----------------------------------------------------------------------
+
+def test_acroform_fields_walk_and_span_convention():
+    from docling_ray.stages.pdf_bytes import PdfDocument
+
+    form = [
+        {"name": "Applicant", "ft": "Tx", "value": "Jane Doe"},
+        {"name": "Subscribed", "ft": "Btn", "on": True},
+        {"name": "Declined", "ft": "Btn", "on": False},
+        {"name": "Color", "ft": "Ch", "value": "blue",
+         "options": ["red", "blue"]},
+        # hierarchy: kids inherit /FT from the parent, names join with .
+        {"name": "Address", "ft": "Tx", "kids": [
+            {"name": "City", "value": "Springfield"},
+            {"name": "Zip", "value": "49007"},
+        ]},
+    ]
+    data = pages_to_pdf_bytes(_simple_pages(), acroform=form)
+    fields = PdfDocument(data).form_fields()
+    assert fields == [
+        {"key": "Applicant", "value": "Jane Doe", "widget": "input"},
+        {"key": "Subscribed", "value": "true", "widget": "checkbox"},
+        {"key": "Declined", "value": "false", "widget": "checkbox"},
+        {"key": "Color", "value": "blue", "widget": "choice"},
+        {"key": "Address.City", "value": "Springfield", "widget": "input"},
+        {"key": "Address.Zip", "value": "49007", "widget": "input"},
+    ]
+    # span emission follows the HTML DOM-form convention
+    spans, *_ = extract_pdf_bytes_unit(
+        base64.b64encode(data).decode("ascii"))
+    assert spans[-8:] == [
+        ("text", "Applicant: Jane Doe", ""),
+        ("checkbox_selected", "", ""),
+        ("text", "Subscribed", ""),
+        ("checkbox_unselected", "", ""),
+        ("text", "Declined", ""),
+        ("text", "Color: blue", ""),
+        ("text", "Address.City: Springfield", ""),
+        ("text", "Address.Zip: 49007", ""),
+    ]
+
+
+def test_acroform_fields_feed_kv_miner():
+    from docling_ray.stages.kv_extract import mine_pairs
+
+    data = pages_to_pdf_bytes(_simple_pages(), acroform=[
+        {"name": "Case Number", "ft": "Tx", "value": "A-17"},
+        {"name": "Expedite", "ft": "Btn", "on": True},
+    ])
+    spans, *_ = extract_pdf_bytes_unit(
+        base64.b64encode(data).decode("ascii"))
+    dicts = [{"kind": k, "text": t, "media_ref": r} for k, t, r in spans]
+    pairs = mine_pairs(dicts)
+    assert ("Case Number", "A-17", "text") in pairs
+    assert ("Expedite", "true", "checkbox") in pairs
+
+
+def test_acroform_under_encryption_and_xrefstream():
+    from docling_ray.stages.pdf_bytes import PdfDocument
+
+    form = [{"name": "Sécret Fïeld", "ft": "Tx", "value": "väl (ue)"}]
+    for mode in (None, "rc4", "aes", "aes256"):
+        for style in ("classic", "xrefstream"):
+            data = pages_to_pdf_bytes(_simple_pages(), style=style,
+                                      encrypt=mode, acroform=form)
+            fields = PdfDocument(data).form_fields()
+            assert fields == [{"key": "Sécret Fïeld", "value": "väl (ue)",
+                               "widget": "input"}], (mode, style)
