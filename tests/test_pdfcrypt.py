@@ -142,3 +142,19 @@ def test_r6_entries_roundtrip_and_reject():
     assert r6_file_key_from_user(b"", u, ue) == fk
     # wrong password fails validation (returns None, no exception)
     assert r6_file_key_from_user(b"wrong", u, ue) is None
+
+
+def test_cbc_decrypt_int_and_numpy_paths_agree():
+    import random as _r
+
+    from docling_ray.functions.pdfcrypt import aes_cbc_decrypt, \
+        aes_cbc_encrypt
+
+    rng = _r.Random(3)
+    for klen in (16, 32):
+        key = bytes(rng.randrange(256) for _ in range(klen))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        for nblocks in (1, 63, 64, 200):  # straddle the path switch
+            pt = bytes(rng.randrange(256) for _ in range(16 * nblocks))
+            ct = aes_cbc_encrypt(key, iv, pt)
+            assert aes_cbc_decrypt(key, iv, ct) == pt, (klen, nblocks)
