@@ -777,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_chunks": _export_chunks,
         # relational coverage
         "q1_lineitem_agg": A.q1_lineitem_agg,
+        "q3_top_orders": A.q3_top_orders,
+        "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
         "topk_orders": A.topk_orders,
@@ -1052,6 +1054,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
             "::UBIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS split "
             "FROM documents ORDER BY doc_id"
+        ),
+        "q3_top_orders": (
+            # TPC-H Q3 shape over the available columns; revenue is the
+            # exact 4-decimal x10000 integer, date as epoch days
+            "SELECT l_orderkey, CAST(round(sum(l_extendedprice * "
+            "(1 - l_discount)) * 10000) AS BIGINT) AS revenue_x10000, "
+            "epoch_us(max(o_orderdate)) // 86400000000 "
+            "AS o_orderdate_days "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1996-06-01' "
+            "AND l_shipdate > TIMESTAMP '1996-06-01' "
+            "GROUP BY l_orderkey "
+            "ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10"
+        ),
+        "funnel_conversions": (
+            # EXISTS semantics: each 'view' counts once if any same-user
+            # 'purchase' lands strictly after it within one hour
+            "SELECT a.user_id, count(*)::BIGINT AS n_converted "
+            "FROM events a WHERE a.event_type = 'view' "
+            "AND EXISTS (SELECT 1 FROM events b "
+            "WHERE b.user_id = a.user_id AND b.event_type = 'purchase' "
+            "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR) "
+            "GROUP BY a.user_id ORDER BY a.user_id"
         ),
         "customer_urgent_counts": (
             "SELECT c.c_custkey, count(o.o_orderkey) AS n_urgent "

@@ -1027,3 +1027,142 @@ def customer_urgent_counts(sf_dir: str, num_buckets: int = 64):
 
     return both.groupby("bucket").map_groups(
         left_bucket, batch_format="pandas").sort("c_custkey")
+
+
+def q3_top_orders(sf_dir: str, num_buckets: int = 64, k: int = 10):
+    """TPC-H Q3 shape: the three-table join customer ⋈ orders ⋈ lineitem
+    with per-side filters, grouped revenue per order and a global top-k.
+    Composition of the repo's join primitives: the filtered customer key
+    set broadcasts once (customer is the smallest dimension — same shape
+    as mktsegment_order_stats); orders and pre-aggregated lineitem rows
+    meet in a bucketed hash co-group on orderkey (same shape as
+    order_priority_revenue); per-bucket partial top-k keeps the final
+    sort k-sized. Revenue is the exact 4-decimal x10000 integer.
+    Output: (l_orderkey, revenue_x10000, o_orderdate_days)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .select_columns(["c_custkey"]).to_pandas()["c_custkey"]
+    keyset_ref = ray.put(np.sort(keys.to_numpy()))
+    cutoff_us = np.datetime64("1996-06-01", "us").astype(np.int64)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keyset_ref)
+        od_us = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (od_us < cutoff_us) & np.isin(ck, ks)
+        okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "bucket": pa.array((okeys % num_buckets).astype(np.int32)),
+            "key": pa.array(okeys),
+            "odate_days": pa.array(od_us[keep] // 86_400_000_000),
+            "rev": pa.nulls(len(okeys), pa.float64()),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        sd_us = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(sd_us > cutoff_us))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        g = pa.TableGroupBy(pa.table({"key": sel["l_orderkey"],
+                                      "rev": rev}),
+                            "key").aggregate([("rev", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "odate_days": pa.nulls(g.num_rows, pa.int64()),
+            "rev": g["rev_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(lineitem_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_topk(group) -> pa.Table:
+        is_order = group["odate_days"].notna()
+        odate = dict(zip(group.loc[is_order, "key"],
+                         group.loc[is_order, "odate_days"]))
+        li = group[~is_order]
+        li = li[li["key"].isin(odate.keys())]
+        if li.empty:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue_x10000": pa.array([], pa.int64()),
+                             "o_orderdate_days": pa.array([], pa.int64())})
+        g = li.groupby("key", as_index=False).agg(rev=("rev", "sum"))
+        g["revenue_x10000"] = (g["rev"] * 10_000.0).round().astype(
+            "int64")
+        g = g.sort_values(["revenue_x10000", "key"],
+                          ascending=[False, True]).head(k)
+        return pa.table({
+            "l_orderkey": pa.array(g["key"], pa.int64()),
+            "revenue_x10000": pa.array(g["revenue_x10000"], pa.int64()),
+            "o_orderdate_days": pa.array(
+                [int(odate[x]) for x in g["key"]], pa.int64()),
+        })
+
+    partials = both.groupby("bucket").map_groups(merge_topk,
+                                                 batch_format="pandas")
+    return partials.sort(["revenue_x10000", "l_orderkey"],
+                         descending=[True, False]).limit(k)
+
+
+def funnel_conversions(sf_dir: str, from_type: str = "view",
+                       to_type: str = "purchase",
+                       window_min: int = 60, num_buckets: int = 64):
+    """Event-funnel operator: per user, the number of ``from_type``
+    events followed by a ``to_type`` event by the same user within the
+    window (strictly after, inclusive end — EXISTS semantics, each
+    source event counted once). One shuffle: bucket by user hash, then
+    a fully vectorized per-bucket kernel — composite int64 keys
+    ``user_id << 44 | ts_rel`` make the same-user-in-window test two
+    ``np.searchsorted`` calls over the sorted purchase keys (the 30-day
+    synthetic window fits 44 bits; a production deployment re-derives
+    the shift from the partition's time span). No per-user Python, no
+    driver materialization. Output: (user_id, n_converted), users with
+    at least one conversion."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    window_us = window_min * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == from_type) | (et == to_type)
+        sel = batch.filter(pa.array(keep))
+        uid = sel["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            "user_id": sel["user_id"],
+            "ts_us": sel["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "is_target": pa.array(
+                sel["event_type"].to_numpy(zero_copy_only=False)
+                == to_type),
+        })
+
+    def per_bucket(group) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        ts = group["ts_us"].to_numpy()
+        tgt = group["is_target"].to_numpy()
+        base = ts.min() if len(ts) else 0
+        key = (uid.astype(np.int64) << 44) | (ts - base)
+        bkeys = np.sort(key[tgt])
+        akeys = key[~tgt]
+        lo = np.searchsorted(bkeys, akeys, side="right")
+        hi = np.searchsorted(bkeys, akeys + window_us, side="right")
+        conv = hi > lo
+        users, counts = np.unique(uid[~tgt][conv], return_counts=True)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_converted": pa.array(counts, pa.int64()),
+        })
+
+    return events.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .sort("user_id")

@@ -456,3 +456,41 @@ def test_tfidf_topk_ranks_rare_terms(ray_session):
     # empty-token docs yield no rows; every other doc has <= k rows
     assert set(got.doc_id) == {1, 2, 3, 4}
     assert got.groupby("doc_id").size().max() <= 2
+
+
+def test_funnel_conversions_window_semantics(ray_session):
+    import ray
+    from docling_ray.pipelines.analytics import funnel_conversions
+
+    # build a tiny events table inline through the same entry point by
+    # writing parquet (the op takes sf_dir)
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: view at t0, purchase 30min later -> converts
+        ("2024-01-01T10:00:00", 1, "view"),
+        ("2024-01-01T10:30:00", 1, "purchase"),
+        # user 1: second view with no purchase within 1h -> no count
+        ("2024-01-01T12:00:00", 1, "view"),
+        # user 2: purchase BEFORE the view -> no conversion
+        ("2024-01-01T09:00:00", 2, "purchase"),
+        ("2024-01-01T09:30:00", 2, "view"),
+        # user 3: purchase exactly at +1h (inclusive end) -> converts
+        ("2024-01-01T08:00:00", 3, "view"),
+        ("2024-01-01T09:00:00", 3, "purchase"),
+        # user 4: only other event types
+        ("2024-01-01T08:00:00", 4, "click"),
+    ]
+    tbl = pa.table({
+        "ts": pa.array([np.datetime64(t, "us") for t, _, _ in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, _, e in rows], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = funnel_conversions(d).to_pandas()
+    assert dict(zip(got.user_id, got.n_converted)) == {1: 1, 3: 1}
