@@ -309,12 +309,14 @@ def _picture_classes(sf_dir: str):
 
 def _hyperlinks(sf_dir: str):
     """Hyperlink annotations from every html input span (the reference's
-    _resolve_hyperlink stream, html_backend.py:1840) — oracle = the
-    generator's independently recorded links."""
+    _resolve_hyperlink stream, html_backend.py:1840) AND every pdf input
+    span's /Annots URI link actions (pdfium's link API analogue) —
+    oracle = the generator's independently recorded links."""
     import pyarrow as pa
 
     from docling_ray.sources.corpus import derive_corpus
     from docling_ray.stages.html_extract import extract_links
+    from docling_ray.stages.pdf_bytes import extract_pdf_links
 
     corpus = derive_corpus(sf_dir, seed=SEED)
 
@@ -324,9 +326,13 @@ def _hyperlinks(sf_dir: str):
                               batch["spans"].to_pylist()):
             j = 0
             for s in spans or []:
-                if s["kind"] != "html":
+                if s["kind"] == "html":
+                    found = extract_links(s["text"] or "")
+                elif s["kind"] == "pdf":
+                    found = extract_pdf_links(s["text"] or "")
+                else:
                     continue
-                for text, href, region in extract_links(s["text"] or ""):
+                for text, href, region in found:
                     doc_ids.append(did)
                     idxs.append(j)
                     texts.append(text)

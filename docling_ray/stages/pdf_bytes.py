@@ -1321,8 +1321,53 @@ def _pages_from_doc(doc: PdfDocument) -> list[dict]:
         pd = interpret_content(content, height=height, page_no=pno,
                                resources=resources, doc=doc)
         pd["width"] = width
+        pd["links"] = _page_link_annots(doc, page, pd["cells"], height)
         out.append(pd)
     return out
+
+
+def _page_link_annots(doc: PdfDocument, page: dict, cells: list,
+                      height: float) -> list[dict]:
+    """/Annots URI link actions on one page → [{text, href}] in annot
+    order; the anchor text is the cells whose centers fall inside the
+    link rectangle (the reference surfaces PDF hyperlinks through
+    pdfium's link API the same rect-hit way)."""
+    links: list[dict] = []
+    for aref in (doc.resolve(page.get("Annots")) or []):
+        a = doc.resolve(aref)
+        if not isinstance(a, dict) or doc.resolve(a.get("Subtype")) != "Link":
+            continue
+        act = doc.resolve(a.get("A"))
+        if not isinstance(act, dict) or doc.resolve(act.get("S")) != "URI":
+            continue
+        uri = doc.resolve(act.get("URI"))
+        rect = doc.resolve(a.get("Rect")) or []
+        if uri is None or len(rect) != 4:
+            continue
+        x0, x1 = sorted((float(doc.resolve(rect[0])),
+                         float(doc.resolve(rect[2]))))
+        y0, y1 = sorted((float(doc.resolve(rect[1])),
+                         float(doc.resolve(rect[3]))))
+        top, bot = height - y1, height - y0  # top-down band
+        texts = [c["text"] for c in cells
+                 if x0 <= (c["l"] + c["r"]) / 2 <= x1
+                 and top <= (c["t"] + c["b"]) / 2 <= bot]
+        links.append({"text": " ".join(texts), "href": str(uri)})
+    return links
+
+
+def extract_pdf_links(payload_b64: str) -> list[tuple[str, str, str]]:
+    """Hyperlink annotations of one ``pdf`` input span → (text, href,
+    region) triples in page/annot order, region fixed to ``"pdf"`` —
+    the PDF twin of html_extract.extract_links. Total: malformed input
+    returns []."""
+    try:
+        pages = parse_pdf_pages(base64.b64decode(payload_b64,
+                                                 validate=True))
+    except Exception:
+        return []
+    return [(ln["text"], ln["href"], "pdf")
+            for page in pages for ln in page.get("links", [])]
 
 
 def extract_pdf_bytes_unit(

@@ -1045,6 +1045,15 @@ def pages_to_pdf_bytes(pages: list[dict],
                 f"{_pdf_num(img['l'])} {_pdf_num(h - img['b'])} cm "
                 f"/{name} Do Q"
             )
+        annot_ids: list[int] = []
+        for ln in page.get("links", []):
+            rect = (f"[{_pdf_num(ln['l'])} {_pdf_num(h - ln['b'])} "
+                    f"{_pdf_num(ln['r'])} {_pdf_num(h - ln['t'])}]")
+            annot_ids.append(add(
+                b"<< /Type /Annot /Subtype /Link /Rect "
+                + rect.encode("latin-1") + b" /A << /S /URI /URI "
+                + _pdf_text_op(ln["uri"]).encode("latin-1")
+                + b" >> >>"))
         filt_name, filt_fn = _PDF_CONTENT_FILTERS[content_filter]
         content = filt_fn("\n".join(ops).encode("latin-1"))
         content_id = add(
@@ -1059,10 +1068,13 @@ def pages_to_pdf_bytes(pages: list[dict],
                     + " ".join(f"/{n} {i} 0 R" for n, i in xobj_entries)
                     + " >>")
         res += " >>"
+        annots = (b" /Annots ["
+                  + b" ".join(b"%d 0 R" % a for a in annot_ids)
+                  + b"]") if annot_ids else b""
         page_ids.append(add(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_pdf_num(w)} "
              f"{_pdf_num(h)}] /Resources {res} /Contents ").encode("latin-1")
-            + str(content_id).encode() + b" 0 R >>"
+            + str(content_id).encode() + b" 0 R" + annots + b" >>"
         ))
 
     outline_root = b""
@@ -1290,11 +1302,13 @@ def _serialize_pdf_xrefstream(objs: dict[int, bytes],
 
 def build_pdf_bytes_doc(
     rng: random.Random, pool: list[str], doc_id: str
-) -> tuple[str, list[Span], str, list[tuple[str, int, int]]]:
+) -> tuple[str, list[Span], str, list[tuple[str, int, int]],
+           list[tuple[str, str, str]]]:
     """Real-PDF-bytes document → (base64 of the file, expected spans,
-    status). Pages are built by the same geometry builder as pdf_cells
-    docs (single-column: the parser's fixed advance metric cannot bound
-    long lines inside a column gap), serialized to actual PDF bytes."""
+    status, expected outline, expected links). Pages are built by the
+    same geometry builder as pdf_cells docs (single-column: the parser's
+    fixed advance metric cannot bound long lines inside a column gap),
+    serialized to actual PDF bytes."""
     n_pages = rng.randint(1, 10)
     media_seq = [0]
     garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
@@ -1307,6 +1321,7 @@ def build_pdf_bytes_doc(
     page_dicts: list[dict] = []
     expected: list[Span] = []
     per_page_exp: list[list[Span]] = []
+    garbage_flags: list[bool] = []
     any_garbage = False
     p = 0
     while p < n_pages:
@@ -1319,6 +1334,7 @@ def build_pdf_bytes_doc(
             # land on its first page, the second page gets an empty slot
             per_page_exp.append(pair_exp)
             per_page_exp.append([])
+            garbage_flags.extend((False, False))
             p += 2
             continue
         payload, exp, is_garbage = build_pdf_page(
@@ -1329,6 +1345,7 @@ def build_pdf_bytes_doc(
         page_dicts.append(json.loads(payload))
         expected.extend(exp)
         per_page_exp.append(exp)
+        garbage_flags.append(is_garbage)
         any_garbage |= is_garbage
         p += 1
     # outline = the document's headings (title level 0, sections level 1),
@@ -1352,6 +1369,30 @@ def build_pdf_bytes_doc(
     # half the corpus uses the modern PDF 1.5 shape (xref stream + ObjStm);
     # a third of content streams use a non-Flate filter (LZW / RunLength /
     # ASCIIHex / ASCII85 — each an independently-written encoder)
+    # ~30% of files carry /Annots URI hyperlinks over 1-3 text cells
+    # (never on garbage pages); the expected (text, href, 'pdf') list is
+    # recorded HERE from the same rects handed to the writer — the link
+    # rect covers exactly one cell under BOTH geometry conventions
+    # (writer r and the parser's fixed 0.5-em advance)
+    exp_links: list[tuple[str, str, str]] = []
+    if rng.random() < 0.30:
+        cand = [(pi, ci) for pi, pd_ in enumerate(page_dicts)
+                if not garbage_flags[pi]
+                for ci in range(len(pd_.get("cells", [])))]
+        if cand:
+            n_links = min(len(cand), rng.randint(1, 3))
+            for idx in sorted(rng.sample(range(len(cand)), n_links)):
+                pi, ci = cand[idx]
+                c = page_dicts[pi]["cells"][ci]
+                uri = (f"https://example.com/{rng.choice(pool)}"
+                       f"/{pi}-{ci}")
+                r_parser = c["l"] + 0.5 * c["font_size"] * len(c["text"])
+                page_dicts[pi].setdefault("links", []).append({
+                    "l": c["l"] - 0.5, "t": c["t"] - 0.5,
+                    "r": max(c["r"], r_parser) + 0.5, "b": c["b"] + 0.5,
+                    "uri": uri,
+                })
+                exp_links.append((c["text"], uri, "pdf"))
     # a quarter of files carry a filled AcroForm; the expected spans are
     # hand-computed HERE from the same field list handed to the writer
     # (never via the extractor) — checkbox kind + label, or the
@@ -1395,7 +1436,7 @@ def build_pdf_bytes_doc(
                               encrypt=encrypt, acroform=acroform)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,
-            exp_outline)
+            exp_outline, exp_links)
 
 
 # ======================================================================
@@ -2891,7 +2932,8 @@ def make_doc(
         payloads, exp, status = build_pdf_doc(rng, pool, doc_id, heavy_tail)
         in_spans = [("pdf_cells", p, "") for p in payloads]
     elif r < 0.915:
-        b64, exp, status, outline = build_pdf_bytes_doc(rng, pool, doc_id)
+        b64, exp, status, outline, links = build_pdf_bytes_doc(
+            rng, pool, doc_id)
         in_spans = [("pdf", b64, "")]
     elif r < 0.945:
         b64, exp, status = build_image_doc(rng, doc_id)

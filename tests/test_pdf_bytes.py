@@ -78,7 +78,7 @@ def test_fixture_roundtrip_many_seeds():
     ok = 0
     for seed in range(25):
         rng = random.Random(seed)
-        b64, exp, status, _outline = build_pdf_bytes_doc(rng, VOCAB,
+        b64, exp, status, _outline, _links = build_pdf_bytes_doc(rng, VOCAB,
                                                          f"d{seed}")
         spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
         assert spans == exp, f"seed {seed}"
@@ -158,7 +158,7 @@ def test_outline_roundtrip_and_nesting():
 
     for seed in range(15):
         rng = random.Random(seed)
-        b64, exp, status, exp_outline = build_pdf_bytes_doc(
+        b64, exp, status, exp_outline, _links = build_pdf_bytes_doc(
             rng, VOCAB, f"o{seed}")
         doc = PdfDocument(base64.b64decode(b64))
         got = [(o["title"], o["level"], o["page_no"]) for o in doc.outline()]
@@ -199,7 +199,7 @@ def test_xrefstream_fixture_roundtrip_many_seeds():
     saw = {"classic": 0, "xrefstream": 0}
     for seed in range(30):
         rng = random.Random(seed)
-        b64, exp, status, exp_outline = build_pdf_bytes_doc(
+        b64, exp, status, exp_outline, _links = build_pdf_bytes_doc(
             rng, VOCAB, f"x{seed}")
         data = base64.b64decode(b64)
         style = "xrefstream" if data.startswith(b"%PDF-1.5") else "classic"
@@ -489,7 +489,7 @@ def test_encrypted_docs_flow_through_corpus_generator():
     n_enc = 0
     for seed in range(40):
         rng = random.Random(9000 + seed)
-        b64, exp, status, _outline = build_pdf_bytes_doc(
+        b64, exp, status, _outline, _links = build_pdf_bytes_doc(
             rng, VOCAB, f"e{seed}")
         raw = base64.b64decode(b64)
         enc = b"/Encrypt" in raw
@@ -569,3 +569,61 @@ def test_acroform_under_encryption_and_xrefstream():
             fields = PdfDocument(data).form_fields()
             assert fields == [{"key": "Sécret Fïeld", "value": "väl (ue)",
                                "widget": "input"}], (mode, style)
+
+
+# ----------------------------------------------------------------------
+# /Annots URI hyperlinks
+# ----------------------------------------------------------------------
+
+def test_link_annots_rect_to_cell_text():
+    from docling_ray.stages.pdf_bytes import extract_pdf_links
+
+    pages = _simple_pages()
+    # rect over "body line one" under the PARSER's advance metric
+    c = pages[0]["cells"][1]
+    r_parser = c["l"] + 0.5 * c["font_size"] * len(c["text"])
+    pages[0]["links"] = [
+        {"l": c["l"] - 0.5, "t": c["t"] - 0.5, "r": r_parser + 0.5,
+         "b": c["b"] + 0.5, "uri": "https://example.com/one"},
+        # a rect over empty space anchors no text but still yields a link
+        {"l": 500.0, "t": 700.0, "r": 540.0, "b": 710.0,
+         "uri": "https://example.com/empty"},
+    ]
+    data = pages_to_pdf_bytes(pages)
+    assert b"/Annots" in data
+    got = extract_pdf_links(base64.b64encode(data).decode("ascii"))
+    assert got == [("body line one", "https://example.com/one", "pdf"),
+                   ("", "https://example.com/empty", "pdf")]
+    # malformed input is total
+    assert extract_pdf_links("@@@") == []
+
+
+def test_link_annots_generator_roundtrip_and_encryption():
+    n_linked = 0
+    for seed in range(40):
+        rng = random.Random(7100 + seed)
+        b64, exp, _st, _ol, exp_links = build_pdf_bytes_doc(
+            rng, VOCAB, f"L{seed}")
+        from docling_ray.stages.pdf_bytes import extract_pdf_links
+
+        assert extract_pdf_links(b64) == list(exp_links), f"seed {seed}"
+        n_linked += bool(exp_links)
+    assert n_linked >= 5  # the link slice actually exercised
+
+
+def test_link_annots_under_encryption():
+    from docling_ray.stages.pdf_bytes import extract_pdf_links
+
+    pages = _simple_pages()
+    c = pages[0]["cells"][0]
+    r_parser = c["l"] + 0.5 * c["font_size"] * len(c["text"])
+    pages[0]["links"] = [{"l": c["l"] - 0.5, "t": c["t"] - 0.5,
+                          "r": r_parser + 0.5, "b": c["b"] + 0.5,
+                          "uri": "https://example.com/(secret)"}]
+    for mode in ("rc4", "aes", "aes256"):
+        for style in ("classic", "xrefstream"):
+            data = pages_to_pdf_bytes(pages, style=style, encrypt=mode)
+            got = extract_pdf_links(base64.b64encode(data).decode())
+            assert got == [("A Title Here",
+                            "https://example.com/(secret)", "pdf")], \
+                (mode, style)
