@@ -784,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage
         "q1_lineitem_agg": A.q1_lineitem_agg,
         "q3_top_orders": A.q3_top_orders,
+        "q5_local_supplier_revenue": A.q5_local_supplier_revenue,
+        "q14_promo_revenue": A.q14_promo_revenue,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
@@ -1075,6 +1077,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-01' "
             "GROUP BY l_orderkey "
             "ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10"
+        ),
+        "q5_local_supplier_revenue": (
+            # six-table TPC-H Q5 shape: local-supplier revenue per
+            # nation in ASIA, calendar-1996 orders
+            "SELECT n_name, CAST(round(sum(l_extendedprice * "
+            "(1 - l_discount)) * 10000) AS BIGINT) AS revenue_x10000 "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey "
+            "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue_x10000 DESC, n_name"
+        ),
+        "q14_promo_revenue": (
+            # Q14 shape: promo share of January-1996 revenue; the ppm
+            # divides two exact x10000 integers (floor — int both sides)
+            "WITH s AS (SELECT CAST(round(sum(CASE WHEN "
+            "p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+            "ELSE 0 END) * 10000) AS BIGINT) AS promo_x10000, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount)) "
+            "* 10000) AS BIGINT) AS total_x10000 "
+            "FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-02-01') "
+            "SELECT promo_x10000, total_x10000, "
+            "promo_x10000 * 1000000 // total_x10000 AS promo_ppm FROM s"
         ),
         "funnel_conversions": (
             # EXISTS semantics: each 'view' counts once if any same-user

@@ -1166,3 +1166,153 @@ def funnel_conversions(sf_dir: str, from_type: str = "view",
     return events.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
         .sort("user_id")
+
+
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                              num_buckets: int = 64):
+    """TPC-H Q5 shape: six-table join — region/nation prune the
+    dimension chain on the driver (25 + 5 rows), supplier and customer
+    key→nation maps broadcast once (``ray.put``; the two smallest
+    dimensions, same precedent as mktsegment_order_stats), and the two
+    fact tables meet in ONE bucketed co-group on orderkey with the
+    lineitem side pre-aggregated per (orderkey, supplier nation) per
+    batch. The local-supplier predicate (customer nation == supplier
+    nation) applies inside the bucket kernel. Revenue per nation as the
+    exact x10000 integer. Output: (n_name, revenue_x10000) desc."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkey = int(reg.loc[reg.r_name == region, "r_regionkey"].iloc[0])
+    asia = nation[nation.n_regionkey == rkey]
+    names = dict(zip(asia.n_nationkey.astype(int), asia.n_name))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.isin(names)]
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust.c_nationkey.isin(names)]
+    supp_ref = ray.put(dict(zip(supp.s_suppkey.astype(int),
+                                supp.s_nationkey.astype(int))))
+    cust_ref = ray.put(dict(zip(cust.c_custkey.astype(int),
+                                cust.c_nationkey.astype(int))))
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo_us) & (od < hi_us)
+        sel = batch.filter(pa.array(keep))
+        ck = sel["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = np.array([cmap.get(int(c), -1) for c in ck], np.int64)
+        sel = sel.filter(pa.array(cn >= 0))
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "nat": pa.array(cn[cn >= 0]),
+            "rev": pa.nulls(len(ok), pa.float64()),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        smap = ray.get(supp_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = np.array([smap.get(int(s), -1) for s in sk], np.int64)
+        sel = batch.filter(pa.array(sn >= 0))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        t = pa.table({"key": sel["l_orderkey"],
+                      "nat": pa.array(sn[sn >= 0]), "rev": rev})
+        g = pa.TableGroupBy(t, ["key", "nat"]).aggregate([("rev", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "nat": g["nat"],
+            "rev": g["rev_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(lineitem_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["rev"].isna()
+        cnat = dict(zip(group.loc[is_order, "key"],
+                        group.loc[is_order, "nat"]))
+        li = group[~is_order]
+        li = li[[cnat.get(k, -1) == n
+                 for k, n in zip(li["key"], li["nat"])]]
+        if li.empty:
+            return pa.table({"nat": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        g = li.groupby("nat", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"nat": pa.array(g["nat"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.float64())})
+
+    agg = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("nat").aggregate(Sum("rev", alias_name="rev"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([names[int(n)]
+                                for n in t["nat"].to_pylist()],
+                               pa.string()),
+            "revenue_x10000": pc.round(
+                pc.multiply(t["rev"], 10_000.0), 0).cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort(["revenue_x10000", "n_name"], descending=[True, False])
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: lineitem ⋈ part with the part side reduced to a
+    broadcast promo-partkey array (``np.isin`` per batch — the part
+    dimension never shuffles), per-batch scalar partials, one-row
+    result. The promo ratio divides the two already-exact x10000
+    integers (floor ppm — integer arithmetic both sides, see the float
+    policy). Output: (promo_x10000, total_x10000, promo_ppm)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(np.sort(
+        part.loc[part.p_type == "PROMO", "p_partkey"].to_numpy()))
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1996-02-01", "us").astype(np.int64)
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((sd >= lo_us) & (sd < hi_us)))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"])) \
+            .to_numpy(zero_copy_only=False)
+        is_promo = np.isin(sel["l_partkey"].to_numpy(
+            zero_copy_only=False), promo)
+        return pa.table({
+            "promo": pa.array([float(rev[is_promo].sum())]),
+            "total": pa.array([float(rev.sum())]),
+        })
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .aggregate(Sum("promo"), Sum("total"))
+    promo_i = int(round(agg["sum(promo)"] * 10_000.0))
+    total_i = int(round(agg["sum(total)"] * 10_000.0))
+    return pa.table({
+        "promo_x10000": pa.array([promo_i], pa.int64()),
+        "total_x10000": pa.array([total_i], pa.int64()),
+        "promo_ppm": pa.array([promo_i * 1_000_000 // total_i],
+                              pa.int64()),
+    })
