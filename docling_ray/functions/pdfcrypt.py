@@ -466,6 +466,40 @@ def r6_file_key_from_user(password: bytes, u_entry: bytes,
     return aes_cbc_decrypt(ik, b"\x00" * 16, ue_entry[:32])
 
 
+def user_key_from_owner(owner_pw: bytes, o_entry: bytes, rev: int,
+                        key_len: int) -> bytes:
+    """Algorithm 7 (owner-password path, revisions 2-4): decrypt the /O
+    entry with the owner-password RC4 key, recovering the PADDED user
+    password that Algorithm 2 accepts verbatim (padding a 32-byte padded
+    password is the identity)."""
+    key = hashlib.md5(_pad_password(owner_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:key_len if rev >= 3 else 5]
+    data = o_entry[:32]
+    if rev >= 3:
+        for i in range(19, 0, -1):
+            data = rc4(bytes(b ^ i for b in key), data)
+    return rc4(key, data)
+
+
+@functools.lru_cache(maxsize=64)
+def r6_file_key_from_owner(password: bytes, u_entry: bytes,
+                           o_entry: bytes, oe_entry: bytes) -> bytes | None:
+    """Algorithm 2.A (owner-password path): validate ``password`` against
+    the 48-byte /O entry (hashed over the full /U as extra data) and
+    unwrap the 32-byte file key from /OE. Returns None when the password
+    does not validate."""
+    if len(u_entry) < 48 or len(o_entry) < 48 or len(oe_entry) < 32:
+        return None
+    u48 = u_entry[:48]
+    if r6_hash(password, o_entry[32:40], u48) != o_entry[:32]:
+        return None
+    ik = r6_hash(password, o_entry[40:48], u48)
+    return aes_cbc_decrypt(ik, b"\x00" * 16, oe_entry[:32])
+
+
 @functools.lru_cache(maxsize=64)
 def r6_make_entries(file_key: bytes, user_pw: bytes = b"",
                     owner_pw: bytes = b"",

@@ -42,6 +42,11 @@ DEFAULT_FORMAT_OPTIONS: dict[str, dict[str, Any]] = {
     "pdf": {
         # pages scoring below this parse quality are dropped
         "min_parse_score": 0.5,
+        # candidate decryption passwords for the standard security
+        # handler, tried (after the empty password) as user then owner
+        # password — comma-separated string here / in the env, or a
+        # list via configure("pdf", passwords=[...])
+        "passwords": "",
     },
     "extract": {
         # the skew router's byte-size threshold (pipelines/extract.py)

@@ -465,20 +465,44 @@ def _decode_pdf_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-class _StdSecurityHandler:
-    """Standard security handler (/Filter /Standard), empty user
-    password — the "encrypted but openable" shape that covers the vast
-    majority of encrypted PDFs in the wild. Supports V1/V2 (RC4), V4
-    crypt filters (V2 = RC4, AESV2 = AES-128-CBC) and V5/R6 (AESV3 =
-    AES-256). Reference capability anchor: pdfium's standard handler
-    (docling/backend/pypdfium2_backend.py:409). Anything else —
-    non-Standard filters, a required non-empty password — raises
-    PdfError, which the extractor records as a failure row (errors are
-    data, never exceptions)."""
+def _candidate_passwords() -> list[bytes]:
+    """Configured candidate passwords (settings kind ``pdf``, option
+    ``passwords``), tried after the empty password, as user then owner
+    password. Accepts a comma-separated string (env-friendly) or a
+    list/tuple from ``configure("pdf", passwords=[...])``. Reference:
+    pdfium's FPDF_LoadMemDocument(password) surface that
+    pypdfium2_backend.py:409 inherits."""
+    from docling_ray import settings
 
-    def __init__(self, edict: dict, id0: bytes, resolve) -> None:
+    raw = settings.options_for("pdf").get("passwords", "")
+    if isinstance(raw, (list, tuple)):
+        items = [str(x) for x in raw]
+    else:
+        items = [s for s in str(raw).split(",") if s]
+    return [p.encode("utf-8") for p in items]
+
+
+class _StdSecurityHandler:
+    """Standard security handler (/Filter /Standard). Tries the empty
+    user password first — the "encrypted but openable" shape that covers
+    the vast majority of encrypted PDFs in the wild — then any configured
+    candidate passwords (settings ``pdf.passwords``) as user and owner
+    passwords. Supports V1/V2 (RC4), V4 crypt filters (V2 = RC4, AESV2 =
+    AES-128-CBC) and V5/R6 (AESV3 = AES-256). Reference capability
+    anchor: pdfium's standard handler + password argument
+    (docling/backend/pypdfium2_backend.py:409). Anything else —
+    non-Standard filters, no matching password — raises PdfError, which
+    the extractor records as a failure row (errors are data, never
+    exceptions)."""
+
+    def __init__(self, edict: dict, id0: bytes, resolve,
+                 passwords: list[bytes] | None = None) -> None:
         from docling_ray.functions.pdfcrypt import (
-            compute_u, r6_file_key_from_user, std_file_key)
+            compute_u, r6_file_key_from_owner, r6_file_key_from_user,
+            std_file_key, user_key_from_owner)
+
+        if passwords is None:
+            passwords = _candidate_passwords()
 
         filt = resolve(edict.get("Filter"))
         if filt != "Standard":
@@ -515,7 +539,15 @@ class _StdSecurityHandler:
         elif v == 5:
             self.stm_cfm = self.str_cfm = "AESV3"
             ue_raw = _str_raw(resolve(edict.get("UE")))
-            key = r6_file_key_from_user(b"", u_raw, ue_raw)
+            oe_raw = _str_raw(resolve(edict.get("OE")))
+            key = None
+            for pw in [b"", *passwords]:
+                key = r6_file_key_from_user(pw, u_raw, ue_raw)
+                if key is not None:
+                    break
+                key = r6_file_key_from_owner(pw, u_raw, o_raw, oe_raw)
+                if key is not None:
+                    break
             if key is None:
                 raise PdfError("encrypted PDF: password required")
             self.file_key = key
@@ -524,13 +556,27 @@ class _StdSecurityHandler:
         else:
             raise PdfError(f"unsupported encryption version V={v}")
         self.rev = rev
-        self.file_key = std_file_key(b"", o_raw, p, id0, rev, key_len,
-                                     encrypt_metadata=em)
-        # authenticate the empty user password (Algorithm 6)
-        expect = compute_u(self.file_key, id0, rev)
-        ok = (expect[:16] == u_raw[:16]) if rev >= 3 \
-            else (expect == u_raw[:32])
-        if not ok:
+
+        def auth_user(pw: bytes) -> bytes | None:
+            # Algorithm 6: derive the file key and check it regenerates /U
+            fk = std_file_key(pw, o_raw, p, id0, rev, key_len,
+                              encrypt_metadata=em)
+            expect = compute_u(fk, id0, rev)
+            ok = (expect[:16] == u_raw[:16]) if rev >= 3 \
+                else (expect == u_raw[:32])
+            return fk if ok else None
+
+        self.file_key = b""
+        for pw in [b"", *passwords]:
+            fk = auth_user(pw)
+            if fk is None:
+                # Algorithm 7: try it as the owner password — recover the
+                # padded user password from /O, then the user path
+                fk = auth_user(user_key_from_owner(pw, o_raw, rev, key_len))
+            if fk is not None:
+                self.file_key = fk
+                break
+        else:
             raise PdfError("encrypted PDF: password required")
 
     def _apply(self, data: bytes, num: int, gen: int, cfm: str) -> bytes:
@@ -564,8 +610,10 @@ class _StdSecurityHandler:
 class PdfDocument:
     """Parsed PDF file: object store + page tree."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes,
+                 passwords: list[bytes] | None = None):
         self.data = data
+        self._passwords = passwords
         self.lex = _Lexer(data)
         self._cache: dict[int, Any] = {}
         self.offsets: dict[int, int] = {}
@@ -588,7 +636,8 @@ class PdfDocument:
             ids = self.resolve(self.trailer.get("ID"))
             id0 = _str_raw(ids[0]) if isinstance(ids, list) and ids else b""
             self._crypt = _StdSecurityHandler(
-                self.resolve(enc), id0, self.resolve)
+                self.resolve(enc), id0, self.resolve,
+                passwords=self._passwords)
             self.lex.crypt = self._crypt
             # objects cached before the handler existed (the /Encrypt
             # chain itself) hold still-encrypted strings; drop them so a

@@ -779,7 +779,8 @@ class _PdfEncryptor:
     ``rc4`` = V2/R3 RC4-128, ``aes`` = V4/R4 AESV2 (AES-128-CBC),
     ``aes256`` = V5/R6 AESV3."""
 
-    def __init__(self, mode: str, seed_bytes: bytes) -> None:
+    def __init__(self, mode: str, seed_bytes: bytes,
+                 user_pw: bytes = b"", owner_pw: bytes = b"") -> None:
         import hashlib
 
         from docling_ray.functions import pdfcrypt as PC
@@ -791,19 +792,21 @@ class _PdfEncryptor:
         self._iv_ctr = 0
         if mode == "rc4":
             self.rev, self.aes = 3, False
-            self.o = PC.compute_o(b"", b"", 3, 16)
-            self.key = PC.std_file_key(b"", self.o, self.p, self.id0, 3, 16)
+            self.o = PC.compute_o(owner_pw, user_pw, 3, 16)
+            self.key = PC.std_file_key(user_pw, self.o, self.p, self.id0,
+                                       3, 16)
             self.u = PC.compute_u(self.key, self.id0, 3)
         elif mode == "aes":
             self.rev, self.aes = 4, True
-            self.o = PC.compute_o(b"", b"", 4, 16)
-            self.key = PC.std_file_key(b"", self.o, self.p, self.id0, 4, 16)
+            self.o = PC.compute_o(owner_pw, user_pw, 4, 16)
+            self.key = PC.std_file_key(user_pw, self.o, self.p, self.id0,
+                                       4, 16)
             self.u = PC.compute_u(self.key, self.id0, 4)
         elif mode == "aes256":
             self.rev, self.aes = 6, True
             self.key = _AES256_FILE_KEY
             self.u, self.ue, self.o, self.oe = PC.r6_make_entries(
-                self.key, salts=_AES256_SALTS)
+                self.key, user_pw, owner_pw, salts=_AES256_SALTS)
         else:
             raise ValueError(f"unknown encrypt mode {mode!r}")
 
@@ -965,7 +968,9 @@ def pages_to_pdf_bytes(pages: list[dict],
                        content_filter: str = "flate",
                        cid_font: bool = False,
                        encrypt: str | None = None,
-                       acroform: list[dict] | None = None) -> bytes:
+                       acroform: list[dict] | None = None,
+                       user_pw: bytes = b"",
+                       owner_pw: bytes = b"") -> bytes:
     """Render page dicts (the pdf_cells schema) into a real PDF file:
     FlateDecode content streams, Helvetica Type1 font, text placed so the
     parser's geometry convention (baseline at cell bottom, leading = cell
@@ -1177,7 +1182,7 @@ def pages_to_pdf_bytes(pages: list[dict],
     if encrypt is not None:
         seed = __import__("hashlib").sha256(
             b"\x00".join(objs[o] for o in sorted(objs))).digest()
-        enc = _PdfEncryptor(encrypt, seed)
+        enc = _PdfEncryptor(encrypt, seed, user_pw, owner_pw)
     if style == "xrefstream":
         return _serialize_pdf_xrefstream(objs, stream_ids, enc)
     encrypt_oid = -1

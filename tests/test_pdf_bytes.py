@@ -471,6 +471,46 @@ def test_encrypted_wrong_password_is_detected():
         PdfDocument(bad)
 
 
+def test_encrypted_password_user_and_owner_paths():
+    """Password-protected PDFs open when settings supply the password —
+    via the user path AND (distinct password) the owner path — for every
+    handler revision; without it they fail as `password required`."""
+    import json
+
+    from docling_ray import settings
+    from docling_ray.stages.pdf_bytes import PdfDocument, PdfError
+
+    pages = _simple_pages()
+    base_cells = json.dumps(parse_pdf_pages(pages_to_pdf_bytes(pages)),
+                            sort_keys=True, default=str)
+    for mode in ("rc4", "aes", "aes256"):
+        data = pages_to_pdf_bytes(pages, encrypt=mode,
+                                  user_pw=b"s3cret", owner_pw=b"0wner")
+        with pytest.raises(PdfError, match="password"):
+            PdfDocument(data)
+        with pytest.raises(PdfError, match="password"):
+            PdfDocument(data, passwords=[b"wrong"])
+        for pw in (b"s3cret", b"0wner"):  # user path, then owner path
+            got = json.dumps(
+                _cells_of(PdfDocument(data, passwords=[pw])),
+                sort_keys=True, default=str)
+            assert got == base_cells, (mode, pw)
+        # the settings route (what corpus extraction uses)
+        settings.configure("pdf", passwords="decoy,s3cret")
+        try:
+            got = json.dumps(parse_pdf_pages(data),
+                             sort_keys=True, default=str)
+            assert got == base_cells, mode
+        finally:
+            settings.reset()
+
+
+def _cells_of(doc) -> list[dict]:
+    from docling_ray.stages.pdf_bytes import _pages_from_doc
+
+    return _pages_from_doc(doc)
+
+
 def test_encrypted_corruption_is_total():
     # corrupting bytes all over an encrypted file must yield failure
     # spans, never exceptions (errors are data)
