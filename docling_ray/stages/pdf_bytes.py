@@ -1341,8 +1341,16 @@ def interpret_content(
                 if isinstance(xo, Stream) and \
                         doc.resolve(xo.dict.get("Subtype")) == "Image":
                     a, _b, _c, dd, e, f = ctm
-                    ref = doc.resolve(xo.dict.get("DoclingRef")) or \
-                        f"pdfimg://page{page_no}/{name}"
+                    ref = doc.resolve(xo.dict.get("DoclingRef"))
+                    if ref is None:
+                        # real pixel payload: decode into the canonical
+                        # imgpx:// ref (geometry + mode + fingerprint)
+                        try:
+                            ref = _image_xobject_ref(doc, xo)
+                        except Exception:
+                            ref = None
+                    if ref is None:
+                        ref = f"pdfimg://page{page_no}/{name}"
                     images.append({
                         "l": e, "t": height - (f + dd), "r": e + a,
                         "b": height - f, "media_ref": str(ref),
@@ -1352,6 +1360,56 @@ def interpret_content(
         stack.clear()
     return {"page_no": page_no, "width": 0.0, "height": height,
             "cells": cells, "tables": tables, "images": images}
+
+
+def _image_xobject_ref(doc: "PdfDocument", xo: Stream) -> str | None:
+    """Decode an image XObject's pixel payload into the canonical
+    ``imgpx://WxH/mode/fp`` media_ref (functions/refs.image_media_ref —
+    the same convention the standalone image backend emits, so embedded
+    and standalone pictures fingerprint identically). Supported payloads:
+    /DCTDecode (JPEG, via stages/image_codec.decode_jpeg, any preceding
+    filters applied first) and raw 8-bit /DeviceRGB | /DeviceGray samples
+    under the generic filter chain. Returns None for anything else —
+    the caller falls back to a synthesized provenance ref. Reference:
+    pdfium decodes embedded images for the picture-extraction options
+    (docling/datamodel/pipeline_options.py generate_picture_images;
+    pypdfium2_backend.py:409)."""
+    import numpy as np
+
+    from docling_ray.functions.refs import image_media_ref
+
+    d = xo.dict
+    w = int(doc.resolve(d.get("Width", 0)) or 0)
+    h = int(doc.resolve(d.get("Height", 0)) or 0)
+    if w <= 0 or h <= 0:
+        return None
+    filt = doc.resolve(d.get("Filter"))
+    filters = [doc.resolve(f) for f in
+               (filt if isinstance(filt, list) else [filt] if filt else [])]
+    if filters and filters[-1] == "DCTDecode":
+        from docling_ray.stages.image_codec import decode_jpeg
+
+        pre = dict(d)
+        pre["Filter"] = filters[:-1]
+        parms = doc.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            pre["DecodeParms"] = parms[:-1]
+        arr, mode = decode_jpeg(doc.stream_data(Stream(pre, xo.raw)))
+        return image_media_ref(arr.shape[1], arr.shape[0], mode,
+                               arr.tobytes())
+    bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+    cs = doc.resolve(d.get("ColorSpace"))
+    if bpc != 8 or cs not in ("DeviceRGB", "DeviceGray"):
+        return None
+    nch = 3 if cs == "DeviceRGB" else 1
+    data = doc.stream_data(xo)
+    if len(data) < w * h * nch:
+        return None
+    a = np.frombuffer(data[: w * h * nch], dtype=np.uint8)
+    if nch == 1:
+        rgb = np.repeat(a.reshape(h, w, 1), 3, axis=2)
+        return image_media_ref(w, h, "L", rgb.tobytes())
+    return image_media_ref(w, h, "RGB", a.reshape(h, w, 3).tobytes())
 
 
 def parse_pdf_pages(data: bytes) -> list[dict]:

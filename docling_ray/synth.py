@@ -1035,12 +1035,32 @@ def pages_to_pdf_bytes(pages: list[dict],
             )
         for k, img in enumerate(page.get("images", [])):
             ref = img.get("media_ref", "")
-            img_body = (
-                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
-                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-                b" /DoclingRef (" + ref.encode("latin-1") + b")"
-                b" /Length 1 >>\nstream\n\x00\nendstream"
-            )
+            px = img.get("px")
+            if px is not None:
+                # real pixel payload: JPEG (/DCTDecode) or Flate raw
+                # samples — no /DoclingRef; the parser must DECODE to
+                # recover the imgpx:// ref the generator hand-computed
+                cs = (b"/DeviceGray" if px["mode"] == "gray"
+                      else b"/DeviceRGB")
+                fl = (b"/DCTDecode" if px["codec"] == "jpeg"
+                      else b"/FlateDecode")
+                body = (px["data"] if px["codec"] == "jpeg"
+                        else zlib.compress(px["data"]))
+                img_body = (
+                    b"<< /Type /XObject /Subtype /Image /Width "
+                    + str(px["w"]).encode() + b" /Height "
+                    + str(px["h"]).encode() + b" /ColorSpace " + cs
+                    + b" /BitsPerComponent 8 /Filter " + fl
+                    + b" /Length " + str(len(body)).encode()
+                    + b" >>\nstream\n" + body + b"\nendstream"
+                )
+            else:
+                img_body = (
+                    b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+                    b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                    b" /DoclingRef (" + ref.encode("latin-1") + b")"
+                    b" /Length 1 >>\nstream\n\x00\nendstream"
+                )
             img_id = add(img_body, is_stream=True)
             name = f"Im{k}"
             xobj_entries.append((name, img_id))
@@ -1305,6 +1325,64 @@ def _serialize_pdf_xrefstream(objs: dict[int, bytes],
     return bytes(out)
 
 
+def _make_embedded_image(rng: random.Random) -> tuple[str, dict]:
+    """One embedded-image XObject payload for the PDF writer → (expected
+    imgpx:// media_ref, px dict for pages_to_pdf_bytes). Variants: JPEG
+    gray/color (constant MCU-aligned tiles + identity quantization, so
+    the reconstruction is hand-computable — same trick as the standalone
+    image corpus) and Flate-compressed raw RGB/Gray samples. The expected
+    ref is computed HERE from the source pixels, never via the decoder."""
+    import numpy as np
+
+    from docling_ray.functions.refs import image_media_ref
+
+    variant = rng.randrange(4)
+    if variant == 0:  # JPEG grayscale, constant 8x8 tiles
+        w, h = rng.randrange(8, 33), rng.randrange(8, 33)
+        tiles = np.frombuffer(
+            rng.randbytes(((h + 7) // 8) * ((w + 7) // 8)), np.uint8
+        ).reshape((h + 7) // 8, (w + 7) // 8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+        rows = [img[r].tobytes() for r in range(h)]
+        data = pixels_to_jpeg(rows, w, h, gray=True,
+                              progressive=rng.random() < 0.35)
+        rgb = np.stack([img] * 3, axis=-1).tobytes()
+        return (image_media_ref(w, h, "L", rgb),
+                {"w": w, "h": h, "mode": "gray", "codec": "jpeg",
+                 "data": data})
+    if variant == 1:  # JPEG color, constant tiles (444/420)
+        from docling_ray.functions.colorspace import (rgb_to_ycbcr,
+                                                      ycbcr_to_rgb)
+
+        sub = rng.choice(["444", "420"])
+        t = 8 if sub == "444" else 16
+        w, h = rng.randrange(8, 33), rng.randrange(8, 33)
+        tiles = np.frombuffer(
+            rng.randbytes(3 * ((h + t - 1) // t) * ((w + t - 1) // t)),
+            np.uint8,
+        ).reshape((h + t - 1) // t, (w + t - 1) // t, 3)
+        img = np.repeat(np.repeat(tiles, t, axis=0), t, axis=1)[:h, :w]
+        rows = [img[r].tobytes() for r in range(h)]
+        data = pixels_to_jpeg(rows, w, h, gray=False, subsample=sub,
+                              progressive=rng.random() < 0.35)
+        expected = ycbcr_to_rgb(rgb_to_ycbcr(img))
+        return (image_media_ref(w, h, "RGB", expected.tobytes()),
+                {"w": w, "h": h, "mode": "rgb", "codec": "jpeg",
+                 "data": data})
+    w, h = rng.randrange(4, 41), rng.randrange(4, 41)
+    if variant == 2:  # Flate raw RGB
+        raw = rng.randbytes(3 * w * h)
+        return (image_media_ref(w, h, "RGB", raw),
+                {"w": w, "h": h, "mode": "rgb", "codec": "flate",
+                 "data": raw})
+    raw = rng.randbytes(w * h)  # Flate raw gray
+    rgb = np.repeat(np.frombuffer(raw, np.uint8).reshape(h, w, 1),
+                    3, axis=2)
+    return (image_media_ref(w, h, "L", rgb.tobytes()),
+            {"w": w, "h": h, "mode": "gray", "codec": "flate",
+             "data": raw})
+
+
 def build_pdf_bytes_doc(
     rng: random.Random, pool: list[str], doc_id: str
 ) -> tuple[str, list[Span], str, list[tuple[str, int, int]],
@@ -1353,6 +1431,28 @@ def build_pdf_bytes_doc(
         garbage_flags.append(is_garbage)
         any_garbage |= is_garbage
         p += 1
+    # ~35% of files embed REAL pixel payloads for some figures (JPEG via
+    # /DCTDecode, raw samples via /FlateDecode) instead of the 1×1
+    # /DoclingRef placeholder: the parser must decode the pixels to
+    # recover the imgpx:// ref hand-computed here (rich-cell images keep
+    # placeholders — their ref is welded into the expected table grid)
+    if rng.random() < 0.35:
+        pic_refs = {r for (k, _t, r) in expected if k == "picture"}
+        for pd_ in page_dicts:
+            for img in pd_.get("images", []):
+                old = img["media_ref"]
+                if old not in pic_refs or rng.random() < 0.4:
+                    continue
+                new_ref, px = _make_embedded_image(rng)
+                img["media_ref"] = new_ref
+                img["px"] = px
+                expected = [
+                    (k, t, new_ref) if (k == "picture" and r == old)
+                    else (k, t, r) for (k, t, r) in expected]
+                for exp_spans in per_page_exp:
+                    exp_spans[:] = [
+                        (k, t, new_ref) if (k == "picture" and r == old)
+                        else (k, t, r) for (k, t, r) in exp_spans]
     # outline = the document's headings (title level 0, sections level 1),
     # recorded as the expected TOC — the parser must recover it from the
     # /Outlines tree (bookmarks are the authoritative hierarchy signal)

@@ -424,6 +424,44 @@ def test_inline_image_skipped():
 # encrypted PDFs (standard security handler, empty user password)
 # ----------------------------------------------------------------------
 
+def test_embedded_image_xobjects_roundtrip():
+    """Image XObjects carrying REAL pixels (JPEG /DCTDecode, Flate raw
+    RGB/Gray) decode to the exact imgpx:// ref the generator hand-computes
+    — across both serializer styles and under encryption."""
+    import random
+
+    from docling_ray.synth import _make_embedded_image
+
+    rng = random.Random(1234)
+    for trial in range(24):
+        ref, px = _make_embedded_image(rng)
+        page = {"page_no": 1, "width": 612.0, "height": 792.0,
+                "cells": [], "tables": [],
+                "images": [{"l": 72.0, "t": 72.0, "r": 300.0, "b": 200.0,
+                            "media_ref": ref, "px": px}]}
+        style = ["classic", "xrefstream"][trial % 2]
+        enc = [None, "rc4", "aes", "aes256"][trial % 4]
+        data = pages_to_pdf_bytes([page], style=style, encrypt=enc)
+        got = parse_pdf_pages(data)[0]["images"][0]["media_ref"]
+        assert got == ref, (trial, px["codec"], px["mode"])
+        assert got.startswith("imgpx://")
+
+
+def test_image_xobject_unsupported_payload_falls_back():
+    """An undecodable image XObject (unsupported colorspace) degrades to
+    the synthesized pdfimg:// provenance ref — never an exception."""
+    pdf = pages_to_pdf_bytes([{
+        "page_no": 1, "width": 612.0, "height": 792.0, "cells": [],
+        "tables": [], "images": [{"l": 10.0, "t": 10.0, "r": 50.0,
+                                  "b": 50.0, "media_ref": "x",
+                                  "px": {"w": 2, "h": 2, "mode": "gray",
+                                         "codec": "flate",
+                                         "data": b"\x00\x01\x02\x03"}}]}])
+    pdf = pdf.replace(b"/DeviceGray", b"/CalGray\x20\x20\x20")
+    got = parse_pdf_pages(pdf)[0]["images"][0]["media_ref"]
+    assert got.startswith("pdfimg://page1/")
+
+
 def test_encrypted_roundtrip_all_modes_and_styles():
     import json
 
