@@ -785,6 +785,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": A.q1_lineitem_agg,
         "q3_top_orders": A.q3_top_orders,
         "q5_local_supplier_revenue": A.q5_local_supplier_revenue,
+        "q7_nation_volume": A.q7_nation_volume,
+        "q10_returned_items": A.q10_returned_items,
+        "q18_large_orders": A.q18_large_orders,
+        "q19_disjunctive_revenue": A.q19_disjunctive_revenue,
+        "event_lag_deltas": A.event_lag_deltas,
         "q14_promo_revenue": A.q14_promo_revenue,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
@@ -1105,6 +1110,71 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l_shipdate < TIMESTAMP '1996-02-01') "
             "SELECT promo_x10000, total_x10000, "
             "promo_x10000 * 1000000 // total_x10000 AS promo_ppm FROM s"
+        ),
+        "q7_nation_volume": (
+            # Q7 shape: cross-nation shipping volume by ship year
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) "
+            "AS BIGINT) AS revenue_x10000 "
+            "FROM supplier, lineitem, orders, customer, "
+            "nation n1, nation n2 "
+            "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+            "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "q10_returned_items": (
+            # Q10 shape: returned-item revenue per customer, top 20
+            "SELECT c_custkey, c_name, CAST(round(sum(l_extendedprice "
+            "* (1 - l_discount)) * 10000) AS BIGINT) AS revenue_x10000, "
+            "CAST(round(max(c_acctbal) * 100) AS BIGINT) "
+            "AS c_acctbal_x100, max(n_name) AS n_name "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20"
+        ),
+        "q18_large_orders": (
+            # Q18 shape: orders whose total quantity exceeds 200
+            "SELECT o_custkey AS c_custkey, o_orderkey, "
+            "epoch_us(o_orderdate) // 86400000000 AS o_orderdate_days, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS o_totalprice_x100, "
+            "CAST(round(t.qty * 100) AS BIGINT) AS sum_qty_x100 "
+            "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) "
+            "> 200) t ON o_orderkey = t.l_orderkey "
+            "ORDER BY o_totalprice_x100 DESC, o_orderkey LIMIT 100"
+        ),
+        "q19_disjunctive_revenue": (
+            # Q19 shape: disjunctive brand/size/quantity predicates
+            "SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) "
+            "* 10000) AS BIGINT) AS revenue_x10000 "
+            "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+            "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30))"
+        ),
+        "event_lag_deltas": (
+            # lag() window: per-user consecutive-event gaps, exact µs
+            "WITH d AS (SELECT user_id, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+            "ts) AS g FROM events) "
+            "SELECT user_id, count(g)::BIGINT AS n_gaps, "
+            "sum(g)::BIGINT AS sum_gap_us FROM d WHERE g IS NOT NULL "
+            "GROUP BY user_id ORDER BY user_id"
         ),
         "funnel_conversions": (
             # EXISTS semantics: each 'view' counts once if any same-user

@@ -1274,6 +1274,366 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA",
         .sort(["revenue_x10000", "n_name"], descending=[True, False])
 
 
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
+                     nation_b: str = "NATION_2", num_buckets: int = 64):
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    supplier/customer key→nation maps for JUST the two nations broadcast
+    once; lineitem pre-aggregates per (orderkey, supp-nation, ship-year)
+    per batch; orders rows carry the customer nation; the two fact sides
+    meet in one bucketed co-group on orderkey where the cross-nation
+    predicate applies. Output: (supp_nation, cust_nation, l_year,
+    revenue_x10000) ordered by the three keys."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    two = nation[nation.n_name.isin([nation_a, nation_b])]
+    names = dict(zip(two.n_nationkey.astype(int), two.n_name))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.isin(names)]
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust.c_nationkey.isin(names)]
+    supp_ref = ray.put(dict(zip(supp.s_suppkey.astype(int),
+                                supp.s_nationkey.astype(int))))
+    cust_ref = ray.put(dict(zip(cust.c_custkey.astype(int),
+                                cust.c_nationkey.astype(int))))
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = np.array([cmap.get(int(c), -1) for c in ck], np.int64)
+        sel = batch.filter(pa.array(cn >= 0))
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "nat": pa.array(cn[cn >= 0]),
+            "year": pa.nulls(len(ok), pa.int64()),
+            "rev": pa.nulls(len(ok), pa.float64()),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        smap = ray.get(supp_ref)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((sd >= lo_us) & (sd < hi_us)))
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = np.array([smap.get(int(s), -1) for s in sk], np.int64)
+        sel = batch.filter(pa.array(sn >= 0))
+        year = (sel["l_shipdate"].cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        t = pa.table({"key": sel["l_orderkey"],
+                      "nat": pa.array(sn[sn >= 0]),
+                      "year": pa.array(year), "rev": rev})
+        g = pa.TableGroupBy(t, ["key", "nat", "year"]).aggregate(
+            [("rev", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"], "nat": g["nat"], "year": g["year"],
+            "rev": g["rev_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(lineitem_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["rev"].isna()
+        cnat = dict(zip(group.loc[is_order, "key"],
+                        group.loc[is_order, "nat"]))
+        li = group[~is_order]
+        cn = np.array([cnat.get(k, -1) for k in li["key"]], np.int64)
+        mask = (cn >= 0) & (cn != li["nat"].to_numpy())
+        li = li[mask]
+        if li.empty:
+            return pa.table({"snat": pa.array([], pa.int64()),
+                             "cnat": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        g = li.assign(cnat=cn[mask]).groupby(
+            ["nat", "cnat", "year"], as_index=False).agg(
+            rev=("rev", "sum"))
+        return pa.table({"snat": pa.array(g["nat"], pa.int64()),
+                         "cnat": pa.array(g["cnat"], pa.int64()),
+                         "l_year": pa.array(g["year"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.float64())})
+
+    agg = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby(["snat", "cnat", "l_year"]) \
+        .aggregate(Sum("rev", alias_name="rev"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pa.array(
+                [names[int(n)] for n in t["snat"].to_pylist()],
+                pa.string()),
+            "cust_nation": pa.array(
+                [names[int(n)] for n in t["cnat"].to_pylist()],
+                pa.string()),
+            "l_year": t["l_year"],
+            "revenue_x10000": pc.round(
+                pc.multiply(t["rev"], 10_000.0), 0).cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def q10_returned_items(sf_dir: str, k: int = 20, num_buckets: int = 64):
+    """TPC-H Q10 shape: returned-item revenue per customer, top-k with
+    customer attributes. Returned lineitems pre-aggregate per orderkey
+    per batch; quarter-filtered orders map orderkey→custkey; both meet
+    in a bucketed co-group; a small groupby(custkey) + partial top-k
+    follows; the k winners' names/balances/nations attach on the driver
+    (k rows — never a shuffle). Output: (c_custkey, c_name,
+    revenue_x10000, c_acctbal_x100, n_name)."""
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1996-04-01", "us").astype(np.int64)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_returnflag"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((od >= lo_us) & (od < hi_us)))
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "cust": sel["o_custkey"],
+            "rev": pa.nulls(len(ok), pa.float64()),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        g = pa.TableGroupBy(pa.table({"key": sel["l_orderkey"],
+                                      "rev": rev}),
+                            "key").aggregate([("rev", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "cust": pa.nulls(g.num_rows, pa.int64()),
+            "rev": g["rev_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(lineitem_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["rev"].isna()
+        cust = dict(zip(group.loc[is_order, "key"],
+                        group.loc[is_order, "cust"]))
+        li = group[~is_order]
+        ck = np.array([cust.get(kk, -1) for kk in li["key"]], np.int64)
+        li = li[ck >= 0]
+        if li.empty:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        g = li.assign(c_custkey=ck[ck >= 0]).groupby(
+            "c_custkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"c_custkey": pa.array(g["c_custkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.float64())})
+
+    agg = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("c_custkey").aggregate(Sum("rev", alias_name="rev"))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(t["rev"], 10_000.0), 0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[: min(k, len(rev))]
+        return pa.table({"c_custkey": pa.array(ck[order]),
+                         "revenue_x10000": pa.array(rev[order])})
+
+    top = agg.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["revenue_x10000", "c_custkey"],
+              descending=[True, False]).limit(k).to_pandas()
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey",
+                  "c_acctbal"]).to_pandas()
+    cust = cust[cust.c_custkey.isin(top.c_custkey)] \
+        .set_index("c_custkey")
+    nation = _read(sf_dir, "nation").to_pandas() \
+        .set_index("n_nationkey")["n_name"]
+    return pa.table({
+        "c_custkey": pa.array(top.c_custkey, pa.int64()),
+        "c_name": pa.array(
+            [cust.loc[c, "c_name"] for c in top.c_custkey], pa.string()),
+        "revenue_x10000": pa.array(top.revenue_x10000, pa.int64()),
+        "c_acctbal_x100": pa.array(
+            [int(round(cust.loc[c, "c_acctbal"] * 100.0))
+             for c in top.c_custkey], pa.int64()),
+        "n_name": pa.array(
+            [nation[int(cust.loc[c, "c_nationkey"])]
+             for c in top.c_custkey], pa.string()),
+    })
+
+
+def q18_large_orders(sf_dir: str, threshold: float = 200.0,
+                     k: int = 100):
+    """TPC-H Q18 shape: large-volume orders — a HAVING filter over the
+    per-orderkey quantity sum semi-joins back into orders. lineitem
+    pre-aggregates per batch, one groupby(orderkey) carries one row per
+    key per batch, the HAVING survivors (a tiny set) broadcast into an
+    orders scan; names attach on the driver for the k winners. Output:
+    (c_custkey, o_orderkey, o_orderdate_days, o_totalprice_x100,
+    sum_qty_x100) ordered by totalprice desc."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, "l_orderkey").aggregate(
+            [("l_quantity", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "qty": g["l_quantity_sum"]})
+
+    sums = lineitem.map_batches(qty_partial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="qty"))
+    big = sums.filter(expr=f"qty > {threshold}").to_pandas()
+    qty_map = dict(zip(big.l_orderkey.astype(int), big.qty))
+    keys_ref = ray.put(np.sort(big.l_orderkey.to_numpy()))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(ok, ks)))
+        od_days = (sel["o_orderdate"].cast(pa.timestamp("us"))
+                   .cast(pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+        return pa.table({
+            "c_custkey": sel["o_custkey"],
+            "o_orderkey": sel["o_orderkey"],
+            "o_orderdate_days": pa.array(od_days),
+            "o_totalprice_x100": pc.round(
+                pc.multiply(sel["o_totalprice"], 100.0), 0)
+            .cast(pa.int64()),
+        })
+
+    top = orders.map_batches(order_rows, batch_format="pyarrow",
+                             batch_size=65536) \
+        .sort(["o_totalprice_x100", "o_orderkey"],
+              descending=[True, False]).limit(k).to_pandas()
+    return pa.table({
+        "c_custkey": pa.array(top.c_custkey, pa.int64()),
+        "o_orderkey": pa.array(top.o_orderkey, pa.int64()),
+        "o_orderdate_days": pa.array(top.o_orderdate_days, pa.int64()),
+        "o_totalprice_x100": pa.array(top.o_totalprice_x100, pa.int64()),
+        "sum_qty_x100": pa.array(
+            [int(round(qty_map[int(o)] * 100.0))
+             for o in top.o_orderkey], pa.int64()),
+    })
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over
+    lineitem ⋈ part. Each OR-branch reduces the part side to a sorted
+    broadcast key array (brand + size window); per lineitem batch the
+    branch test is one np.isin + a quantity band; scalar partials sum to
+    one row. Output: (revenue_x10000,)."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    branches = [("Brand#1", 1, 5, 1.0, 11.0),
+                ("Brand#2", 1, 10, 10.0, 20.0),
+                ("Brand#3", 1, 15, 20.0, 30.0)]
+    keys = [np.sort(part.loc[(part.p_brand == b)
+                             & (part.p_size >= s0)
+                             & (part.p_size <= s1),
+                             "p_partkey"].to_numpy())
+            for b, s0, s1, _q0, _q1 in branches]
+    keys_ref = ray.put(keys)
+    qbands = [(q0, q1) for _b, _s0, _s1, q0, q1 in branches]
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(pk), bool)
+        for branch_keys, (q0, q1) in zip(ks, qbands):
+            keep |= np.isin(pk, branch_keys) & (qty >= q0) & (qty <= q1)
+        sel = batch.filter(pa.array(keep))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        return pa.table({"rev": pa.array(
+            [float(pc.sum(rev).as_py() or 0.0)])})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536).aggregate(Sum("rev"))
+    return pa.table({"revenue_x10000": pa.array(
+        [int(round((agg["sum(rev)"] or 0.0) * 10_000.0))], pa.int64())})
+
+
+def event_lag_deltas(sf_dir: str, num_buckets: int = 64):
+    """Window-function operator (lag): per user, the count and exact sum
+    (microseconds) of gaps between consecutive events ordered by
+    (ts, event_id). One shuffle: bucket by user hash; the per-bucket
+    kernel is one lexsort + np.diff with a same-user mask — no per-user
+    Python, integer-exact output (no float policy needed). Output:
+    (user_id, n_gaps, sum_gap_us)."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((uid % num_buckets).astype(np.int32)),
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_id": batch["event_id"],
+        })
+
+    def per_bucket(group) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        ts = group["ts_us"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        u = uid[1:][same]  # already uid-sorted → segment-reduce exactly
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "sum_gap_us": pa.array([], pa.int64())})
+        bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table({
+            "user_id": pa.array(u[bounds], pa.int64()),
+            "n_gaps": pa.array(np.diff(np.r_[bounds, len(u)]), pa.int64()),
+            "sum_gap_us": pa.array(np.add.reduceat(gaps, bounds),
+                                   pa.int64()),
+        })
+
+    return events.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .sort("user_id")
+
+
 def q14_promo_revenue(sf_dir: str):
     """TPC-H Q14 shape: lineitem ⋈ part with the part side reduced to a
     broadcast promo-partkey array (``np.isin`` per batch — the part
