@@ -44,6 +44,7 @@ _DEP_FILES = [
     os.path.join(_PKG, "functions", "refs.py"),
     os.path.join(_PKG, "functions", "code_language.py"),
     os.path.join(_PKG, "functions", "colorspace.py"),
+    os.path.join(_PKG, "functions", "vp8.py"),
 ]
 
 

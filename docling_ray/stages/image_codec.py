@@ -39,14 +39,15 @@ eager ``.convert("RGB")``, image_backend.py:168):
   because the generator writes constant-per-MCU tiles with identity
   quantization — a DC-only block reconstructs bit-exactly
   (see synth.pixels_to_jpeg).
-* **WebP lossless (VP8L)** — full decoder in ``stages/webp_codec.py``
-  (all four transforms, color cache, meta groups, LZ77); lossy VP8 is
-  rejected with a clear error.
+* **WebP** — full decoders in ``stages/webp_codec.py``: lossless VP8L
+  (all four transforms, color cache, meta groups, LZ77) and lossy VP8
+  keyframes (RFC 6386: range decoder, all intra modes, token contexts,
+  loop filter — bit-exact against libwebp in tests).
 
-Out of scope in this container (documented, poison-safe): HEIC and
-lossy-VP8 WebP — these raise :class:`ImageError`, which the extract
-path converts to a ``status="failure"`` row, never an exception
-(ConversionStatus parity, base_models.py:85-91).
+Out of scope in this container (documented, poison-safe): HEIC — this
+raises :class:`ImageError`, which the extract path converts to a
+``status="failure"`` row, never an exception (ConversionStatus parity,
+base_models.py:85-91).
 """
 
 from __future__ import annotations

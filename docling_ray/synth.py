@@ -2796,7 +2796,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(13)
+    variant = rng.randrange(14)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 4 and rng.random() < 0.5:  # paletted BMP (plain / RLE8)
@@ -2942,6 +2942,9 @@ def build_image_doc(
                                   rng.randrange(256)))
         rgb = b"".join(rows)
         ref = image_media_ref(w, h, "RGB", rgb)
+    elif variant == 13:  # WebP lossy (VP8 keyframe)
+        data, exp = vp8_lossy_webp(rng, w, h)
+        ref = image_media_ref(w, h, "RGB", exp.tobytes())
     else:  # GIF: global palette; plain full-screen or animated frames
         import numpy as np
 
@@ -3162,3 +3165,333 @@ def render_docs_batch(batch: pa.Table, seed: int = 42,
         tbl = tbl.append_column("expected_markers", exp_markers)
         tbl = tbl.append_column("expected_fields", exp_fields)
     return tbl
+
+
+# ======================================================================
+# Lossy VP8 WebP writer (RFC 6386 keyframe serializer)
+# ======================================================================
+#
+# The boolean range ENCODER below is written from the RFC independently
+# of the decoder's range decoder (stages/webp_codec.py); normative
+# constants and the reconstruction math are shared via functions/vp8.py
+# (see its docstring). The generator picks modes and quantized levels
+# directly and DEFINES the source image as the spec reconstruction, so
+# the expected pixels are hand-computable without running the decoder —
+# the same discipline as the constant-tile JPEG writer, but covering
+# every prediction mode and token category.
+
+class _VP8BoolEnc:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i < 0:
+            self.out.insert(0, 1)
+        else:
+            self.out[i] += 1
+
+    def put(self, bit: int, prob: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.put((v >> k) & 1, 128)
+
+    def signed(self, v: int, n: int) -> None:
+        self.literal(abs(v), n)
+        self.put(1 if v < 0 else 0, 128)
+
+    def tree(self, tree: tuple, probs, leaf: int) -> None:
+        for idx, bit in _vp8_tree_path(tree, leaf):
+            self.put(bit, probs[idx >> 1])
+
+    def flush(self) -> bytes:
+        for _ in range(32):
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+        return bytes(self.out)
+
+
+def _vp8_tree_path(tree: tuple, leaf: int,
+                   start: int = 0) -> list[tuple[int, int]]:
+    """Path to ``leaf`` as [(node_index, bit)], via DFS from ``start``."""
+    stack = [(start, [])]
+    while stack:
+        node, path = stack.pop()
+        for bit in (0, 1):
+            nxt = tree[node + bit]
+            if nxt <= 0:
+                if -nxt == leaf:
+                    return path + [(node, bit)]
+            else:
+                stack.append((nxt, path + [(node, bit)]))
+    raise ValueError(f"leaf {leaf} not in tree")
+
+
+def _vp8_write_block(enc: "_VP8BoolEnc", probs, first: int, ctx: int,
+                     levels: list[int]) -> None:
+    """Serialize one block's scan-order quantized levels as coefficient
+    tokens (mirrors the RFC token loop: EOB after the last nonzero, no
+    EOB branch right after a ZERO token)."""
+    from docling_ray.functions import vp8 as V
+
+    last = -1
+    for j in range(first, 16):
+        if levels[j]:
+            last = j
+    i, start = first, 0
+    while i <= last:
+        band = probs[V.COEF_BANDS[i]][ctx]
+        v = levels[i]
+        if v == 0:
+            for idx, bit in _vp8_tree_path(V.COEF_TREE, 0, start):
+                enc.put(bit, band[idx >> 1])
+            ctx, start = 0, 2
+            i += 1
+            continue
+        a = abs(v)
+        if a <= 4:
+            tok = a
+            extra = None
+        else:
+            cat = 0
+            while cat < 5 and a >= V.CAT_BASE[cat + 1]:
+                cat += 1
+            tok = 5 + cat
+            extra = a - V.CAT_BASE[cat]
+        for idx, bit in _vp8_tree_path(V.COEF_TREE, tok, start):
+            enc.put(bit, band[idx >> 1])
+        if extra is not None:
+            cp = V.CAT_PROBS[tok - 5]
+            for k, p in enumerate(cp):
+                enc.put((extra >> (len(cp) - 1 - k)) & 1, p)
+        enc.put(1 if v < 0 else 0, 128)
+        ctx = 1 if a == 1 else 2
+        start = 0
+        i += 1
+    if last < 15:
+        band = probs[V.COEF_BANDS[max(first, last + 1)]][ctx]
+        for idx, bit in _vp8_tree_path(V.COEF_TREE, V.TOKEN_EOB, start):
+            enc.put(bit, band[idx >> 1])
+
+
+def vp8_lossy_webp(rng: random.Random, w: int, h: int
+                   ) -> tuple[bytes, "object"]:
+    """One lossy-VP8 WebP file → (bytes, expected HxWx3 RGB np.ndarray).
+    Modes, quantizers, loop-filter config and quantized levels are drawn
+    at random; the source image is DEFINED as the RFC reconstruction of
+    that stream (computed through the shared functions/vp8.py math), so
+    the expectation never runs the decoder."""
+    import numpy as np
+
+    from docling_ray.functions import vp8 as V
+
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    y_ac_qi = rng.randrange(0, 128)
+    deltas = tuple(rng.choice([0, 0, rng.randrange(-15, 16)])
+                   for _ in range(5))
+    quants = V.segment_quants(y_ac_qi, deltas, False, False, [0] * 4)
+    filter_type = rng.randrange(2)
+    filter_level = rng.choice([0, rng.randrange(1, 64)])
+    sharpness = rng.choice([0, 0, rng.randrange(8)])
+    nparts = rng.choice([1, 1, 2, 4])
+    skip_enabled = rng.random() < 0.7
+    prob_skip = rng.randrange(1, 255) if skip_enabled else 0
+
+    def rand_levels(maxmag: int, density: float, dcq: int,
+                    acq: int) -> list[int]:
+        # dequantized coefficients must fit int16 (the range every
+        # conformant encoder produces from 8-bit input; decoders,
+        # including libwebp's, carry coefficients in int16 surfaces) —
+        # with headroom so the Y2 WHT row sums stay in range too
+        lv = [0] * 16
+        for j in range(16):
+            if rng.random() < density:
+                cap = max(1, 2000 // (dcq if j == 0 else acq))
+                m = rng.randrange(1, min(maxmag, cap) + 1)
+                lv[j] = m if rng.random() < 0.5 else -m
+        return lv
+
+    mbs = []
+    for _ in range(mb_w * mb_h):
+        ymode = rng.choice([V.DC_PRED, V.V_PRED, V.H_PRED, V.TM_PRED,
+                            V.B_PRED, V.B_PRED])
+        bmodes = [rng.randrange(10) for _ in range(16)] \
+            if ymode == V.B_PRED else None
+        uvmode = rng.randrange(4)
+        density = rng.choice([0.0, 0.1, 0.3, 0.6])
+        maxmag = rng.choice([1, 3, 8, 40, 500, 2000])
+        y1dc, y1ac, y2dc, y2ac, uvdc, uvac = quants[0]
+        mb = {"ymode": ymode, "bmodes": bmodes, "uvmode": uvmode,
+              "segment": 0, "skip": 0,
+              "y2": rand_levels(maxmag, density, y2dc, y2ac)
+              if ymode != V.B_PRED else None,
+              "y": [rand_levels(maxmag, density, y1dc, y1ac)
+                    for _ in range(16)],
+              "u": [rand_levels(maxmag, density, uvdc, uvac)
+                    for _ in range(4)],
+              "v": [rand_levels(maxmag, density, uvdc, uvac)
+                    for _ in range(4)]}
+        if ymode != V.B_PRED:
+            # type-0 Y blocks never code coefficient 0 (it comes from Y2)
+            for lv in mb["y"]:
+                lv[0] = 0
+        empty = not (any(any(b) for b in mb["y"])
+                     or any(any(b) for b in mb["u"])
+                     or any(any(b) for b in mb["v"])
+                     or (mb["y2"] is not None and any(mb["y2"])))
+        if skip_enabled and empty:
+            mb["skip"] = 1
+        mbs.append(mb)
+
+    # --- first partition: header + per-MB mode records ---
+    enc = _VP8BoolEnc()
+    enc.literal(0, 1)  # color space
+    enc.literal(0, 1)  # clamping
+    enc.put(0, 128)    # segmentation disabled
+    enc.literal(filter_type, 1)
+    enc.literal(filter_level, 6)
+    enc.literal(sharpness, 3)
+    enc.put(0, 128)    # no lf deltas
+    enc.literal({1: 0, 2: 1, 4: 2, 8: 3}[nparts], 2)
+    enc.literal(y_ac_qi, 7)
+    for d in deltas:
+        if d:
+            enc.put(1, 128)
+            enc.signed(d, 4)
+        else:
+            enc.put(0, 128)
+    enc.put(0, 128)    # refresh_entropy_probs
+    for k in range(4 * 8 * 3 * 11):
+        enc.put(0, V.COEF_UPDATE_PROBS[k])  # keep default coef probs
+    if skip_enabled:
+        enc.put(1, 128)
+        enc.literal(prob_skip, 8)
+    else:
+        enc.put(0, 128)
+    above_bm = [[V.B_DC_PRED] * 4 for _ in range(mb_w)]
+    for my in range(mb_h):
+        left_bm = [V.B_DC_PRED] * 4
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            if skip_enabled:
+                enc.put(mb["skip"], prob_skip)
+            enc.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS, mb["ymode"])
+            if mb["ymode"] == V.B_PRED:
+                bm = mb["bmodes"]
+                for b in range(16):
+                    above = above_bm[mx][b & 3] if b < 4 else bm[b - 4]
+                    left = left_bm[b >> 2] if (b & 3) == 0 else bm[b - 1]
+                    probs = V.KF_BMODE_PROBS[
+                        (above * 10 + left) * 9:(above * 10 + left) * 9 + 9]
+                    enc.tree(V.BMODE_TREE, probs, bm[b])
+                above_bm[mx] = bm[12:16]
+                left_bm = [bm[3], bm[7], bm[11], bm[15]]
+            else:
+                m = V.MODE_TO_BMODE[mb["ymode"]]
+                above_bm[mx] = [m] * 4
+                left_bm = [m] * 4
+            enc.tree(V.UV_MODE_TREE, V.KF_UV_MODE_PROBS, mb["uvmode"])
+    part0 = enc.flush()
+
+    # --- token partitions (MB row r -> partition r % nparts) ---
+    probs = [[[list(V.DEFAULT_COEF_PROBS[
+        ((t * 8 + b) * 3 + c) * 11:((t * 8 + b) * 3 + c) * 11 + 11])
+        for c in range(3)] for b in range(8)] for t in range(4)]
+    encs = [_VP8BoolEnc() for _ in range(nparts)]
+    above_nz = [[0] * 9 for _ in range(mb_w)]
+    for my in range(mb_h):
+        te = encs[my % nparts]
+        left_nz = [0] * 9
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            a, lf_ = above_nz[mx], left_nz
+            has_y2 = mb["ymode"] != V.B_PRED
+            if mb["skip"]:
+                for k in range(8):
+                    a[k] = lf_[k] = 0
+                if has_y2:
+                    a[8] = lf_[8] = 0
+                continue
+            if has_y2:
+                ctx = a[8] + lf_[8]
+                _vp8_write_block(te, probs[1], 0, ctx, mb["y2"])
+                a[8] = lf_[8] = int(any(mb["y2"]))
+                ytype, yfirst = 0, 1
+            else:
+                ytype, yfirst = 3, 0
+            ys = mb["y"]
+            for b in range(16):
+                r, c = b >> 2, b & 3
+                ctx = (a[c] if r == 0 else int(any(ys[b - 4]))) + \
+                    (lf_[r] if c == 0 else int(any(ys[b - 1])))
+                _vp8_write_block(te, probs[ytype], yfirst, ctx, ys[b])
+            for c in range(4):
+                a[c] = int(any(ys[12 + c]))
+            for r in range(4):
+                lf_[r] = int(any(ys[4 * r + 3]))
+            for key, base in (("u", 4), ("v", 6)):
+                blocks = mb[key]
+                for b in range(4):
+                    r, c = b >> 1, b & 1
+                    ctx = (a[base + c] if r == 0
+                           else int(any(blocks[b - 2]))) + \
+                        (lf_[base + r] if c == 0
+                         else int(any(blocks[b - 1])))
+                    _vp8_write_block(te, probs[2], 0, ctx, blocks[b])
+                a[base] = int(any(blocks[2]))
+                a[base + 1] = int(any(blocks[3]))
+                lf_[base] = int(any(blocks[1]))
+                lf_[base + 1] = int(any(blocks[3]))
+    parts = [e.flush() for e in encs]
+
+    tag = len(part0) << 5 | 0x10  # keyframe, version 0, show_frame
+    frame = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    frame += b"\x9d\x01\x2a"
+    frame += bytes([w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
+    frame += part0
+    for p in parts[:-1]:
+        frame += bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF,
+                        (len(p) >> 16) & 0xFF])
+    frame += b"".join(parts)
+
+    lf = {"type": filter_type, "level": filter_level,
+          "sharpness": sharpness, "delta_enabled": False,
+          "ref_delta_intra": 0, "mode_delta_bpred": 0,
+          "seg_enabled": False, "seg_abs": False, "seg_lf": [0] * 4}
+    yp, up, vp = V.reconstruct_frame(mb_w, mb_h, mbs, quants, lf)
+    expected = V.yuv420_to_rgb(yp, up, vp, w, h)
+
+    chunk = b"VP8 " + _struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    data = b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return data, expected

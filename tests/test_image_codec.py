@@ -664,14 +664,15 @@ def test_webp_distance_map_pinned():
     assert _DIST_MAP[-4:] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
 
 
-def test_webp_rejects_lossy_and_garbage():
+def test_webp_rejects_truncated_lossy_and_garbage():
     import pytest
 
     from docling_ray.stages.image_codec import ImageError, decode_frames
     from docling_ray.stages.webp_codec import decode_webp
 
+    # a 4-byte VP8 chunk is a truncated frame header, not a clean image
     lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
-    with pytest.raises(ImageError, match="lossy"):
+    with pytest.raises(ImageError, match="truncated"):
         decode_webp(lossy)
     with pytest.raises(ImageError):
         decode_webp(b"RIFF\x08\x00\x00\x00WEBPJUNK")
