@@ -639,20 +639,30 @@ class _BoolDec:
                 return -i
 
 
-def _vp8_coef_probs(bd: _BoolDec) -> list:
-    """Frame-header coefficient-probability updates over the defaults."""
-    probs = [[[list(VP8.DEFAULT_COEF_PROBS[
+def _default_coef_probs() -> list:
+    return [[[list(VP8.DEFAULT_COEF_PROBS[
         ((t * 8 + b) * 3 + c) * 11:((t * 8 + b) * 3 + c) * 11 + 11])
         for c in range(3)] for b in range(8)] for t in range(4)]
+
+
+_DEFAULT_COEF_PROBS_NESTED = _default_coef_probs()
+
+
+def _vp8_coef_probs(bd: _BoolDec) -> list:
+    """Frame-header coefficient-probability updates over the defaults.
+    The common no-update frame reuses one cached nested structure."""
+    probs = None
     k = 0
     for t in range(4):
         for b in range(8):
             for c in range(3):
                 for p in range(11):
                     if bd.bool(VP8.COEF_UPDATE_PROBS[k]):
+                        if probs is None:
+                            probs = _default_coef_probs()
                         probs[t][b][c][p] = bd.literal(8)
                     k += 1
-    return probs
+    return probs if probs is not None else _DEFAULT_COEF_PROBS_NESTED
 
 
 def _vp8_block_tokens(bd: _BoolDec, probs, first: int, ctx: int) -> list:
