@@ -268,6 +268,13 @@ def _line_dedup(sf_dir: str):
     return line_dedup(ds, words_per_line=3, min_docs=2).sort("doc_id")
 
 
+def _substring_dup(sf_dir: str):
+    from docling_ray.stages.dedup import substring_dup
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dup(ds, k=5, min_docs=2).sort("doc_id")
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -746,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _repetition,
         "quality": _quality,
         "line_dedup": _line_dedup,
+        "substring_dup": _substring_dup,
         "tfidf_topk": _tfidf_topk,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
@@ -785,7 +793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": A.q1_lineitem_agg,
         "q3_top_orders": A.q3_top_orders,
         "q5_local_supplier_revenue": A.q5_local_supplier_revenue,
+        "q4_order_priority": A.q4_order_priority,
         "q7_nation_volume": A.q7_nation_volume,
+        "q22_global_sales_opportunity": A.q22_global_sales_opportunity,
         "q10_returned_items": A.q10_returned_items,
         "q18_large_orders": A.q18_large_orders,
         "q19_disjunctive_revenue": A.q19_disjunctive_revenue,
@@ -1111,6 +1121,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT promo_x10000, total_x10000, "
             "promo_x10000 * 1000000 // total_x10000 AS promo_ppm FROM s"
         ),
+        "q4_order_priority": (
+            # Q4 shape: EXISTS lineitem shipped after the order date
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q22_global_sales_opportunity": (
+            # Q22 shape: above-average balance, NOT EXISTS orders
+            "SELECT n_name, count(*)::BIGINT AS n_cust, "
+            "CAST(round(sum(c_acctbal) * 100) AS BIGINT) "
+            "AS acctbal_sum_x100 "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
         "q7_nation_volume": (
             # Q7 shape: cross-nation shipping volume by ship year
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
@@ -1367,6 +1399,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(a.text_clean, '') AS text_clean "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "ORDER BY d.doc_id"
+        ),
+        "substring_dup": (
+            # per-doc duplicated k-gram windows (k=5): a window is
+            # duplicated when its exact gram occurs in >= 2 distinct docs
+            "WITH t AS (SELECT doc_id, "
+            f"{_TOKS} AS toks FROM documents), "
+            "g0 AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 4)) AS i FROM t), "
+            "g AS (SELECT doc_id, "
+            "array_to_string(toks[i:i+4], ' ') AS gram FROM g0), "
+            "common AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "dup AS (SELECT doc_id, count(*)::BIGINT AS dup_windows "
+            "FROM g WHERE gram IN (SELECT gram FROM common) "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, "
+            "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
+            "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
+            "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
         ),
         "tfidf_topk": (
             # linear-idf TF-IDF: score = tf * N * 1e6 // df (integer

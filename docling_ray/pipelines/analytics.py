@@ -1634,6 +1634,141 @@ def event_lag_deltas(sf_dir: str, num_buckets: int = 64):
         .sort("user_id")
 
 
+def q4_order_priority(sf_dir: str, num_buckets: int = 64):
+    """TPC-H Q4 shape: order counts per priority where EXISTS a lineitem
+    shipped after the order date (the available-column analogue of Q4's
+    commit/receipt predicate). Both sides pre-reduce per batch — orders
+    to (key, priority), lineitem to its per-orderkey MAX shipdate — so
+    the bucketed co-group sees one row per key per side per batch; the
+    EXISTS test is one vectorized compare per bucket. Output:
+    (o_orderpriority, n_orders)."""
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1996-04-01", "us").astype(np.int64)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((od >= lo_us) & (od < hi_us)))
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = sel["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "prio": sel["o_orderpriority"],
+            "odate_us": od,
+            "max_ship_us": pa.nulls(len(ok), pa.int64()),
+        })
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({"key": batch["l_orderkey"],
+                                      "sd": sd}),
+                            "key").aggregate([("sd", "max")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "prio": pa.nulls(g.num_rows, pa.string()),
+            "odate_us": pa.nulls(g.num_rows, pa.int64()),
+            "max_ship_us": g["sd_max"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(lineitem_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_li = group["prio"].isna()
+        li = group[is_li].groupby("key", as_index=False).agg(
+            ms=("max_ship_us", "max"))
+        ship = dict(zip(li["key"], li["ms"]))
+        od = group[~is_li]
+        keep = np.array([ship.get(k, -1) > d
+                         for k, d in zip(od["key"], od["odate_us"])])
+        if not keep.any():
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        g = od[keep].groupby("prio", as_index=False).agg(
+            n=("key", "count"))
+        return pa.table({"o_orderpriority": pa.array(g["prio"]),
+                         "n_orders": pa.array(g["n"], pa.int64())})
+
+    return both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n_orders", alias_name="n_orders")) \
+        .sort("o_orderpriority")
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO urgent orders, counted per nation. The scalar subquery
+    (global avg over positive balances) is one streaming aggregate; the
+    NOT EXISTS side broadcasts the distinct urgent-order customer keys
+    (bounded by |customer|) as a sorted array; the final count is a
+    small groupby. Output: (n_name, n_cust, acctbal_sum_x100)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())]),
+                         "n": pa.array([len(pos)])})
+
+    agg = cust.map_batches(bal_partial, batch_format="pyarrow",
+                           batch_size=65536).aggregate(Sum("s"), Sum("n"))
+    avg_bal = (agg["sum(s)"] or 0.0) / max(int(agg["sum(n)"] or 0), 1)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["o_orderpriority"],
+                                    "1-URGENT"))
+        return pa.table({"o_custkey": pc.unique(sel["o_custkey"])})
+
+    have_orders = orders.map_batches(cust_partial,
+                                     batch_format="pyarrow",
+                                     batch_size=65536).unique("o_custkey")
+    have_ref = ray.put(np.sort(np.array(have_orders, np.int64)))
+    nation = _read(sf_dir, "nation").to_pandas()
+    names = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hv = ray.get(have_ref)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        keep = (bal > avg_bal) & ~np.isin(ck, hv)
+        sel = batch.filter(pa.array(keep))
+        g = pa.TableGroupBy(pa.table({
+            "nat": sel["c_nationkey"],
+            "bal": sel["c_acctbal"],
+        }), "nat").aggregate([("bal", "sum"), ("bal", "count")])
+        return pa.table({"nat": g["nat"], "s": g["bal_sum"],
+                         "n": g["bal_count"]})
+
+    out = cust.map_batches(pick, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("nat").aggregate(Sum("s", alias_name="s"),
+                                  Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([names[int(x)]
+                                for x in t["nat"].to_pylist()]),
+            "n_cust": t["n"].cast(pa.int64()),
+            "acctbal_sum_x100": pc.round(
+                pc.multiply(t["s"], 100.0), 0).cast(pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow") \
+        .sort("n_name")
+
+
 def q14_promo_revenue(sf_dir: str):
     """TPC-H Q14 shape: lineitem ⋈ part with the part side reduced to a
     broadcast promo-partkey array (``np.isin`` per batch — the part

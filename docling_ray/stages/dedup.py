@@ -661,3 +661,85 @@ def line_dedup(
         })
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def _gram_df_partial(batch: pa.Table, k: int,
+                     text_col: str) -> pa.Table:
+    """Per-batch partial: distinct-per-doc k-gram hashes → (hash, ndocs)
+    counts (one row per gram per batch, not per occurrence)."""
+    from docling_ray.functions.hashing import tokenize
+
+    counts: dict[int, int] = {}
+    for t in batch[text_col].to_pylist():
+        toks = tokenize(t or "")
+        seen = {stable_hash64(" ".join(toks[i:i + k]))
+                for i in range(len(toks) - k + 1)}
+        for h in seen:
+            counts[h] = counts.get(h, 0) + 1
+    return pa.table({
+        "gram_hash": pa.array(list(counts.keys()), pa.int64()),
+        "ndocs": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def substring_dup(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-document duplicated-substring profile — the per-document
+    signal behind suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many of its token ``k``-gram windows also occur
+    in >= ``min_docs`` distinct documents. Same two-pass shape as
+    :func:`line_dedup`:
+
+      1. distinct-per-doc gram hashes → per-batch partial counts →
+         ``groupby(gram_hash).sum`` → cross-doc gram set. Only
+         (hash, count) pairs shuffle; text never leaves its block.
+      2. broadcast the cross-doc gram hash set and count matching
+         windows per document per batch (no second shuffle).
+
+    Scale note (10^12 docs): the broadcast set is bounded by grams that
+    REPEAT across documents (shared boilerplate/quotes), not the corpus
+    gram vocabulary; the Bloom fallback documented on line_dedup applies
+    identically. Shuffle keys are stable_hash64 of the gram (2^-64
+    collision odds); the DuckDB oracle groups by the gram STRINGS, so a
+    collision would surface as a hash mismatch rather than hide.
+
+    Output: (doc_id, n_windows, dup_windows).
+    """
+    from ray.data.aggregate import Sum
+
+    from docling_ray.functions.hashing import tokenize
+
+    df = ds.map_batches(
+        _gram_df_partial, batch_format="pyarrow",
+        fn_kwargs={"k": k, "text_col": text_col},
+    ).groupby("gram_hash").aggregate(Sum("ndocs", alias_name="ndocs"))
+    common = df.filter(expr=f"ndocs >= {int(min_docs)}") \
+               .select_columns(["gram_hash"])
+    common_set = frozenset(
+        h for b in common.iter_batches(batch_format="pyarrow")
+        for h in b["gram_hash"].to_numpy(zero_copy_only=False).tolist())
+    common_ref = ray.put(common_set)
+
+    def profile(batch: pa.Table) -> pa.Table:
+        commons = ray.get(common_ref)  # object-store read, once per task
+        n_windows = np.empty(batch.num_rows, np.int64)
+        dup = np.empty(batch.num_rows, np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = tokenize(t or "")
+            n = max(len(toks) - k + 1, 0)
+            n_windows[i] = n
+            dup[i] = sum(
+                1 for j in range(n)
+                if stable_hash64(" ".join(toks[j:j + k])) in commons)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_windows": pa.array(n_windows),
+            "dup_windows": pa.array(dup),
+        })
+
+    return ds.map_batches(profile, batch_format="pyarrow")
