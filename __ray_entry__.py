@@ -801,6 +801,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": A.q19_disjunctive_revenue,
         "event_lag_deltas": A.event_lag_deltas,
         "q14_promo_revenue": A.q14_promo_revenue,
+        "q6_forecast_revenue": A.q6_forecast_revenue,
+        "q13_customer_distribution": A.q13_customer_distribution,
+        "q15_top_supplier": A.q15_top_supplier,
+        "q2_min_cost_part": A.q2_min_cost_part,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
@@ -1120,6 +1124,49 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l_shipdate < TIMESTAMP '1996-02-01') "
             "SELECT promo_x10000, total_x10000, "
             "promo_x10000 * 1000000 // total_x10000 AS promo_ppm FROM s"
+        ),
+        "q6_forecast_revenue": (
+            # Q6 shape: scan-filter-sum; discount band on the exact
+            # x100 integer (float BETWEEN is representation-dependent)
+            "SELECT CAST(round(sum(l_extendedprice * l_discount) "
+            "* 10000) AS BIGINT) AS revenue_x10000 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "q13_customer_distribution": (
+            # Q13 shape: customer ⟕ orders double aggregate
+            "WITH pc AS (SELECT c_custkey, "
+            "count(o_orderkey)::BIGINT AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON "
+            "c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, count(*)::BIGINT AS custdist FROM pc "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q15_top_supplier": (
+            # Q15 shape: argmax-revenue supplier(s), ties kept; the max
+            # compares exact x10000 integers on both engines
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount)) "
+            "* 10000) AS BIGINT) AS total_revenue_x10000 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue_x10000 "
+            "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total_revenue_x10000 = "
+            "(SELECT max(total_revenue_x10000) FROM rev) "
+            "ORDER BY s_suppkey"
+        ),
+        "q2_min_cost_part": (
+            # Q2 shape: argmin-per-group join-back (partkey tie-break)
+            "SELECT p_brand, p_partkey, p_name, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) "
+            "AS retailprice_x100 FROM part "
+            "QUALIFY row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY p_retailprice, p_partkey) = 1 ORDER BY p_brand"
         ),
         "q4_order_priority": (
             # Q4 shape: EXISTS lineitem shipped after the order date

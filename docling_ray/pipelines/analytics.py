@@ -1811,3 +1811,188 @@ def q14_promo_revenue(sf_dir: str):
         "promo_ppm": pa.array([promo_i * 1_000_000 // total_i],
                               pa.int64()),
     })
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure scan-filter-sum over lineitem — no shuffle,
+    no join; each batch reduces to one scalar partial and the global
+    ``Sum`` sees one row per batch. The discount band compares on the
+    exact x100 integer (discounts have 2 decimals; float BETWEEN on
+    0.05..0.07 is representation-dependent, the scaled int is not).
+    Output: (revenue_x10000,)."""
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_shipdate", "l_discount", "l_quantity",
+                      "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        d100 = np.rint(disc * 100.0).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((sd >= lo_us) & (sd < hi_us)
+                & (d100 >= 5) & (d100 <= 7) & (qty < 24.0))
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array(
+            [float((ep[keep] * disc[keep]).sum())])})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536).aggregate(Sum("rev"))
+    return pa.table({"revenue_x10000": pa.array(
+        [int(round((agg["sum(rev)"] or 0.0) * 10_000.0))], pa.int64())})
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customer ⟕ orders count distribution — the
+    double aggregate. Orders pre-count per custkey per batch, one
+    groupby(custkey) carries one row per key per batch, then the
+    second groupby over the per-customer counts yields the (tiny)
+    distribution. The LEFT-OUTER zero bucket is arithmetic, not a
+    join: |customer| − |customers with a qualifying order| (every
+    o_custkey is a customer FK), so the customer table contributes a
+    single streaming count. The distribution result is bounded by the
+    max orders-per-customer (double digits at any scale) — the only
+    driver-side materialization. Output: (c_count, custdist) ordered
+    by custdist desc, c_count desc."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.not_equal(batch["o_orderpriority"],
+                                        "1-URGENT"))
+        g = pa.TableGroupBy(sel.select(["o_custkey"]), "o_custkey") \
+            .aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    per_cust = orders.map_batches(per_cust_partial,
+                                  batch_format="pyarrow",
+                                  batch_size=65536) \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["n"]), "n") \
+            .aggregate([([], "count_all")])
+        return pa.table({"c_count": g["n"],
+                         "custdist": g["count_all"].cast(pa.int64())})
+
+    dist = per_cust.map_batches(dist_partial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("c_count") \
+        .aggregate(Sum("custdist", alias_name="custdist")) \
+        .to_pandas()
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_cust - dist.custdist.sum()
+               + dist.loc[dist.c_count == 0, "custdist"].sum())
+    dist = dist[dist.c_count != 0]
+    out = pa.table({
+        "c_count": pa.array(list(dist.c_count) + [0], pa.int64()),
+        "custdist": pa.array(list(dist.custdist) + [zero], pa.int64()),
+    })
+    idx = pc.sort_indices(out, sort_keys=[("custdist", "descending"),
+                                          ("c_count", "descending")])
+    return out.take(idx)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) for a quarter — the
+    argmax-with-ties view join. lineitem pre-sums revenue per suppkey
+    per batch; one groupby(suppkey) yields the per-supplier table (its
+    cardinality is |supplier|, stays distributed); the global max is a
+    scalar aggregate over the exact x10000 integers (deterministic tie
+    set — no float equality); the winner keys (≥1 row) broadcast into a
+    supplier scan for names. Output: (s_suppkey, s_name,
+    total_revenue_x10000) ordered by s_suppkey."""
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1996-04-01", "us").astype(np.int64)
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array((sd >= lo_us) & (sd < hi_us)))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"]))
+        g = pa.TableGroupBy(pa.table({"k": sel["l_suppkey"],
+                                      "rev": rev}),
+                            "k").aggregate([("rev", "sum")])
+        return pa.table({"l_suppkey": g["k"], "rev": g["rev_sum"]})
+
+    per_supp = lineitem.map_batches(rev_partial, batch_format="pyarrow",
+                                    batch_size=65536) \
+        .groupby("l_suppkey").aggregate(Sum("rev", alias_name="rev")) \
+        .map_batches(lambda t: pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "total_revenue_x10000": pc.round(
+                pc.multiply(t["rev"], 10_000.0), 0).cast(pa.int64()),
+        }), batch_format="pyarrow")
+    best = per_supp.max("total_revenue_x10000")
+    winners = per_supp.filter(
+        expr=f"total_revenue_x10000 == {int(best)}").to_pandas()
+    rev_map = dict(zip(winners.l_suppkey.astype(int),
+                       winners.total_revenue_x10000))
+    keys_ref = ray.put(np.sort(winners.l_suppkey.to_numpy()))
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(sk, ks)))
+        return pa.table({
+            "s_suppkey": sel["s_suppkey"],
+            "s_name": sel["s_name"],
+            "total_revenue_x10000": pa.array(
+                [rev_map[int(k)] for k in sel["s_suppkey"].to_pylist()],
+                pa.int64()),
+        })
+
+    return supplier.map_batches(pick, batch_format="pyarrow") \
+        .sort("s_suppkey")
+
+
+def q2_min_cost_part(sf_dir: str):
+    """TPC-H Q2 shape (schema-adapted — no partsupp table): the
+    argmin-per-group join-back. For every brand, the single cheapest
+    part with partkey as the deterministic tie-break, returned as the
+    FULL row — the pattern Q2's min-supplycost correlated subquery
+    needs. Per batch each group reduces to its local argmin row (sort
+    inside the batch, first-per-key), so the groupby shuffles one row
+    per brand per batch; the per-group finalize sees a handful of rows.
+    2-decimal prices order identically as float64 on both engines; the
+    output price is the exact x100 integer. Output: (p_brand,
+    p_partkey, p_name, retailprice_x100) ordered by p_brand."""
+    part = _read(sf_dir, "part",
+                 ["p_brand", "p_partkey", "p_name", "p_retailprice"])
+
+    def local_argmin(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("p_brand", "ascending"), ("p_retailprice", "ascending"),
+            ("p_partkey", "ascending")])
+        s = batch.take(idx)
+        brands = s["p_brand"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[0], np.nonzero(
+            brands[1:] != brands[:-1])[0] + 1]) \
+            if len(brands) else np.array([], np.int64)
+        return s.take(pa.array(first, pa.int64()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("p_retailprice", "ascending"), ("p_partkey", "ascending")])
+        row = group.take(idx[:1])
+        return pa.table({
+            "p_brand": row["p_brand"],
+            "p_partkey": row["p_partkey"],
+            "p_name": row["p_name"],
+            "retailprice_x100": pc.round(
+                pc.multiply(row["p_retailprice"], 100.0), 0)
+            .cast(pa.int64()),
+        })
+
+    return part.map_batches(local_argmin, batch_format="pyarrow",
+                            batch_size=65536) \
+        .groupby("p_brand").map_groups(finalize, batch_format="pyarrow") \
+        .sort("p_brand")
