@@ -805,6 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": A.q13_customer_distribution,
         "q15_top_supplier": A.q15_top_supplier,
         "q2_min_cost_part": A.q2_min_cost_part,
+        "q16_part_supplier_counts": A.q16_part_supplier_counts,
+        "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
@@ -1167,6 +1169,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AS retailprice_x100 FROM part "
             "QUALIFY row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice, p_partkey) = 1 ORDER BY p_brand"
+        ),
+        "q16_part_supplier_counts": (
+            # Q16 shape: distinct suppliers per (brand, size), NOT-IN
+            # supplier exclusion (negative balance stands in for the
+            # complaints predicate — schema has no s_comment)
+            "SELECT p_brand, p_size::BIGINT AS p_size, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size IN (1, 5, 9, 13) AND p_brand <> 'Brand#45' "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_size"
+        ),
+        "q17_small_quantity_revenue": (
+            # Q17 shape: correlated per-partkey average; qty < 0.2*avg
+            # restated float-free as 5*qty_x100*cnt < sum_qty_x100
+            "WITH a AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "AS BIGINT) AS sq, count(*)::BIGINT AS c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23' GROUP BY l_partkey) "
+            "SELECT CAST(round(sum(l_extendedprice) * 100) AS BIGINT) "
+            "// 7 AS avg_yearly_x100 "
+            "FROM lineitem JOIN a USING (l_partkey) "
+            "WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * c < sq"
         ),
         "q4_order_priority": (
             # Q4 shape: EXISTS lineitem shipped after the order date

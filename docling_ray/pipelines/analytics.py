@@ -1996,3 +1996,138 @@ def q2_min_cost_part(sf_dir: str):
                             batch_size=65536) \
         .groupby("p_brand").map_groups(finalize, batch_format="pyarrow") \
         .sort("p_brand")
+
+
+def q16_part_supplier_counts(sf_dir: str,
+                             sizes: tuple = (1, 5, 9, 13),
+                             excl_brand: str = "Brand#45"):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with
+    a NOT-IN supplier exclusion (negative balance stands in for the
+    complaints predicate — the schema has no s_comment). The part side
+    is pre-filtered by size/brand BEFORE broadcast, so only qualifying
+    partkey→(brand,size) arrays ship (searchsorted lookup per batch);
+    the excluded-supplier key set is a second, tiny broadcast. Each
+    lineitem batch emits its DISTINCT (brand, size, suppkey) triples —
+    the distinct partial — so the triple groupby shuffles one row per
+    live triple per batch; a second pre-counted groupby yields the
+    (brand, size) counts. Output: (p_brand, p_size, supplier_cnt)
+    ordered by supplier_cnt desc, p_brand, p_size."""
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["p_size"].cast(pa.int64()),
+                     value_set=pa.array(sizes, pa.int64())),
+            pc.not_equal(t["p_brand"], excl_brand))
+        return t.filter(keep)
+
+    sel = part_ds.map_batches(prune, batch_format="pyarrow").to_pandas()
+    order = np.argsort(sel.p_partkey.to_numpy())
+    pk_ref = ray.put(sel.p_partkey.to_numpy()[order])
+    brand_ref = ray.put(sel.p_brand.to_numpy()[order])
+    size_ref = ray.put(sel.p_size.to_numpy()[order])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    bad = supplier.filter(expr="s_acctbal < 0.0") \
+        .select_columns(["s_suppkey"]).to_pandas().s_suppkey.to_numpy()
+    bad_ref = ray.put(np.sort(bad))
+
+    lineitem = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(lp, pk) & ~np.isin(ls, ray.get(bad_ref))
+        lp, ls = lp[keep], ls[keep]
+        pos = np.searchsorted(pk, lp)
+        t = pa.table({
+            "p_brand": pa.array(ray.get(brand_ref)[pos]),
+            "p_size": pa.array(ray.get(size_ref)[pos], pa.int64()),
+            "l_suppkey": pa.array(ls),
+        })
+        g = pa.TableGroupBy(t, ["p_brand", "p_size", "l_suppkey"]) \
+            .aggregate([])
+        return g
+
+    distinct = lineitem.map_batches(triples, batch_format="pyarrow",
+                                    batch_size=65536) \
+        .groupby(["p_brand", "p_size", "l_suppkey"]) \
+        .aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["p_brand", "p_size"]),
+                            ["p_brand", "p_size"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"p_brand": g["p_brand"], "p_size": g["p_size"],
+                         "supplier_cnt":
+                         g["count_all"].cast(pa.int64())})
+
+    return distinct.map_batches(count_partial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby(["p_brand", "p_size"]) \
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")) \
+        .sort(["supplier_cnt", "p_brand", "p_size"],
+              descending=[True, False, False])
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H Q17 shape: the correlated per-partkey average — revenue
+    from lineitems whose quantity is below 20% of their part's average
+    quantity, for one brand. Two passes over the (brand-pruned)
+    lineitem scan: pass 1 builds per-partkey (sum_qty_x100, count)
+    via per-batch partials + one small groupby (the brand selects
+    ~1/|brands| of parts, so the threshold table is tiny and
+    broadcasts); pass 2 applies ``5·qty_x100·cnt < sum_qty_x100``
+    — the float-free restatement of qty < 0.2·avg — and scalar-sums
+    the price. Integer arithmetic on both engines, no float division
+    anywhere. Output: (avg_yearly_x100,) = total_x100 // 7."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    pk_ref = ray.put(np.sort(
+        part.loc[part.p_brand == brand, "p_partkey"].to_numpy()))
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(lp, pk)))
+        q100 = np.rint(sel["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pa.TableGroupBy(pa.table({
+            "l_partkey": sel["l_partkey"],
+            "q": pa.array(q100),
+        }), "l_partkey").aggregate([("q", "sum"), ("q", "count")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "sq": g["q_sum"],
+                         "c": g["q_count"].cast(pa.int64())})
+
+    thr = lineitem.map_batches(qty_partial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sq"),
+                                        Sum("c", alias_name="c")) \
+        .to_pandas()
+    order = np.argsort(thr.l_partkey.to_numpy())
+    tpk_ref = ray.put(thr.l_partkey.to_numpy()[order])
+    sq_ref = ray.put(thr.sq.to_numpy()[order].astype(np.int64))
+    c_ref = ray.put(thr.c.to_numpy()[order].astype(np.int64))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        tpk = ray.get(tpk_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(lp, tpk)
+        sel = batch.filter(pa.array(keep))
+        lp = lp[keep]
+        pos = np.searchsorted(tpk, lp)
+        q100 = np.rint(sel["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        small = 5 * q100 * ray.get(c_ref)[pos] < ray.get(sq_ref)[pos]
+        ep = sel["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[small]
+        return pa.table({"rev": pa.array([float(ep.sum())])})
+
+    agg = lineitem.map_batches(rev_partial, batch_format="pyarrow",
+                               batch_size=65536).aggregate(Sum("rev"))
+    total_x100 = int(round((agg["sum(rev)"] or 0.0) * 100.0))
+    return pa.table({"avg_yearly_x100": pa.array(
+        [total_x100 // 7], pa.int64())})
