@@ -807,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_part": A.q2_min_cost_part,
         "q16_part_supplier_counts": A.q16_part_supplier_counts,
         "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
+        "q8_market_share": A.q8_market_share,
+        "q21_waiting_supplier": A.q21_waiting_supplier,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
@@ -1195,6 +1197,51 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "// 7 AS avg_yearly_x100 "
             "FROM lineitem JOIN a USING (l_partkey) "
             "WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * c < sq"
+        ),
+        "q8_market_share": (
+            # Q8 shape: national market share per order year (floor ppm
+            # over the exact x10000 integers)
+            "WITH t AS (SELECT EXTRACT(year FROM o_orderdate)::BIGINT "
+            "AS o_year, l_extendedprice * (1 - l_discount) AS vol, "
+            "n2.n_name AS supp_nation "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "WHERE p_type = 'STANDARD' AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01'), "
+            "s AS (SELECT o_year, CAST(round(sum(CASE WHEN "
+            "supp_nation = 'NATION_1' THEN vol ELSE 0 END) * 10000) "
+            "AS BIGINT) AS nation_x10000, "
+            "CAST(round(sum(vol) * 10000) AS BIGINT) AS total_x10000 "
+            "FROM t GROUP BY o_year) "
+            "SELECT o_year, nation_x10000, total_x10000, "
+            "nation_x10000 * 1000000 // total_x10000 AS share_ppm "
+            "FROM s ORDER BY o_year"
+        ),
+        "q21_waiting_supplier": (
+            # Q21 shape: double-EXISTS anti-join over (order, supplier)
+            # pairs; lateness = shipdate > orderdate + 60 days (the
+            # schema has no commit/receipt dates)
+            "WITH ls AS (SELECT l_orderkey, l_suppkey, "
+            "max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2) "
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM ls l1 JOIN orders ON o_orderkey = l1.l_orderkey "
+            "JOIN supplier ON s_suppkey = l1.l_suppkey "
+            "WHERE o_orderstatus = 'F' "
+            "AND l1.ms > o_orderdate + INTERVAL 60 DAY "
+            "AND EXISTS (SELECT 1 FROM ls l2 WHERE "
+            "l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM ls l3 WHERE "
+            "l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey "
+            "AND l3.ms > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name"
         ),
         "q4_order_priority": (
             # Q4 shape: EXISTS lineitem shipped after the order date

@@ -2131,3 +2131,244 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
     total_x100 = int(round((agg["sum(rev)"] or 0.0) * 100.0))
     return pa.table({"avg_yearly_x100": pa.array(
         [total_x100 // 7], pa.int64())})
+
+
+def q8_market_share(sf_dir: str, p_type: str = "STANDARD",
+                    nation: str = "NATION_1", region: str = "ASIA",
+                    num_buckets: int = 64):
+    """TPC-H Q8 shape: national market share per order year — the
+    many-dimension star join. Three dimension reductions broadcast
+    once (type-matching partkeys; suppkey→in-target-nation booleans as
+    a sorted key array + parallel flag array; region-resident custkeys
+    via nation⋈region on the driver — both driver tables are
+    25/5 rows); the two fact tables meet in a bucketed co-group on
+    orderkey with BOTH sides pre-reduced per batch — lineitem to
+    (key, rev_target, rev_total) partial sums, orders to (key, year).
+    Share divides the exact x10000 integers (floor ppm). Output:
+    (o_year, nation_x10000, total_x10000, share_ppm)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk_ref = ray.put(np.sort(
+        part.loc[part.p_type == p_type, "p_partkey"].to_numpy()))
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    target_nk = int(nat.loc[nat.n_name == nation, "n_nationkey"].iloc[0])
+    rk = int(reg.loc[reg.r_name == region, "r_regionkey"].iloc[0])
+    region_nks = set(nat.loc[nat.n_regionkey == rk, "n_nationkey"])
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(supp.s_suppkey.to_numpy())
+    sk_ref = ray.put(supp.s_suppkey.to_numpy()[so])
+    target_ref = ray.put(
+        (supp.s_nationkey.to_numpy()[so] == target_nk))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int64()),
+                        value_set=pa.array(sorted(region_nks),
+                                           pa.int64()))
+        return t.filter(keep).select(["c_custkey"])
+
+    ck = cust.map_batches(cust_keys, batch_format="pyarrow") \
+        .to_pandas().c_custkey.to_numpy()
+    ck_ref = ray.put(np.sort(ck))
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (od >= lo_us) & (od < hi_us) \
+            & np.isin(oc, ray.get(ck_ref))
+        sel = batch.filter(pa.array(keep))
+        years = pc.year(sel["o_orderdate"]).cast(pa.int64())
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "o_year": years,
+            "rev_t": pa.nulls(len(ok), pa.float64()),
+            "rev_all": pa.nulls(len(ok), pa.float64()),
+        })
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(lp, ray.get(pk_ref))))
+        sk = ray.get(sk_ref)
+        pos = np.searchsorted(sk, sel["l_suppkey"].to_numpy(
+            zero_copy_only=False))
+        is_t = ray.get(target_ref)[pos]
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(1.0, sel["l_discount"])) \
+            .to_numpy(zero_copy_only=False)
+        g = pa.TableGroupBy(pa.table({
+            "key": sel["l_orderkey"],
+            "rt": pa.array(np.where(is_t, rev, 0.0)),
+            "ra": pa.array(rev),
+        }), "key").aggregate([("rt", "sum"), ("ra", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "o_year": pa.nulls(g.num_rows, pa.int64()),
+            "rev_t": g["rt_sum"],
+            "rev_all": g["ra_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["o_year"].notna()
+        years = dict(zip(group.loc[is_order, "key"],
+                         group.loc[is_order, "o_year"]))
+        li = group[~is_order]
+        li = li[li["key"].isin(years.keys())]
+        if li.empty:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "rev_t": pa.array([], pa.float64()),
+                             "rev_all": pa.array([], pa.float64())})
+        yr = li["key"].map(years)
+        g = li.assign(o_year=yr).groupby("o_year", as_index=False) \
+            .agg(rev_t=("rev_t", "sum"), rev_all=("rev_all", "sum"))
+        return pa.table({
+            "o_year": pa.array(g.o_year, pa.int64()),
+            "rev_t": pa.array(g.rev_t, pa.float64()),
+            "rev_all": pa.array(g.rev_all, pa.float64()),
+        })
+
+    out = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("o_year").aggregate(Sum("rev_t", alias_name="rev_t"),
+                                     Sum("rev_all",
+                                         alias_name="rev_all"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nt = pc.round(pc.multiply(t["rev_t"], 10_000.0), 0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tot = pc.round(pc.multiply(t["rev_all"], 10_000.0), 0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": t["o_year"],
+            "nation_x10000": pa.array(nt),
+            "total_x10000": pa.array(tot),
+            "share_ppm": pa.array(nt * 1_000_000 // tot),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow") \
+        .sort("o_year")
+
+
+def q21_waiting_supplier(sf_dir: str, late_days: int = 60,
+                         num_buckets: int = 64):
+    """TPC-H Q21 shape: suppliers who alone held up a finished
+    multi-supplier order — the double-EXISTS anti-join (schema-adapted:
+    lateness is shipdate > orderdate + ``late_days``; the schema has no
+    commit/receipt dates). lineitem pre-reduces per batch to one
+    (orderkey, suppkey, max_shipdate) row — the blamed-pair semantics
+    count (supplier, order) PAIRS, so the max is a lossless reduction —
+    and meets status-'F' orders in a bucketed co-group; per order the
+    kernel is a vectorized unique-argmax test: supplier S is blamed iff
+    the order has ≥2 suppliers, S is late, and no OTHER supplier is
+    late. Blamed counts groupby per suppkey (tiny), names attach via a
+    broadcast winner-key scan of supplier. Output: (s_name, numwait)
+    ordered by numwait desc, s_name."""
+    late_us = late_days * 86_400_000_000
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        od = sel["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        ok = sel["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": sel["o_orderkey"],
+            "odate_us": od,
+            "suppkey": pa.nulls(len(ok), pa.int64()),
+            "max_ship_us": pa.nulls(len(ok), pa.int64()),
+        })
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({
+            "key": batch["l_orderkey"],
+            "suppkey": batch["l_suppkey"],
+            "sd": sd,
+        }), ["key", "suppkey"]).aggregate([("sd", "max")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "odate_us": pa.nulls(g.num_rows, pa.int64()),
+            "suppkey": g["suppkey"].cast(pa.int64()),
+            "max_ship_us": g["sd_max"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["suppkey"].isna()
+        odate = dict(zip(group.loc[is_order, "key"],
+                         group.loc[is_order, "odate_us"]))
+        li = group[~is_order]
+        li = li[li["key"].isin(odate.keys())]
+        if li.empty:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # one (key, suppkey, max_ship) row per pair after re-reduction
+        li = li.groupby(["key", "suppkey"], as_index=False) \
+            .agg(ms=("max_ship_us", "max"))
+        li["late"] = li.ms > (li.key.map(odate) + late_us)
+        g = li.groupby("key", as_index=False).agg(
+            n_supp=("suppkey", "size"), n_late=("late", "sum"))
+        meta = dict(zip(g.key, zip(g.n_supp, g.n_late)))
+        ns = li.key.map(lambda k: meta[k][0])
+        nl = li.key.map(lambda k: meta[k][1])
+        blamed = li[li.late & (ns >= 2) & (nl == 1)]
+        if blamed.empty:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = blamed.groupby("suppkey", as_index=False) \
+            .agg(n=("key", "count"))
+        return pa.table({"suppkey": pa.array(c.suppkey, pa.int64()),
+                         "n": pa.array(c.n, pa.int64())})
+
+    counts = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("suppkey").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n_map = dict(zip(counts.suppkey.astype(int), counts.n))
+    keys_ref = ray.put(np.sort(counts.suppkey.to_numpy()))
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(np.isin(sk, ks)))
+        return pa.table({
+            "s_name": sel["s_name"],
+            "numwait": pa.array(
+                [int(n_map[int(k)])
+                 for k in sel["s_suppkey"].to_pylist()], pa.int64()),
+        })
+
+    return supplier.map_batches(pick, batch_format="pyarrow") \
+        .sort(["numwait", "s_name"], descending=[True, False])
