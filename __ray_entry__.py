@@ -275,6 +275,29 @@ def _substring_dup(sf_dir: str):
     return substring_dup(ds, k=5, min_docs=2).sort("doc_id")
 
 
+def _sample_bottomk(sf_dir: str):
+    from docling_ray.stages.sketches import bottomk_sample
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id"])
+    return bottomk_sample(ds, k=100, id_col="doc_id")
+
+
+def _approx_distinct(sf_dir: str):
+    """Sketched cardinalities (rows-only: approximations have no SQL
+    twin; error bounds + merge-exactness pinned in tests/test_sketches)."""
+    import pyarrow as pa
+
+    from docling_ray.stages.sketches import hll_distinct, kmv_distinct
+
+    ev = read_sf_table(sf_dir, "events", columns=["user_id"])
+    return pa.table({
+        "hll_users": pa.array([hll_distinct(ev, "user_id")],
+                              pa.int64()),
+        "kmv_users": pa.array([kmv_distinct(ev, "user_id")],
+                              pa.int64()),
+    })
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -754,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "line_dedup": _line_dedup,
         "substring_dup": _substring_dup,
+        "sample_bottomk": _sample_bottomk,
+        "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
@@ -1540,6 +1565,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
             "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
             "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "sample_bottomk": (
+            # deterministic uniform sample: k smallest md5(doc_id) —
+            # content-free, stable across partitioning, SQL-recomputable
+            "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
+            "FROM documents ORDER BY h LIMIT 100"
         ),
         "tfidf_topk": (
             # linear-idf TF-IDF: score = tf * N * 1e6 // df (integer

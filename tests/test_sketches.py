@@ -1,0 +1,84 @@
+"""Sketch correctness: HLL/KMV error bounds, merge-exactness, and the
+deterministic bottom-k sample vs a DuckDB recomputation."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from docling_ray.stages.sketches import (
+    bottomk_sample,
+    hll_distinct,
+    kmv_distinct,
+)
+
+
+def _ids_table(n: int, dup: int = 1) -> pa.Table:
+    ids = np.repeat(np.arange(n, dtype=np.int64) * 2654435761 % (1 << 31),
+                    dup)
+    return pa.table({"user_id": pa.array(ids)})
+
+
+def test_hll_error_bound():
+    n = 50_000
+    ds = ray.data.from_arrow(_ids_table(n)).repartition(8)
+    est = hll_distinct(ds, "user_id", p=12)
+    assert abs(est - n) / n < 0.05  # 3 sigma at p=12 is ~4.9%
+
+
+def test_hll_duplicates_do_not_inflate():
+    n = 2_000
+    ds = ray.data.from_arrow(_ids_table(n, dup=25)).repartition(8)
+    est = hll_distinct(ds, "user_id", p=12)
+    # 2000 << 2.5*m so the linear-counting path is near-exact
+    assert abs(est - n) / n < 0.02
+
+
+def test_hll_partitioning_invariant():
+    """max-merge is associative/commutative: the estimate cannot depend
+    on how blocks were cut."""
+    t = _ids_table(10_000)
+    a = hll_distinct(ray.data.from_arrow(t).repartition(2), "user_id")
+    b = hll_distinct(ray.data.from_arrow(t).repartition(16), "user_id")
+    assert a == b
+
+
+def test_hll_string_keys():
+    t = pa.table({"k": pa.array([f"doc-{i}" for i in range(3000)])})
+    est = hll_distinct(ray.data.from_arrow(t).repartition(4), "k")
+    assert abs(est - 3000) / 3000 < 0.05
+
+
+def test_kmv_exact_below_k():
+    t = _ids_table(100, dup=7)
+    assert kmv_distinct(ray.data.from_arrow(t).repartition(5),
+                        "user_id", k=256) == 100
+
+
+def test_kmv_error_bound():
+    n = 30_000
+    ds = ray.data.from_arrow(_ids_table(n, dup=2)).repartition(8)
+    est = kmv_distinct(ds, "user_id", k=256)
+    assert abs(est - n) / n < 0.2  # 3 sigma at k=256 is ~19%
+
+
+def test_bottomk_matches_duckdb():
+    t = pa.table({"doc_id": pa.array([f"d{i:05d}" for i in range(5000)])})
+    got = bottomk_sample(ray.data.from_arrow(t).repartition(7),
+                         k=50, id_col="doc_id").to_pandas()
+    want = duckdb.sql(
+        "SELECT doc_id, md5(doc_id) AS h FROM t "
+        "ORDER BY h LIMIT 50").df()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.h) == list(want.h)
+
+
+def test_bottomk_partitioning_invariant():
+    t = pa.table({"doc_id": pa.array([f"x{i}" for i in range(2000)])})
+    a = bottomk_sample(ray.data.from_arrow(t).repartition(2),
+                       k=20, id_col="doc_id").to_pandas()
+    b = bottomk_sample(ray.data.from_arrow(t).repartition(13),
+                       k=20, id_col="doc_id").to_pandas()
+    assert list(a.h) == list(b.h)
