@@ -834,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
         "q8_market_share": A.q8_market_share,
         "q21_waiting_supplier": A.q21_waiting_supplier,
+        "json_props_stats": A.json_props_stats,
+        "full_outer_user_activity": A.full_outer_user_activity,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
         "mktsegment_order_stats": A.mktsegment_order_stats,
@@ -1267,6 +1269,37 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l3.l_suppkey <> l1.l_suppkey "
             "AND l3.ms > o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY s_name ORDER BY numwait DESC, s_name"
+        ),
+        "json_props_stats": (
+            # semi-structured extraction: json_extract of props.k, then
+            # per-type aggregate (floor ppm — int arithmetic both sides)
+            "WITH j AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, count(k)::BIGINT AS n_events, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(sum(k) AS BIGINT) * 1000000 // count(k) AS avg_k_ppm "
+            "FROM j WHERE k IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "full_outer_user_activity": (
+            # FULL OUTER join of per-user click vs purchase aggregates;
+            # one-sided users survive with the other side zeroed
+            "WITH l AS (SELECT user_id, count(*)::BIGINT AS n, "
+            "sum(value) AS s FROM events WHERE event_type = 'click' "
+            "GROUP BY user_id), "
+            "r AS (SELECT user_id, count(*)::BIGINT AS n, "
+            "sum(value) AS s FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id) "
+            "SELECT COALESCE(l.user_id, r.user_id) AS user_id, "
+            "COALESCE(l.n, 0)::BIGINT AS click_n, "
+            "CAST(round(COALESCE(l.s, 0) * 100) AS BIGINT) "
+            "AS click_value_x100, "
+            "COALESCE(r.n, 0)::BIGINT AS purchase_n, "
+            "CAST(round(COALESCE(r.s, 0) * 100) AS BIGINT) "
+            "AS purchase_value_x100 "
+            "FROM l FULL OUTER JOIN r ON l.user_id = r.user_id "
+            "ORDER BY user_id"
         ),
         "q4_order_priority": (
             # Q4 shape: EXISTS lineitem shipped after the order date

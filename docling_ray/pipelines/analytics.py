@@ -2372,3 +2372,126 @@ def q21_waiting_supplier(sf_dir: str, late_days: int = 60,
 
     return supplier.map_batches(pick, batch_format="pyarrow") \
         .sort(["numwait", "s_name"], descending=[True, False])
+
+
+def json_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` string and aggregate per event type. The hot
+    path is one vectorized Arrow regex kernel (``pc.extract_regex``) —
+    no per-row ``json.loads``; rows the fast pattern misses (exotic
+    spacing/escapes) fall back to the real JSON parser so semantics
+    stay json_extract-exact, and rows without the field drop (matching
+    SQL NULL-skipping). Per-batch partials pre-reduce before the one
+    tiny groupby. Output: (event_type, n_events, sum_k, avg_k_ppm)
+    ordered by event_type."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch["props"], r'^\{"k": (?P<k>-?\d+)\}$')
+        k = pc.struct_field(m, "k")
+        if k.null_count:
+            # slow path only for rows the fast pattern missed
+            vals = []
+            for v, props in zip(k.to_pylist(),
+                                batch["props"].to_pylist()):
+                if v is not None:
+                    vals.append(int(v))
+                    continue
+                try:
+                    got = json.loads(props).get("k")
+                except (TypeError, ValueError):
+                    got = None
+                vals.append(int(got) if isinstance(got, int) else None)
+            karr = pa.array(vals, pa.int64())
+        else:
+            karr = k.cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": karr}) \
+            .filter(pc.is_valid(karr))
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k", "sum"), ("k", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "sum_k": g["k_sum"].cast(pa.int64()),
+            "n_events": g["k_count"].cast(pa.int64()),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("sum_k", alias_name="sum_k"),
+                   Sum("n_events", alias_name="n_events"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["sum_k"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_k": t["sum_k"],
+            "avg_k_ppm": pa.array(s * 1_000_000 // n),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+def full_outer_user_activity(sf_dir: str, left_type: str = "click",
+                             right_type: str = "purchase",
+                             num_buckets: int = 32):
+    """FULL OUTER join — the missing member of the repo's join family
+    (broadcast, bucketed-inner, left-outer, anti, semi, as-of, range).
+    Per-user click stats meet per-user purchase stats; users present on
+    only one side survive with the other side's columns zeroed
+    (COALESCE semantics, mirrored in the oracle). Both sides pre-reduce
+    per batch to (user, n, sum) rows tagged with a side flag and hash
+    into the same bucket column, so the shuffle carries partials only;
+    the per-bucket kernel is one vectorized pandas outer-merge — no
+    per-key Python. Output: (user_id, {left}_n, {left}_value_x100,
+    {right}_n, {right}_value_x100) ordered by user_id."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out = []
+        for side, etype in ((0, left_type), (1, right_type)):
+            sel = batch.filter(pc.equal(batch["event_type"], etype))
+            g = pa.TableGroupBy(
+                sel.select(["user_id", "value"]), "user_id") \
+                .aggregate([("value", "sum"), ("value", "count")])
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            out.append(pa.table({
+                "bucket": pa.array((uid % num_buckets).astype(np.int32)),
+                "user_id": g["user_id"],
+                "side": pa.array(np.full(len(uid), side, np.int8)),
+                "s": g["value_sum"],
+                "n": g["value_count"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    both = ev.map_batches(partials, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def merge_bucket(group) -> pa.Table:
+        sides = []
+        for side in (0, 1):
+            s = group[group["side"] == side] \
+                .groupby("user_id", as_index=False) \
+                .agg(s=("s", "sum"), n=("n", "sum"))
+            sides.append(s)
+        m = sides[0].merge(sides[1], on="user_id", how="outer",
+                           suffixes=("_l", "_r")).fillna(0.0)
+        m = m.sort_values("user_id")
+        return pa.table({
+            "user_id": pa.array(m.user_id, pa.int64()),
+            f"{left_type}_n": pa.array(m.n_l, pa.int64()),
+            f"{left_type}_value_x100": pa.array(
+                np.rint(m.s_l * 100.0), pa.int64()),
+            f"{right_type}_n": pa.array(m.n_r, pa.int64()),
+            f"{right_type}_value_x100": pa.array(
+                np.rint(m.s_r * 100.0), pa.int64()),
+        })
+
+    return both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas").sort("user_id")
