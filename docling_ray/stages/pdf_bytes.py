@@ -465,6 +465,168 @@ def _decode_pdf_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+# --- simple-font /Encoding (BaseEncoding + /Differences) -------------------
+# Glyph-name → unicode per the public Adobe Glyph List conventions
+# (reference capability anchor: pdfium resolves simple-font encodings in
+# docling/backend/pypdfium2_backend.py:409). Literal entries cover the
+# ASCII names, Latin-1 names, typographic punctuation and common
+# ligature/letter names; Greek letters and accented Latin construct
+# through unicodedata.lookup; uniXXXX / uXXXX[XX] resolve algorithmically.
+_AGL_NAMES: dict[str, str] = {
+    # ASCII
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 block
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "twosuperior": "²", "threesuperior": "³",
+    "acute": "´", "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "onesuperior": "¹", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿", "multiply": "×",
+    "divide": "÷", "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oslash": "ø", "Oslash": "Ø", "thorn": "þ", "Thorn": "Þ",
+    "eth": "ð", "Eth": "Ð", "dotlessi": "ı", "lslash": "ł",
+    "Lslash": "Ł",
+    # typographic punctuation / symbols
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "florin": "ƒ", "circumflex": "ˆ", "caron": "ˇ",
+    "tilde": "˜", "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "endash": "–", "emdash": "—",
+    "trademark": "™", "Euro": "€", "minus": "−",
+    # ligature / digraph letter names
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "oe": "œ", "OE": "Œ",
+}
+_AGL_ACCENTS = {
+    "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+    "tilde": "TILDE", "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+    "cedilla": "CEDILLA", "macron": "MACRON", "breve": "BREVE",
+    "caron": "CARON", "ogonek": "OGONEK", "slash": "STROKE",
+    "dotaccent": "DOT ABOVE", "hungarumlaut": "DOUBLE ACUTE",
+}
+_GREEK = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+          "psi omega").split()
+_UNI_NAME_RE = re.compile(r"^uni((?:[0-9A-Fa-f]{4})+)$")
+_U_NAME_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+_ACCENT_RE = re.compile(
+    r"^([A-Za-z])(" + "|".join(_AGL_ACCENTS) + r")$")
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Resolve one glyph name to its unicode string, or None for names
+    outside the supported AGL subset (gXX/cidXX subset names etc.)."""
+    hit = _AGL_NAMES.get(name)
+    if hit is not None:
+        return hit
+    if len(name) == 1 and name.isalnum() and ord(name) < 128:
+        return name
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        h = m.group(1)
+        return "".join(chr(int(h[i: i + 4], 16))
+                       for i in range(0, len(h), 4))
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    import unicodedata
+
+    m = _ACCENT_RE.match(name)
+    if m:
+        base, accent = m.group(1), m.group(2)
+        case = "CAPITAL" if base.isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"LATIN {case} LETTER {base.upper()} "
+                f"WITH {_AGL_ACCENTS[accent]}")
+        except KeyError:
+            return None
+    low = name.lower()
+    if low in _GREEK and name in (low, low.capitalize()):
+        case = "CAPITAL" if name[0].isupper() else "SMALL"
+        try:
+            return unicodedata.lookup(
+                f"GREEK {case} LETTER {low.upper()}")
+        except KeyError:
+            return None
+    return None
+
+
+def _base_encoding_map(name: str | None) -> dict[int, str]:
+    """Full 256-entry code→char map for a named base encoding.
+    WinAnsi = cp1252 (undefined codes fall back to latin-1),
+    MacRoman = mac_roman; anything else (absent, StandardEncoding,
+    font-built-in) keeps the repo's latin-1 convention."""
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac_roman"}.get(name or "")
+    out: dict[int, str] = {}
+    for c in range(256):
+        ch = chr(c)
+        if codec:
+            try:
+                ch = bytes([c]).decode(codec)
+            except UnicodeDecodeError:
+                pass
+        out[c] = ch
+    return out
+
+
+def _simple_encoding_map(
+    doc: "PdfDocument", enc: Any,
+) -> tuple[dict[int, str], int] | None:
+    """Build the (code→unicode, code_len=1) map for a simple font's
+    /Encoding entry — a name (/WinAnsiEncoding, /MacRomanEncoding) or a
+    dict with optional /BaseEncoding + /Differences (glyph-name
+    overrides; unresolvable names keep the base char rather than going
+    to .notdef — conservative, never loses text). Returns None when the
+    result is the latin-1 identity (no remap needed — keeps the default
+    fast path allocation-free)."""
+    diffs = None
+    if isinstance(enc, str):
+        base = enc
+    elif isinstance(enc, dict):
+        base = doc.resolve(enc.get("BaseEncoding"))
+        diffs = doc.resolve(enc.get("Differences"))
+        if base is not None and not isinstance(base, str):
+            base = None
+    else:
+        return None
+    mapping = _base_encoding_map(base)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+                continue
+            name = item[1] if (isinstance(item, tuple) and len(item) == 2
+                               ) else item
+            if isinstance(name, str) and 0 <= code <= 255:
+                u = _glyph_to_unicode(name)
+                if u is not None:
+                    mapping[code] = u
+            code += 1
+    if all(mapping[c] == chr(c) for c in range(256)):
+        return None
+    return mapping, 1
+
+
 def _candidate_passwords() -> list[bytes]:
     """Configured candidate passwords (settings kind ``pdf``, option
     ``passwords``), tried after the empty password, as user then owner
@@ -1161,6 +1323,11 @@ def interpret_content(
                     tu = doc.resolve(fd.get("ToUnicode"))
                     if isinstance(tu, Stream):
                         result = _parse_tounicode(doc.stream_data(tu))
+                    elif "Encoding" in fd:
+                        # simple-font /Encoding: named base and/or
+                        # /Differences glyph names (no ToUnicode)
+                        result = _simple_encoding_map(
+                            doc, doc.resolve(fd.get("Encoding")))
         cmap_cache[name] = result
         return result
 

@@ -962,11 +962,34 @@ def _build_tounicode_cmap(cid_map: dict[str, int]) -> bytes:
     return b"".join(out)
 
 
+def _encode_simple_text(text: str, enc_font: dict) -> bytes | None:
+    """Encode ``text`` through the simple-font scheme, or None when any
+    char falls outside it (caller falls back to a UTF-16 hex string,
+    which bypasses font decoding on both sides)."""
+    if enc_font["kind"] == "winansi":
+        try:
+            return text.encode("cp1252")
+        except UnicodeEncodeError:
+            return None
+    codes = enc_font["codes"]
+    out = bytearray()
+    for ch in text:
+        code = codes.get(ch)
+        if code is None:
+            o = ord(ch)
+            if o >= 256 or 0x80 <= o <= 0x9F:
+                return None  # non-latin1 / claimed-range collision
+            code = o
+        out.append(code)
+    return bytes(out)
+
+
 def pages_to_pdf_bytes(pages: list[dict],
                        outline: list[tuple[int, str, int]] | None = None,
                        style: str = "classic",
                        content_filter: str = "flate",
                        cid_font: bool = False,
+                       enc_font: dict | None = None,
                        encrypt: str | None = None,
                        acroform: list[dict] | None = None,
                        user_pw: bytes = b"",
@@ -989,7 +1012,13 @@ def pages_to_pdf_bytes(pages: list[dict],
     show strings become 2-byte-CID hex strings and a /ToUnicode CMap
     stream (bfchar + bfrange sections) carries the mapping — the
     modern-subset-font shape whose text is garbage without CMap
-    support."""
+    support. ``enc_font`` picks a simple-font /Encoding shape instead:
+    ``{"kind": "winansi"}`` writes /Encoding /WinAnsiEncoding and
+    encodes show strings via cp1252; ``{"kind": "diff", "codes":
+    {ch: byte}, "names": {ch: glyphname}}`` writes an /Encoding dict
+    with a /Differences array (consecutive codes collapsed, exercising
+    the sequential-advance rule) — text through either is garbage
+    unless the parser resolves the encoding."""
     objs: dict[int, bytes] = {}
     stream_ids: set[int] = set()
     next_id = [4]  # 1=catalog, 2=pages, 3=font
@@ -1001,9 +1030,16 @@ def pages_to_pdf_bytes(pages: list[dict],
         cid_map = {ch: k + 1 for k, ch in enumerate(charset)}
 
     def text_op(text: str) -> str:
-        if not cid_font:
-            return _pdf_text_op(text)
-        return "<" + "".join("%04X" % cid_map[ch] for ch in text) + ">"
+        if cid_font:
+            return "<" + "".join("%04X" % cid_map[ch]
+                                 for ch in text) + ">"
+        if enc_font is not None:
+            raw = _encode_simple_text(text, enc_font)
+            if raw is not None:
+                esc = raw.replace(b"\\", b"\\\\") \
+                    .replace(b"(", b"\\(").replace(b")", b"\\)")
+                return "(" + esc.decode("latin-1") + ")"
+        return _pdf_text_op(text)
 
     def add(body: bytes, *, is_stream: bool = False) -> int:
         oid = next_id[0]
@@ -1195,6 +1231,21 @@ def pages_to_pdf_bytes(pages: list[dict],
                    b" /Encoding /Identity-H /DescendantFonts ["
                    + str(desc_id).encode() + b" 0 R] /ToUnicode "
                    + str(tu_id).encode() + b" 0 R >>")
+    elif enc_font is not None and enc_font["kind"] == "winansi":
+        objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                   b" /Encoding /WinAnsiEncoding >>")
+    elif enc_font is not None and enc_font["kind"] == "diff":
+        parts = []
+        prev = None
+        for ch, code in sorted(enc_font["codes"].items(),
+                               key=lambda kv: kv[1]):
+            if prev is None or code != prev + 1:
+                parts.append(str(code))
+            parts.append("/" + enc_font["names"][ch])
+            prev = code
+        objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                   b" /Encoding << /Type /Encoding /Differences ["
+                   + " ".join(parts).encode("ascii") + b"] >> >>")
     else:
         objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
@@ -1383,6 +1434,27 @@ def _make_embedded_image(rng: random.Random) -> tuple[str, dict]:
              "data": raw})
 
 
+def _subst_page(pd_obj: dict, exp: list[Span],
+                subst: dict[str, str]) -> tuple[dict, list[Span]]:
+    """Apply the encoded-font char substitution to one page: every cell
+    text in the payload and every expected span text; grid: media refs
+    re-serialize with only their cell strings substituted (JSON keys and
+    embedded img:// refs never contain substitution sources)."""
+    tr = str.maketrans(subst)
+    for c in pd_obj.get("cells", []):
+        c["text"] = c["text"].translate(tr)
+    out: list[Span] = []
+    for (k, t, r) in exp:
+        if r.startswith("grid:"):
+            g = json.loads(r[5:])
+            g["cells"] = [[cell.translate(tr) for cell in row]
+                          for row in g["cells"]]
+            r = "grid:" + json.dumps(g, separators=(",", ":"),
+                                     ensure_ascii=False)
+        out.append((k, t.translate(tr), r))
+    return pd_obj, out
+
+
 def build_pdf_bytes_doc(
     rng: random.Random, pool: list[str], doc_id: str
 ) -> tuple[str, list[Span], str, list[tuple[str, int, int]],
@@ -1394,6 +1466,29 @@ def build_pdf_bytes_doc(
     serialized to actual PDF bytes."""
     n_pages = rng.randint(1, 10)
     media_seq = [0]
+    # font mode: 25% CID/Type0+ToUnicode, 10% /WinAnsiEncoding base,
+    # 10% /Encoding dict with /Differences glyph names. The encoded
+    # variants substitute chars the chosen encoding must carry into
+    # every non-garbage single page's cells AND expected spans — the
+    # substitution chars are sanitation-neutral and absent from every
+    # media-ref alphabet (img:// ids, imgpx:// hex, grid JSON keys),
+    # and the writer's char→code/name tables here are independent of
+    # the parser's AGL resolver (the round trip proves the decode).
+    fm = rng.random()
+    cid_font = fm < 0.25
+    enc_font: dict | None = None
+    subst: dict[str, str] | None = None
+    if 0.25 <= fm < 0.35:
+        enc_font = {"kind": "winansi"}
+        subst = {"q": "€", "z": "ž", "j": "‰", "w": "œ"}
+    elif 0.35 <= fm < 0.45:
+        # one name per resolver path: Greek table, accent construction,
+        # algorithmic uniXXXX, literal AGL entry
+        enc_font = {"kind": "diff",
+                    "codes": {"α": 128, "ž": 129, "Δ": 130, "œ": 131},
+                    "names": {"α": "alpha", "ž": "zcaron",
+                              "Δ": "uni0394", "œ": "oe"}}
+        subst = {"q": "α", "z": "ž", "j": "Δ", "w": "œ"}
     garbage_at = rng.randrange(n_pages) if (n_pages > 1 and rng.random() < 0.15) else -1
     hyph_at = -1
     if n_pages >= 2 and rng.random() < 0.25:
@@ -1425,7 +1520,10 @@ def build_pdf_bytes_doc(
             garbage=(p == garbage_at), first_page=(p == 0),
             two_col_allowed=False,
         )
-        page_dicts.append(json.loads(payload))
+        pd_obj = json.loads(payload)
+        if subst is not None and not is_garbage:
+            pd_obj, exp = _subst_page(pd_obj, exp, subst)
+        page_dicts.append(pd_obj)
         expected.extend(exp)
         per_page_exp.append(exp)
         garbage_flags.append(is_garbage)
@@ -1533,11 +1631,10 @@ def build_pdf_bytes_doc(
     er = rng.random()
     encrypt = ("rc4" if er < 0.06 else "aes" if er < 0.12
                else "aes256" if er < 0.18 else None)
-    # a quarter of files write text through an Identity-H Type0 font
-    # with a /ToUnicode CMap (the modern-subset-font shape)
+    # font mode drawn up top (cid / winansi / differences / plain)
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
                               style=style, content_filter=content_filter,
-                              cid_font=rng.random() < 0.25,
+                              cid_font=cid_font, enc_font=enc_font,
                               encrypt=encrypt, acroform=acroform)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,

@@ -705,3 +705,88 @@ def test_link_annots_under_encryption():
             assert got == [("A Title Here",
                             "https://example.com/(secret)", "pdf")], \
                 (mode, style)
+
+
+# --- simple-font /Encoding (BaseEncoding + /Differences) -------------------
+
+def test_glyph_name_resolver_paths():
+    """One pin per resolver path: literal AGL table, single-char,
+    algorithmic uniXXXX/uXXXXXX, accent construction, Greek names, and
+    the unresolvable subset-name fallback."""
+    from docling_ray.stages.pdf_bytes import _glyph_to_unicode as g
+
+    assert g("quotedblleft") == "“"
+    assert g("Euro") == "€"
+    assert g("oe") == "œ"
+    assert g("dagger") == "†"
+    assert g("A") == "A" and g("seven") == "7"
+    assert g("uni0394") == "Δ"
+    assert g("uni00E90041") == "éA"  # multi-group uni name
+    assert g("u1F600") == "\U0001f600"
+    assert g("eacute") == "é" and g("Zcaron") == "Ž"
+    assert g("alpha") == "α" and g("Omega") == "Ω"
+    assert g("g12") is None and g("cid042") is None
+    assert g("notaglyphname") is None
+
+
+def test_winansi_encoding_roundtrip():
+    pages = _simple_pages()
+    pages[0]["cells"][0]["text"] = "café €100 ‰ œuvre"
+    data = pages_to_pdf_bytes(pages, enc_font={"kind": "winansi"})
+    got = parse_pdf_pages(data)[0]["cells"][0]["text"]
+    assert got == pages[0]["cells"][0]["text"]
+
+
+def test_differences_encoding_roundtrip():
+    pages = _simple_pages()
+    pages[0]["cells"][0]["text"] = "α body Δelta ž œ"
+    enc = {"kind": "diff",
+           "codes": {"α": 128, "ž": 129,
+                     "Δ": 130, "œ": 131},
+           "names": {"α": "alpha", "ž": "zcaron",
+                     "Δ": "uni0394", "œ": "oe"}}
+    data = pages_to_pdf_bytes(pages, enc_font=enc)
+    got = parse_pdf_pages(data)[0]["cells"][0]["text"]
+    assert got == pages[0]["cells"][0]["text"]
+
+
+def test_differences_sequential_advance_and_unresolved_names():
+    """A /Differences run advances codes for names it cannot resolve
+    (subset gXX names keep the base char rather than dropping text)."""
+    from docling_ray.stages.pdf_bytes import _simple_encoding_map
+
+    class _Doc:
+        def resolve(self, x):
+            return x
+
+    enc = {"Differences": [128.0, "alpha", "g99", "uni0394",
+                           200.0, "Euro"]}
+    mapping, code_len = _simple_encoding_map(_Doc(), enc)
+    assert code_len == 1
+    assert mapping[128] == "α"
+    assert mapping[129] == chr(129)  # unresolved: base char kept
+    assert mapping[130] == "Δ"
+    assert mapping[200] == "€"
+    assert mapping[65] == "A"  # untouched base
+
+
+def test_simple_encoding_identity_returns_none():
+    from docling_ray.stages.pdf_bytes import _simple_encoding_map
+
+    class _Doc:
+        def resolve(self, x):
+            return x
+
+    assert _simple_encoding_map(_Doc(), "Identity-H") is None
+    assert _simple_encoding_map(_Doc(), {"Differences": []}) is None
+    assert _simple_encoding_map(_Doc(), 42.0) is None
+
+
+def test_unencodable_text_falls_back_to_utf16():
+    """Text outside the simple encoding (the garbage-page shape) rides a
+    UTF-16 hex string, which bypasses font decoding on both sides."""
+    pages = _simple_pages()
+    pages[0]["cells"][0]["text"] = "GLYPH<aa>�/G12"
+    data = pages_to_pdf_bytes(pages, enc_font={"kind": "winansi"})
+    got = parse_pdf_pages(data)[0]["cells"][0]["text"]
+    assert got == pages[0]["cells"][0]["text"]
