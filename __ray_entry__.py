@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": A.q8_market_share,
         "q21_waiting_supplier": A.q21_waiting_supplier,
         "json_props_stats": A.json_props_stats,
+        "pivot_user_events": A.pivot_user_events,
         "full_outer_user_activity": A.full_outer_user_activity,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
@@ -1269,6 +1270,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l3.l_suppkey <> l1.l_suppkey "
             "AND l3.ms > o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY s_name ORDER BY numwait DESC, s_name"
+        ),
+        "pivot_user_events": (
+            # PIVOT: long (user, type) → wide per-user count columns
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_view "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "json_props_stats": (
             # semi-structured extraction: json_extract of props.k, then

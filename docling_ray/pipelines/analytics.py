@@ -2374,6 +2374,39 @@ def q21_waiting_supplier(sf_dir: str, late_days: int = 60,
         .sort(["numwait", "s_name"], descending=[True, False])
 
 
+def pivot_user_events(sf_dir: str):
+    """PIVOT: the long (user, event_type) stream becomes one wide row
+    per user with a count column per type — the reshape operator
+    (DuckDB PIVOT / pandas crosstab). The type domain is fixed and
+    small (the precondition for any pivot); each batch scatters its
+    per-(user, type) counts into the wide columns immediately, so the
+    groupby shuffles wide partials — one row per user per batch — and
+    never the long stream. Output: (user_id, n_click, n_error,
+    n_purchase, n_signup, n_view) ordered by user_id."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        cnt = g["count_all"].to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        wide = {f"n_{t}": np.zeros(len(users), np.int64) for t in types}
+        for t in types:
+            sel = et == t
+            np.add.at(wide[f"n_{t}"], inv[sel], cnt[sel])
+        cols = {"user_id": pa.array(users)}
+        cols.update({k: pa.array(v) for k, v in wide.items()})
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("user_id").aggregate(*aggs).sort("user_id")
+
+
 def json_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` string and aggregate per event type. The hot
