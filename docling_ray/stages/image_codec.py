@@ -20,9 +20,12 @@ eager ``.convert("RGB")``, image_backend.py:168):
 * **PNM** — binary P5 (gray) / P6 (RGB), maxval ≤ 65535 (16-bit scaled
   down by high byte), plus ASCII P2/P3.
 * **TIFF** — baseline IFD walk (II/MM byte order), strip-organized
-  gray/RGB/RGBA at 8 bits/sample, compression 1 (none) and 32773
-  (PackBits); multi-page via chained IFDs (each page a frame, the
-  reference's eager multi-frame extraction, image_backend.py:160-170).
+  gray/RGB/RGBA at 8 bits/sample, compression 1 (none), 5 (LZW,
+  optionally with predictor 2), 32773 (PackBits), and bilevel CCITT
+  fax: 2 (MH RLE) and 4 (Group 4 / T.6 MMR) via
+  ``stages/fax_codec.py``; multi-page via chained IFDs (each page a
+  frame, the reference's eager multi-frame extraction,
+  image_backend.py:160-170).
 * **GIF** — LZW decode (variable code width, clear/EOI), global/local
   palettes, interlace, multi-frame animation composition over the
   logical screen honoring GCE transparency and disposal methods
@@ -565,6 +568,44 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
         strip_counts = tags.get(279, [])
         if width <= 0 or height <= 0 or width * height > _max_pixels():
             raise ImageError(f"TIFF bad dimensions {width}x{height}")
+        if comp in (2, 4):
+            # CCITT fax (MH RLE / Group 4): bilevel strips decode via
+            # the from-scratch T.4/T.6 decoder; each strip is an
+            # independently-coded block
+            from docling_ray.stages.fax_codec import (FaxError,
+                                                      decode_g4,
+                                                      decode_mh_rle)
+
+            if spp != 1 or bits != [1]:
+                raise ImageError(
+                    f"TIFF fax needs 1-bit gray, got {bits}x{spp}")
+            if photometric not in (0, 1):
+                raise ImageError(
+                    f"TIFF fax photometric {photometric} unsupported")
+            if not strip_offs:
+                raise ImageError("TIFF missing StripOffsets")
+            if not strip_counts:
+                strip_counts = [len(data) - strip_offs[0]]
+            parts = []
+            for si, (so, sc) in enumerate(zip(strip_offs, strip_counts)):
+                n_rows = min(rows_per_strip, height - si * rows_per_strip)
+                if n_rows <= 0:
+                    break
+                try:
+                    dec = (decode_g4 if comp == 4 else decode_mh_rle)(
+                        data[so: so + sc], width, n_rows)
+                except FaxError as e:
+                    raise ImageError(str(e)) from None
+                parts.append(dec)
+            bw = np.concatenate(parts, axis=0)
+            if bw.shape[0] != height:
+                raise ImageError("TIFF fax raster truncated")
+            # decoded 1 = black run; photometric 0 (WhiteIsZero) is the
+            # fax sense, photometric 1 inverts
+            gray = ((1 - bw) if photometric == 0 else bw) \
+                .astype(np.uint8) * 255
+            frames.append((np.repeat(gray[:, :, None], 3, axis=2), "1"))
+            continue
         if any(b != 8 for b in bits):
             raise ImageError(f"TIFF bits/sample {bits} not supported")
         if comp not in (1, 5, 32773):

@@ -1715,6 +1715,8 @@ def build_text_doc(
 
 import struct as _struct
 
+import numpy as np
+
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     return (_struct.pack(">I", len(payload)) + tag + payload
@@ -1895,6 +1897,163 @@ def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
         body += _struct.pack("<I", 0)  # next-IFD placeholder
         out[ifd_ptr_pos: ifd_ptr_pos + 4] = _struct.pack("<I", ifd_off)
         out += body + extra
+        ifd_ptr_pos = next_ptr_pos
+    return bytes(out)
+
+
+class _FaxBitWriter:
+    """MSB-first bit accumulator for the CCITT encoders."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: str) -> None:
+        for ch in bits:
+            self.acc = (self.acc << 1) | (ch == "1")
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            self.out.append(self.acc << (8 - self.n))
+            self.acc = 0
+            self.n = 0
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _fax_put_run(bw: _FaxBitWriter, run: int, black: bool) -> None:
+    """Emit one run as make-up code(s) + terminating code (T.4 MH)."""
+    from docling_ray.functions import faxcodes as _F
+
+    makeup = dict(_F.BLACK_MAKEUP if black else _F.WHITE_MAKEUP)
+    makeup.update(_F.EXT_MAKEUP)
+    term = _F.BLACK_TERM if black else _F.WHITE_TERM
+    while run >= 64:
+        m = min(2560, (run // 64) * 64)
+        bw.put(makeup[m])
+        run -= m
+    bw.put(term[run])
+
+
+def _fax_transitions(row: "np.ndarray") -> list[int]:
+    """Changing-element positions of one bilevel row (1 = black)."""
+    idx = np.flatnonzero(row[1:] != row[:-1]) + 1
+    out = idx.tolist()
+    if len(row) and row[0]:
+        out.insert(0, 0)
+    return out
+
+
+def fax_g4_encode(bits: "np.ndarray") -> bytes:
+    """ITU-T T.6 (Group 4 / MMR) encoder over an (H, W) 0/1 array —
+    independent of stages/fax_codec (only the functions/faxcodes tables
+    are shared, per the repo's shared-code rule). Ends with EOFB."""
+    from docling_ray.functions import faxcodes as _F
+
+    h, w = bits.shape
+    bw = _FaxBitWriter()
+    ref = [w, w]
+    for r in range(h):
+        cur = _fax_transitions(bits[r])
+        curx = cur + [w, w]
+        a0, color, ci = -1, 0, 0
+        while a0 < w:
+            i = 0
+            while ref[i] <= a0:
+                i += 1
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            a1 = curx[ci] if ci < len(curx) else w
+            if b2 < a1:
+                bw.put(_F.MODE_CODES["P"])
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                d = a1 - b1
+                bw.put(_F.MODE_CODES[
+                    "V0" if d == 0 else
+                    (f"VR{d}" if d > 0 else f"VL{-d}")])
+                a0 = a1
+                color ^= 1
+                ci += 1
+            else:
+                a2 = curx[ci + 1] if ci + 1 < len(curx) else w
+                a0s = max(a0, 0)
+                bw.put(_F.MODE_CODES["H"])
+                _fax_put_run(bw, a1 - a0s, black=bool(color))
+                _fax_put_run(bw, a2 - a1, black=not bool(color))
+                a0 = a2
+                ci += 2
+        ref = cur + [w, w]
+    bw.put(_F.EOL)
+    bw.put(_F.EOL)  # EOFB
+    return bw.flush()
+
+
+def fax_mh_encode(bits: "np.ndarray") -> bytes:
+    """TIFF Compression=2 ("CCITT RLE") encoder: modified Huffman runs,
+    white first, each row byte-aligned."""
+    h, w = bits.shape
+    bw = _FaxBitWriter()
+    for r in range(h):
+        pos = 0
+        black = False
+        trans = _fax_transitions(bits[r]) + [w]
+        for t in trans:
+            if t > w:
+                break
+            _fax_put_run(bw, t - pos, black)
+            pos = t
+            black = not black
+            if pos >= w:
+                break
+        bw.align()
+    return bw.flush()
+
+
+def bilevel_to_tiff(frames_bits: list["np.ndarray"], width: int,
+                    height: int, g4: bool = True) -> bytes:
+    """Little-endian bilevel TIFF: BitsPerSample 1, Photometric 0
+    (WhiteIsZero — the fax sense: 1 codes black), Compression 4 (G4) or
+    2 (MH RLE), one strip per page."""
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    ifd_ptr_pos = 4
+    for bits in frames_bits:
+        strip = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
+        strip_off = len(out)
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"
+        ifd_off = len(out)
+        entries = [
+            (256, 4, 1, width), (257, 4, 1, height),
+            (258, 3, 1, 1),                 # BitsPerSample = 1
+            (259, 3, 1, 4 if g4 else 2),    # Compression
+            (262, 3, 1, 0),                 # WhiteIsZero
+            (273, 4, 1, strip_off),
+            (277, 3, 1, 1),
+            (278, 4, 1, height),
+            (279, 4, 1, len(strip)),
+        ]
+        body = bytearray(_struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if typ == 3:
+                body += _struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+            else:
+                body += _struct.pack("<HHII", tag, typ, cnt, val)
+        next_ptr_pos = ifd_off + 2 + 12 * len(entries)
+        body += _struct.pack("<I", 0)
+        out[ifd_ptr_pos: ifd_ptr_pos + 4] = _struct.pack("<I", ifd_off)
+        out += body
         ifd_ptr_pos = next_ptr_pos
     return bytes(out)
 
@@ -2893,7 +3052,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(14)
+    variant = rng.randrange(15)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 4 and rng.random() < 0.5:  # paletted BMP (plain / RLE8)
@@ -3042,6 +3201,34 @@ def build_image_doc(
     elif variant == 13:  # WebP lossy (VP8 keyframe)
         data, exp = vp8_lossy_webp(rng, w, h)
         ref = image_media_ref(w, h, "RGB", exp.tobytes())
+    elif variant == 14:  # CCITT fax TIFF (Group 4 MMR or MH RLE)
+        # run-structured bilevel pages (the fax-natural content shape);
+        # the expected RGB is hand-computed from the same bit matrix
+        import numpy as np
+
+        n_pages = rng.randrange(1, 4)
+        frames_bits = []
+        for _ in range(n_pages):
+            bits = np.zeros((h, w), np.uint8)
+            for r in range(h):
+                x = 0
+                c = rng.randrange(2)
+                while x < w:
+                    run = min(rng.randrange(1, w + 1), w - x)
+                    bits[r, x: x + run] = c
+                    x += run
+                    c ^= 1
+            frames_bits.append(bits)
+        data = bilevel_to_tiff(frames_bits, w, h,
+                               g4=rng.random() < 0.6)
+        refs = [image_media_ref(
+            w, h, "1",
+            np.repeat(((1 - bb) * 255).astype(np.uint8)[:, :, None],
+                      3, axis=2).tobytes())
+            for bb in frames_bits]
+        b64 = base64.b64encode(data).decode("ascii")
+        return (b64, [("picture", "", r) for r in refs],
+                S.STATUS_SUCCESS)
     else:  # GIF: global palette; plain full-screen or animated frames
         import numpy as np
 

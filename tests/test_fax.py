@@ -1,0 +1,162 @@
+"""CCITT Group 3/4 fax codec: literal table pins (the shared
+functions/faxcodes tables must match ITU-T T.4/T.6 exactly), structural
+code-set properties, encoder↔decoder round trips (independent
+implementations sharing only the tables), and decode totality."""
+
+import random
+
+import numpy as np
+import pytest
+
+from docling_ray.functions import faxcodes as F
+from docling_ray.stages.fax_codec import (
+    FaxError,
+    decode_g4,
+    decode_mh_rle,
+)
+from docling_ray.synth import bilevel_to_tiff, fax_g4_encode, fax_mh_encode
+
+
+def test_table_literal_pins():
+    """Hand-checked values straight from the T.4 tables."""
+    assert F.WHITE_TERM[0] == "00110101"
+    assert F.WHITE_TERM[1] == "000111"
+    assert F.WHITE_TERM[63] == "00110100"
+    assert F.BLACK_TERM[0] == "0000110111"
+    assert F.BLACK_TERM[1] == "010"
+    assert F.BLACK_TERM[2] == "11"
+    assert F.BLACK_TERM[63] == "000001100111"
+    assert F.WHITE_MAKEUP[64] == "11011"
+    assert F.WHITE_MAKEUP[1728] == "010011011"
+    assert F.BLACK_MAKEUP[64] == "0000001111"
+    assert F.BLACK_MAKEUP[1728] == "0000001100101"
+    assert F.EXT_MAKEUP[1792] == "00000001000"
+    assert F.EXT_MAKEUP[2560] == "000000011111"
+    assert F.MODE_CODES == {
+        "P": "0001", "H": "001", "V0": "1",
+        "VR1": "011", "VR2": "000011", "VR3": "0000011",
+        "VL1": "010", "VL2": "000010", "VL3": "0000010"}
+    assert F.EOL == "000000000001"
+
+
+def test_table_structure():
+    """64 terminating codes per color, 27 make-ups each, 13 shared
+    extended make-ups; every full per-color code set is prefix-free
+    (a single typo in any entry almost always breaks this)."""
+    assert len(F.WHITE_TERM) == 64 and len(F.BLACK_TERM) == 64
+    assert len(F.WHITE_MAKEUP) == 27 and len(F.BLACK_MAKEUP) == 27
+    assert len(F.EXT_MAKEUP) == 13
+    assert sorted(F.WHITE_TERM) == list(range(64))
+    assert sorted(F.WHITE_MAKEUP) == [64 * k for k in range(1, 28)]
+    assert sorted(F.EXT_MAKEUP) == [1792 + 64 * k for k in range(13)]
+
+    for codes in (F.white_codes(), F.black_codes()):
+        vals = sorted(codes.values())
+        assert len(set(vals)) == len(vals)
+        for i, a in enumerate(vals):
+            for b in vals[i + 1:]:
+                assert not b.startswith(a), (a, b)
+    # mode codes + EOL are mutually prefix-free too
+    mode_vals = sorted(list(F.MODE_CODES.values()) + [F.EOL])
+    for i, a in enumerate(mode_vals):
+        for b in mode_vals[i + 1:]:
+            assert not b.startswith(a), (a, b)
+
+
+def _random_bits(rng, w, h, run_heavy=False):
+    if not run_heavy:
+        return np.frombuffer(
+            bytes(rng.randrange(2) for _ in range(w * h)),
+            np.uint8).reshape(h, w).copy()
+    bits = np.zeros((h, w), np.uint8)
+    for r in range(h):
+        x = 0
+        c = rng.randrange(2)
+        while x < w:
+            run = min(rng.randrange(1, w + 1), w - x)
+            bits[r, x: x + run] = c
+            x += run
+            c ^= 1
+    return bits
+
+
+@pytest.mark.parametrize("codec", ["g4", "mh"])
+def test_roundtrip_random(codec):
+    rng = random.Random(11)
+    enc = fax_g4_encode if codec == "g4" else fax_mh_encode
+    dec = decode_g4 if codec == "g4" else decode_mh_rle
+    for trial in range(120):
+        w = rng.randrange(1, 90)
+        h = rng.randrange(1, 40)
+        bits = _random_bits(rng, w, h, run_heavy=trial % 2 == 0)
+        assert np.array_equal(dec(enc(bits), w, h), bits), (codec, trial)
+
+
+@pytest.mark.parametrize("codec", ["g4", "mh"])
+def test_roundtrip_extremes(codec):
+    enc = fax_g4_encode if codec == "g4" else fax_mh_encode
+    dec = decode_g4 if codec == "g4" else decode_mh_rle
+    for bits in (
+        np.zeros((4, 2000), np.uint8),           # all white
+        np.ones((4, 2000), np.uint8),            # all black
+        np.tile([0, 1], (3, 1000)).astype(np.uint8),  # 1px stripes
+    ):
+        h, w = bits.shape
+        assert np.array_equal(dec(enc(bits), w, h), bits)
+    # make-up chains past 2560 (multiple extended make-ups per run)
+    bits = np.zeros((3, 6000), np.uint8)
+    bits[1, 2700:5900] = 1
+    assert np.array_equal(dec(enc(bits), 6000, 3), bits)
+
+
+def test_tiff_container_both_compressions():
+    from docling_ray.stages.image_codec import decode_tiff
+
+    frames = [(np.arange(20 * 30).reshape(20, 30) % 3 == 0)
+              .astype(np.uint8) for _ in range(2)]
+    for g4 in (True, False):
+        out = decode_tiff(bilevel_to_tiff(frames, 30, 20, g4=g4))
+        assert len(out) == 2
+        for (rgb, mode), bb in zip(out, frames):
+            assert mode == "1"
+            # WhiteIsZero: decoded 1 (black) → intensity 0
+            assert np.array_equal(rgb[:, :, 0], (1 - bb) * 255)
+
+
+def test_decode_is_total():
+    """Corrupt fax payloads raise FaxError/ImageError, never anything
+    else, never hang — errors-are-data at the extractor layer."""
+    from docling_ray.stages.image_codec import ImageError, decode_frames
+
+    rng = random.Random(3)
+    bits = _random_bits(rng, 40, 20, run_heavy=True)
+    for g4 in (True, False):
+        data = bytearray(bilevel_to_tiff([bits], 40, 20, g4=g4))
+        for _ in range(150):
+            mut = bytearray(data)
+            for _k in range(rng.randrange(1, 6)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                decode_frames(bytes(mut))
+            except ImageError:
+                pass
+    raw = fax_g4_encode(bits)
+    for cut in (0, 1, len(raw) // 2):
+        with pytest.raises(FaxError):
+            decode_g4(raw[:cut] if cut else b"", 40, 20)
+
+
+def test_image_doc_generator_roundtrip():
+    """Fax variant flows through the corpus generator round trip."""
+    from docling_ray.stages.image_codec import extract_image_unit
+    from docling_ray.synth import build_image_doc
+
+    rng = random.Random(5)
+    n_fax = 0
+    for i in range(250):
+        b64, exp, _status = build_image_doc(rng, f"img-{i}")
+        got = [tuple(s) for s in extract_image_unit(b64)[0]]
+        assert got == exp, i
+        if any("/1/" in r for (_k, _t, r) in exp):
+            n_fax += 1
+    assert n_fax >= 5  # the fax variant is actually exercised
