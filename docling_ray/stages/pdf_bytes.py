@@ -1564,6 +1564,42 @@ def _image_xobject_ref(doc: "PdfDocument", xo: Stream) -> str | None:
         arr, mode = decode_jpeg(doc.stream_data(Stream(pre, xo.raw)))
         return image_media_ref(arr.shape[1], arr.shape[0], mode,
                                arr.tobytes())
+    if filters and filters[-1] == "CCITTFaxDecode":
+        # scanned-page shape: G4 (K<0) or byte-aligned MH (K=0 +
+        # EncodedByteAlign); BlackIs1 maps fax-black runs to sample 1
+        # (PDF 1.7 §7.4.6 — default false: black = sample 0)
+        from docling_ray.stages.fax_codec import (FaxError, decode_g4,
+                                                  decode_mh_rle)
+
+        pre = dict(d)
+        pre["Filter"] = filters[:-1]
+        parms = doc.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            plist = [doc.resolve(p) for p in parms]
+            parm = plist[-1] if plist else None
+            pre["DecodeParms"] = parms[:-1]
+        else:
+            parm = parms
+        parm = parm if isinstance(parm, dict) else {}
+        k = int(doc.resolve(parm.get("K", 0)) or 0)
+        cols = int(doc.resolve(parm.get("Columns", 1728)) or 1728)
+        rows = int(doc.resolve(parm.get("Rows", h)) or h)
+        aligned = bool(doc.resolve(parm.get("EncodedByteAlign", False)))
+        black1 = bool(doc.resolve(parm.get("BlackIs1", False)))
+        raw = doc.stream_data(Stream(pre, xo.raw))
+        try:
+            if k < 0:
+                bits = decode_g4(raw, cols, rows)
+            elif k == 0 and aligned:
+                bits = decode_mh_rle(raw, cols, rows)
+            else:
+                return None  # mixed 2D (K>0) / unaligned 1D: fall back
+        except FaxError:
+            return None
+        gray = ((bits if black1 else 1 - bits)
+                .astype(np.uint8) * 255)[:rows, :cols]
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        return image_media_ref(cols, rows, "1", rgb.tobytes())
     bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
     cs = doc.resolve(d.get("ColorSpace"))
     if bpc != 8 or cs not in ("DeviceRGB", "DeviceGray"):

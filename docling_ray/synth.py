@@ -1072,7 +1072,27 @@ def pages_to_pdf_bytes(pages: list[dict],
         for k, img in enumerate(page.get("images", [])):
             ref = img.get("media_ref", "")
             px = img.get("px")
-            if px is not None:
+            if px is not None and px["codec"] == "ccitt":
+                # fax-scan payload: /CCITTFaxDecode with K/-Columns/
+                # Rows/BlackIs1 DecodeParms (+EncodedByteAlign for MH)
+                body = px["data"]
+                parms = (b"<< /K " + (b"-1" if px["g4"] else b"0")
+                         + b" /Columns " + str(px["w"]).encode()
+                         + b" /Rows " + str(px["h"]).encode()
+                         + (b" /BlackIs1 true" if px["black1"] else b"")
+                         + (b"" if px["g4"]
+                            else b" /EncodedByteAlign true")
+                         + b" >>")
+                img_body = (
+                    b"<< /Type /XObject /Subtype /Image /Width "
+                    + str(px["w"]).encode() + b" /Height "
+                    + str(px["h"]).encode()
+                    + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+                    b" /Filter /CCITTFaxDecode /DecodeParms " + parms
+                    + b" /Length " + str(len(body)).encode()
+                    + b" >>\nstream\n" + body + b"\nendstream"
+                )
+            elif px is not None:
                 # real pixel payload: JPEG (/DCTDecode) or Flate raw
                 # samples — no /DoclingRef; the parser must DECODE to
                 # recover the imgpx:// ref the generator hand-computed
@@ -1387,7 +1407,27 @@ def _make_embedded_image(rng: random.Random) -> tuple[str, dict]:
 
     from docling_ray.functions.refs import image_media_ref
 
-    variant = rng.randrange(4)
+    variant = rng.randrange(5)
+    if variant == 4:  # CCITT G4 / byte-aligned-MH bilevel (fax scan)
+        w, h = rng.randrange(4, 60), rng.randrange(4, 40)
+        bits = np.zeros((h, w), np.uint8)
+        for r in range(h):
+            x = 0
+            c = rng.randrange(2)
+            while x < w:
+                run = min(rng.randrange(1, w + 1), w - x)
+                bits[r, x: x + run] = c
+                x += run
+                c ^= 1
+        g4 = rng.random() < 0.6
+        black1 = rng.random() < 0.3
+        data = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
+        # PDF 1.7 §7.4.6: BlackIs1 false (default) → black = sample 0
+        gray = (bits if black1 else 1 - bits).astype(np.uint8) * 255
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        return (image_media_ref(w, h, "1", rgb.tobytes()),
+                {"w": w, "h": h, "mode": "bilevel", "codec": "ccitt",
+                 "data": data, "g4": g4, "black1": black1})
     if variant == 0:  # JPEG grayscale, constant 8x8 tiles
         w, h = rng.randrange(8, 33), rng.randrange(8, 33)
         tiles = np.frombuffer(

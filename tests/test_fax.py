@@ -160,3 +160,24 @@ def test_image_doc_generator_roundtrip():
         if any("/1/" in r for (_k, _t, r) in exp):
             n_fax += 1
     assert n_fax >= 5  # the fax variant is actually exercised
+
+
+def test_pdf_ccittfax_xobject_roundtrip():
+    """Embedded /CCITTFaxDecode image XObjects decode to the same
+    imgpx:// fingerprint the generator hand-computes (G4 and aligned-MH,
+    BlackIs1 both ways)."""
+    import random
+
+    from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
+    from docling_ray.synth import VOCAB, build_pdf_bytes_doc
+
+    rng = random.Random(17)
+    n_ccitt = 0
+    for i in range(120):
+        b64, exp, _st, _out, _lk = build_pdf_bytes_doc(
+            rng, VOCAB[:], f"pd-{i}")
+        got = [tuple(s) for s in extract_pdf_bytes_unit(b64)[0]]
+        assert got == exp, i
+        if any("/1/" in str(x) for x in exp):
+            n_ccitt += 1
+    assert n_ccitt >= 5
