@@ -1291,8 +1291,16 @@ def _advance_width(text: str, font: float) -> float:
 def interpret_content(
     content: bytes, *, height: float, page_no: int,
     resources: dict | None, doc: "PdfDocument | None",
+    _depth: int = 0,
 ) -> dict:
-    """Interpret one page's content stream into the pdf_cells page schema."""
+    """Interpret one page's content stream into the pdf_cells page schema.
+
+    Form XObjects (``/Subtype /Form`` — reused headers/footers/logos,
+    the second-most-common XObject in wild PDFs) recurse through this
+    same interpreter with the form's own /Resources and compose back
+    under the repo's translation+scale CTM convention (rotation/skew
+    and /BBox clipping ignored, same as page-level geometry); ``_depth``
+    bounds form-in-form nesting so reference cycles terminate."""
     lex = _Lexer(content)
     cells: list[dict] = []
     tables: list[dict] = []
@@ -1522,6 +1530,47 @@ def interpret_content(
                         "l": e, "t": height - (f + dd), "r": e + a,
                         "b": height - f, "media_ref": str(ref),
                     })
+                elif isinstance(xo, Stream) and \
+                        doc.resolve(xo.dict.get("Subtype")) == "Form" \
+                        and _depth < 8:
+                    a, _b, _c, dd, e, f = ctm
+                    mtx = doc.resolve(xo.dict.get("Matrix"))
+                    if isinstance(mtx, list) and len(mtx) == 6:
+                        # compose the form /Matrix (translation+scale)
+                        ma, _, _, md, me, mf = (float(v) for v in mtx)
+                        e, f = a * me + e, dd * mf + f
+                        a, dd = a * ma, dd * md
+                    fres = doc.resolve(xo.dict.get("Resources"))
+                    sub = interpret_content(
+                        doc.stream_data(xo), height=height,
+                        page_no=page_no,
+                        resources=fres if isinstance(fres, dict)
+                        else resources,
+                        doc=doc, _depth=_depth + 1)
+                    for c in sub["cells"]:
+                        cells.append({
+                            "text": c["text"],
+                            "l": a * c["l"] + e,
+                            "r": a * c["r"] + e,
+                            "t": height - (dd * (height - c["t"]) + f),
+                            "b": height - (dd * (height - c["b"]) + f),
+                            "font_size": dd * c["font_size"],
+                        })
+                    for tb in sub["tables"]:
+                        tables.append({
+                            "l": a * tb["l"] + e,
+                            "r": a * tb["r"] + e,
+                            "t": height - (dd * (height - tb["t"]) + f),
+                            "b": height - (dd * (height - tb["b"]) + f),
+                        })
+                    for im in sub["images"]:
+                        images.append({
+                            "l": a * im["l"] + e,
+                            "r": a * im["r"] + e,
+                            "t": height - (dd * (height - im["t"]) + f),
+                            "b": height - (dd * (height - im["b"]) + f),
+                            "media_ref": im["media_ref"],
+                        })
         except (ValueError, IndexError, KeyError, PdfError):
             pass  # malformed operator input: skip, never raise
         stack.clear()

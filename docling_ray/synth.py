@@ -990,6 +990,7 @@ def pages_to_pdf_bytes(pages: list[dict],
                        content_filter: str = "flate",
                        cid_font: bool = False,
                        enc_font: dict | None = None,
+                       form_split: bool = False,
                        encrypt: str | None = None,
                        acroform: list[dict] | None = None,
                        user_pw: bytes = b"",
@@ -1055,14 +1056,49 @@ def pages_to_pdf_bytes(pages: list[dict],
         w = float(page.get("width", PAGE_W))
         ops: list[str] = []
         xobj_entries: list[tuple[str, int]] = []
-        for c in page.get("cells", []):
+        # form_split: route a prefix of the page's text through a
+        # /Subtype /Form XObject placed by a q..cm..Do..Q translation —
+        # the reused-header shape. Offsets are only used when the
+        # float subtraction round-trips exactly ((v-d)+d == v), so the
+        # parser recovers identical geometry; a cell that fails the
+        # check ends the prefix (op order preserved).
+        form_ops: list[str] = []
+        cells_list = page.get("cells", [])
+        n_form = min(3, len(cells_list)) if form_split else 0
+        fdx, fdy = 16.0, 32.0
+        for ci, c in enumerate(cells_list):
             lead = float(c["b"]) - float(c["t"])
+            l = float(c["l"])
+            yb = h - float(c["b"])
+            if (ci < n_form and (l - fdx) + fdx == l
+                    and (yb - fdy) + fdy == yb):
+                form_ops.append(
+                    f"BT /F1 {_pdf_num(c['font_size'])} Tf "
+                    f"{_pdf_num(lead)} TL "
+                    f"{_pdf_num(l - fdx)} {_pdf_num(yb - fdy)} Td "
+                    f"{text_op(c['text'])} Tj ET"
+                )
+                continue
+            if ci < n_form:
+                n_form = ci
             ops.append(
                 f"BT /F1 {_pdf_num(c['font_size'])} Tf "
                 f"{_pdf_num(lead)} TL "
                 f"{_pdf_num(c['l'])} {_pdf_num(h - c['b'])} Td "
                 f"{text_op(c['text'])} Tj ET"
             )
+        if form_ops:
+            fbody = zlib.compress("\n".join(form_ops).encode("latin-1"))
+            form_id = add(
+                (f"<< /Type /XObject /Subtype /Form /BBox [0 0 "
+                 f"{_pdf_num(w)} {_pdf_num(h)}] /Resources "
+                 f"<< /Font << /F1 3 0 R >> >> /Filter /FlateDecode "
+                 f"/Length {len(fbody)} >>").encode("latin-1")
+                + b"\nstream\n" + fbody + b"\nendstream",
+                is_stream=True)
+            xobj_entries.append(("Fm0", form_id))
+            ops.insert(0, f"q 1 0 0 1 {_pdf_num(fdx)} {_pdf_num(fdy)}"
+                          f" cm /Fm0 Do Q")
         for reg in page.get("tables", []):
             ops.append(
                 f"{_pdf_num(reg['l'])} {_pdf_num(h - reg['b'])} "
@@ -1671,10 +1707,13 @@ def build_pdf_bytes_doc(
     er = rng.random()
     encrypt = ("rc4" if er < 0.06 else "aes" if er < 0.12
                else "aes256" if er < 0.18 else None)
-    # font mode drawn up top (cid / winansi / differences / plain)
+    # font mode drawn up top (cid / winansi / differences / plain);
+    # a quarter of files route each page's leading text through a
+    # /Subtype /Form XObject placed by a cm translation
     data = pages_to_pdf_bytes(page_dicts, outline=outline or None,
                               style=style, content_filter=content_filter,
                               cid_font=cid_font, enc_font=enc_font,
+                              form_split=rng.random() < 0.25,
                               encrypt=encrypt, acroform=acroform)
     status = S.STATUS_PARTIAL if any_garbage else S.STATUS_SUCCESS
     return (base64.b64encode(data).decode("ascii"), expected, status,

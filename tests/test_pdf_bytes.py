@@ -790,3 +790,60 @@ def test_unencodable_text_falls_back_to_utf16():
     data = pages_to_pdf_bytes(pages, enc_font={"kind": "winansi"})
     got = parse_pdf_pages(data)[0]["cells"][0]["text"]
     assert got == pages[0]["cells"][0]["text"]
+
+
+# --- Form XObjects (/Subtype /Form) ----------------------------------------
+
+class _FakeDoc:
+    def resolve(self, x):
+        return x
+
+    def stream_data(self, s):
+        return s.raw
+
+
+def test_form_xobject_matrix_composition():
+    """Form /Matrix (translation+scale) composes under the outer cm."""
+    from docling_ray.stages.pdf_bytes import Stream, interpret_content
+
+    form = Stream(
+        {"Subtype": "Form", "Matrix": [2.0, 0.0, 0.0, 2.0, 10.0, 20.0],
+         "Resources": {"Font": {}}},
+        b"BT /F1 10 Tf 12 TL 5 30 Td (hi) Tj ET")
+    res = {"XObject": {"F": form}, "Font": {}}
+    out = interpret_content(
+        b"q 1 0 0 1 100 50 cm /F Do Q", height=792.0, page_no=1,
+        resources=res, doc=_FakeDoc())
+    assert len(out["cells"]) == 1
+    c = out["cells"][0]
+    assert c["text"] == "hi"
+    assert c["l"] == 2.0 * 5 + (10 + 100)       # scale*x + (me + e)
+    assert c["b"] == 792.0 - (2.0 * 30 + 70)    # y' = sy*y + (mf + f)
+    assert c["font_size"] == 20.0
+
+
+def test_form_xobject_cycle_terminates():
+    """A form whose content invokes itself stops at the depth bound."""
+    from docling_ray.stages.pdf_bytes import Stream, interpret_content
+
+    res: dict = {"Font": {}}
+    form = Stream({"Subtype": "Form"}, b"BT /F1 9 Tf 9 TL 1 2 Td "
+                                       b"(x) Tj ET /F Do")
+    res["XObject"] = {"F": form}
+    # form has no /Resources → inherits the caller's, which contains it
+    out = interpret_content(b"/F Do", height=100.0, page_no=1,
+                            resources=res, doc=_FakeDoc())
+    assert len(out["cells"]) == 8  # depth bound, one cell per level
+    assert all(c["text"] == "x" for c in out["cells"])
+
+
+def test_form_split_geometry_roundtrip():
+    pages = _simple_pages()
+    parsed = parse_pdf_pages(
+        pages_to_pdf_bytes(pages, form_split=True))[0]
+    for orig, got in zip(pages[0]["cells"], parsed["cells"]):
+        assert got["text"] == orig["text"]
+        assert got["l"] == orig["l"] and got["t"] == orig["t"]
+        assert got["b"] == orig["b"]
+        assert got["font_size"] == orig["font_size"]
+    assert parsed["tables"] == pages[0]["tables"]
