@@ -1499,14 +1499,67 @@ def interpret_content(
             elif op == "n":
                 pending_rects.clear()
             elif op == "BI":
-                # inline image: skip to the EI delimiter past the binary
-                # payload (whitespace-EI-whitespace, the standard scan) so
-                # raw sample bytes never reach the tokenizer
+                # inline image: parse abbreviated key/value pairs up to
+                # ID, capture the binary payload to the EI delimiter
+                # (whitespace-EI-whitespace, the standard scan — raw
+                # sample bytes never reach the tokenizer), and decode it
+                # into a real imgpx:// ref; unsupported subsets keep the
+                # old opaque-skip behavior
+                params: dict = {}
+                key = None
+                j = i
+                while True:
+                    mt = match_token(content, j)
+                    if mt is None:
+                        raise PdfError("inline image missing ID")
+                    j = mt.end()
+                    kt = mt.lastgroup
+                    if kt == "op":
+                        tok = mt.group("op")
+                        if tok == b"ID":
+                            break
+                        if key is not None and tok in (b"true", b"false"):
+                            params[key] = tok == b"true"
+                            key = None
+                        continue
+                    if kt == "name":
+                        nm = mt.group("name").decode("latin-1")
+                        if key is None:
+                            key = nm
+                        else:
+                            params[key] = nm
+                            key = None
+                    elif kt == "num" and key is not None:
+                        params[key] = float(mt.group("num"))
+                        key = None
+                    elif kt == "larr":
+                        arr, j = lex._parse_array(mt.start("larr"))
+                        if key is not None:
+                            params[key] = arr
+                            key = None
+                    elif kt == "ldict":
+                        dct, j = lex.parse(mt.start("ldict"))
+                        if key is not None:
+                            params[key] = dct
+                            key = None
+                if j < n and content[j: j + 1] in (b"\x00", b"\t", b"\n",
+                                                   b"\x0c", b"\r", b" "):
+                    j += 1
                 m_ei = re.compile(
                     rb"[\x00\t\n\x0c\r\x20]EI(?=[\x00\t\n\x0c\r\x20]|$)"
-                ).search(content, i)
+                ).search(content, j)
                 if m_ei is None:
                     raise PdfError("inline image missing EI")
+                try:
+                    ref = _inline_image_ref(params, content[j: m_ei.start()])
+                except Exception:
+                    ref = None
+                if ref is not None:
+                    a, _b, _c, dd, e, f = ctm
+                    images.append({
+                        "l": e, "t": height - (f + dd), "r": e + a,
+                        "b": height - f, "media_ref": ref,
+                    })
                 i = m_ei.end()
                 stack.clear()
             elif op == "Do" and stack and resources is not None and doc is not None:
@@ -1655,6 +1708,105 @@ def _image_xobject_ref(doc: "PdfDocument", xo: Stream) -> str | None:
         return None
     nch = 3 if cs == "DeviceRGB" else 1
     data = doc.stream_data(xo)
+    if len(data) < w * h * nch:
+        return None
+    a = np.frombuffer(data[: w * h * nch], dtype=np.uint8)
+    if nch == 1:
+        rgb = np.repeat(a.reshape(h, w, 1), 3, axis=2)
+        return image_media_ref(w, h, "L", rgb.tobytes())
+    return image_media_ref(w, h, "RGB", a.reshape(h, w, 3).tobytes())
+
+
+_INLINE_KEYS = {"W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+                "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+                "IM": "ImageMask", "D": "Decode"}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB",
+              "DeviceGray": "DeviceGray", "DeviceRGB": "DeviceRGB"}
+_INLINE_FILTERS = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                   "LZW": "LZWDecode", "Fl": "FlateDecode",
+                   "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                   "DCT": "DCTDecode"}
+
+
+def _inline_image_ref(params: dict, payload: bytes) -> str | None:
+    """Decode one inline image (BI..ID..EI) into the canonical
+    imgpx:// media_ref, or None for the unsupported subset (image
+    masks, indexed/CMYK color, JBIG2 etc.) — the caller keeps the old
+    opaque-skip behavior then. Abbreviated keys/filters expand per
+    PDF 1.7 table 93; payload filters reuse the stream-filter
+    decoders; DCT routes to the JPEG decoder, CCF to the fax codec."""
+    import numpy as np
+
+    from docling_ray.functions.refs import image_media_ref
+
+    p = {_INLINE_KEYS.get(k, k): v for k, v in params.items()}
+    if p.get("ImageMask"):
+        return None
+    try:
+        w = int(p.get("Width", 0))
+        h = int(p.get("Height", 0))
+        bpc = int(p.get("BitsPerComponent", 8))
+    except (TypeError, ValueError):
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    filt = p.get("Filter")
+    filters = [_INLINE_FILTERS.get(f, f)
+               for f in (filt if isinstance(filt, list)
+                         else [filt] if filt else [])]
+    dp = p.get("DecodeParms")
+    dp = dp if isinstance(dp, dict) else {}
+    last = filters[-1] if filters else None
+    data = payload
+    pre = filters[:-1] if last in ("DCTDecode", "CCITTFaxDecode") \
+        else filters
+    for f in pre:
+        if f == "FlateDecode":
+            data = zlib.decompress(data)
+        elif f == "ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        elif f == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif f == "RunLengthDecode":
+            data = _runlength_decode(data)
+        elif f == "LZWDecode":
+            data = _pdf_lzw_decode(data)
+        else:
+            return None
+    if last == "DCTDecode":
+        from docling_ray.stages.image_codec import ImageError, decode_jpeg
+
+        try:
+            arr, mode = decode_jpeg(data)
+        except ImageError:
+            return None
+        return image_media_ref(arr.shape[1], arr.shape[0], mode,
+                               arr.tobytes())
+    if last == "CCITTFaxDecode":
+        from docling_ray.stages.fax_codec import (FaxError, decode_g4,
+                                                  decode_mh_rle)
+
+        k = int(dp.get("K", 0) or 0)
+        cols = int(dp.get("Columns", 1728) or 1728)
+        rows = int(dp.get("Rows", h) or h)
+        black1 = bool(dp.get("BlackIs1", False))
+        try:
+            if k < 0:
+                bits = decode_g4(data, cols, rows)
+            elif k == 0 and dp.get("EncodedByteAlign"):
+                bits = decode_mh_rle(data, cols, rows)
+            else:
+                return None
+        except FaxError:
+            return None
+        gray = (bits if black1 else 1 - bits).astype(np.uint8) * 255
+        return image_media_ref(
+            cols, rows, "1",
+            np.repeat(gray[:, :, None], 3, axis=2).tobytes())
+    cs = _INLINE_CS.get(p.get("ColorSpace"))
+    if bpc != 8 or cs is None:
+        return None
+    nch = 3 if cs == "DeviceRGB" else 1
     if len(data) < w * h * nch:
         return None
     a = np.frombuffer(data[: w * h * nch], dtype=np.uint8)

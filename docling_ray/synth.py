@@ -1108,6 +1108,26 @@ def pages_to_pdf_bytes(pages: list[dict],
         for k, img in enumerate(page.get("images", [])):
             ref = img.get("media_ref", "")
             px = img.get("px")
+            if px is not None and px["codec"] == "inline":
+                # inline image (BI..ID..EI) with abbreviated keys; Flate
+                # unless the compressed payload embeds the EI delimiter
+                # pattern, then ASCIIHex (always delimiter-safe)
+                raw = px["data"]
+                cs = "/G" if px["mode"] == "gray" else "/RGB"
+                body = zlib.compress(raw)
+                filt = "/Fl"
+                if re.search(rb"[\x00\t\n\x0c\r\x20]EI"
+                             rb"[\x00\t\n\x0c\r\x20]", body + b" "):
+                    body = raw.hex().encode("ascii") + b">"
+                    filt = "/AHx"
+                ops.append(
+                    f"q {_pdf_num(img['r'] - img['l'])} 0 0 "
+                    f"{_pdf_num(img['b'] - img['t'])} "
+                    f"{_pdf_num(img['l'])} {_pdf_num(h - img['b'])} cm "
+                    f"BI /W {px['w']} /H {px['h']} /CS {cs} /BPC 8 "
+                    f"/F {filt} ID " + body.decode("latin-1") + " EI Q"
+                )
+                continue
             if px is not None and px["codec"] == "ccitt":
                 # fax-scan payload: /CCITTFaxDecode with K/-Columns/
                 # Rows/BlackIs1 DecodeParms (+EncodedByteAlign for MH)
@@ -1443,7 +1463,19 @@ def _make_embedded_image(rng: random.Random) -> tuple[str, dict]:
 
     from docling_ray.functions.refs import image_media_ref
 
-    variant = rng.randrange(5)
+    variant = rng.randrange(6)
+    if variant == 5:  # inline image (BI..ID..EI), raw gray/RGB samples
+        w, h = rng.randrange(4, 25), rng.randrange(4, 25)
+        gray = rng.random() < 0.5
+        raw = rng.randbytes(w * h * (1 if gray else 3))
+        if gray:
+            rgb = np.repeat(np.frombuffer(raw, np.uint8)
+                            .reshape(h, w, 1), 3, axis=2).tobytes()
+        else:
+            rgb = raw
+        return (image_media_ref(w, h, "L" if gray else "RGB", rgb),
+                {"w": w, "h": h, "mode": "gray" if gray else "rgb",
+                 "codec": "inline", "data": raw})
     if variant == 4:  # CCITT G4 / byte-aligned-MH bilevel (fax scan)
         w, h = rng.randrange(4, 60), rng.randrange(4, 40)
         bits = np.zeros((h, w), np.uint8)

@@ -847,3 +847,35 @@ def test_form_split_geometry_roundtrip():
         assert got["b"] == orig["b"]
         assert got["font_size"] == orig["font_size"]
     assert parsed["tables"] == pages[0]["tables"]
+
+
+def test_inline_image_decodes_to_fingerprint():
+    """BI..ID..EI inline images decode into real imgpx:// refs; the
+    AHx fallback fires when the Flate payload embeds the EI pattern."""
+    import random
+
+    from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
+    from docling_ray.synth import VOCAB, build_pdf_bytes_doc
+
+    rng = random.Random(41)
+    n_inline = 0
+    for i in range(150):
+        b64, exp, _st, _o, _lk = build_pdf_bytes_doc(
+            rng, VOCAB[:], f"pi-{i}")
+        got = [tuple(s) for s in extract_pdf_bytes_unit(b64)[0]]
+        assert got == exp, i
+        n_inline += sum(1 for (_k, _t, r) in exp
+                        if str(r).startswith("imgpx://"))
+    assert n_inline >= 5
+
+
+def test_inline_image_unsupported_stays_opaque():
+    """An image-mask inline image (IM true) keeps the opaque-skip
+    behavior: no picture emitted, no exception."""
+    from docling_ray.stages.pdf_bytes import interpret_content
+
+    content = (b"q 10 0 0 10 50 50 cm BI /W 8 /H 8 /IM true /BPC 1 "
+               b"ID \x00\xff\x00\xff\x00\xff\x00\xff EI Q")
+    out = interpret_content(content, height=200.0, page_no=1,
+                            resources=None, doc=None)
+    assert out["images"] == []
