@@ -836,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_supplier": A.q21_waiting_supplier,
         "json_props_stats": A.json_props_stats,
         "pivot_user_events": A.pivot_user_events,
+        "unpivot_user_events": A.unpivot_user_events,
         "full_outer_user_activity": A.full_outer_user_activity,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
@@ -1285,6 +1286,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
             "::BIGINT AS n_view "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "unpivot_user_events": (
+            # UNPIVOT: the wide per-user matrix melted back to long
+            # rows (zero counts kept — the melt is total)
+            "WITH w AS (SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_view "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, 'click' AS event_type, n_click AS n FROM w "
+            "UNION ALL SELECT user_id, 'error', n_error FROM w "
+            "UNION ALL SELECT user_id, 'purchase', n_purchase FROM w "
+            "UNION ALL SELECT user_id, 'signup', n_signup FROM w "
+            "UNION ALL SELECT user_id, 'view', n_view FROM w "
+            "ORDER BY user_id, event_type"
         ),
         "json_props_stats": (
             # semi-structured extraction: json_extract of props.k, then

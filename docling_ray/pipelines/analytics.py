@@ -2407,6 +2407,32 @@ def pivot_user_events(sf_dir: str):
         .groupby("user_id").aggregate(*aggs).sort("user_id")
 
 
+def unpivot_user_events(sf_dir: str):
+    """UNPIVOT (melt): the wide per-user count matrix back to long
+    (user_id, event_type, n) rows — the inverse reshape of
+    :func:`pivot_user_events`, composed on top of it (reshape operators
+    chain without materialization). Each batch melts vectorized
+    (np.repeat × np.tile), multiplying rows by the fixed column count —
+    a constant fan-out, not a shuffle. Output ordered by user_id,
+    event_type."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_user_events(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        counts = np.stack([batch[f"n_{t}"].to_numpy(zero_copy_only=False)
+                           for t in types], axis=1)
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, len(types))),
+            "event_type": pa.array(np.tile(np.array(types), len(uid))),
+            "n": pa.array(counts.reshape(-1)),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            batch_size=65536) \
+        .sort(["user_id", "event_type"])
+
+
 def json_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` string and aggregate per event type. The hot
