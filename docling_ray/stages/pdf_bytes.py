@@ -445,6 +445,11 @@ def _apply_tounicode(s: str, mapping: dict[int, str], code_len: int) -> str:
         raw = s.encode("latin-1")
     except UnicodeEncodeError:
         return s
+    if code_len == 1 and len(mapping) == 256:
+        # complete single-byte map (simple-font encodings): the
+        # latin-1 char ordinals ARE the codes, so str.translate is the
+        # same remap at C speed (no per-char Python loop)
+        return s.translate(mapping)
     out = []
     n = len(raw)
     i = 0
@@ -569,13 +574,13 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
-def _base_encoding_map(name: str | None) -> dict[int, str]:
-    """Full 256-entry code→char map for a named base encoding.
-    WinAnsi = cp1252 (undefined codes fall back to latin-1),
-    MacRoman = mac_roman; anything else (absent, StandardEncoding,
-    font-built-in) keeps the repo's latin-1 convention."""
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _base_encoding_map_cached(name: str) -> dict[int, str]:
     codec = {"WinAnsiEncoding": "cp1252",
-             "MacRomanEncoding": "mac_roman"}.get(name or "")
+             "MacRomanEncoding": "mac_roman"}.get(name)
     out: dict[int, str] = {}
     for c in range(256):
         ch = chr(c)
@@ -586,6 +591,15 @@ def _base_encoding_map(name: str | None) -> dict[int, str]:
                 pass
         out[c] = ch
     return out
+
+
+def _base_encoding_map(name: str | None) -> dict[int, str]:
+    """Full 256-entry code→char map for a named base encoding.
+    WinAnsi = cp1252 (undefined codes fall back to latin-1),
+    MacRoman = mac_roman; anything else (absent, StandardEncoding,
+    font-built-in) keeps the repo's latin-1 convention. Cached per
+    name; callers get a fresh copy to overlay /Differences on."""
+    return dict(_base_encoding_map_cached(name or ""))
 
 
 def _simple_encoding_map(
