@@ -837,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": A.json_props_stats,
         "pivot_user_events": A.pivot_user_events,
         "unpivot_user_events": A.unpivot_user_events,
+        "q12_late_shipments": A.q12_late_shipments,
         "full_outer_user_activity": A.full_outer_user_activity,
         "funnel_conversions": A.funnel_conversions,
         "order_priority_revenue": A.order_priority_revenue,
@@ -1286,6 +1287,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
             "::BIGINT AS n_view "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "q12_late_shipments": (
+            # Q12 shape: two-way conditional counts of LATE (order,
+            # returnflag) pairs after the orders join; lateness =
+            # max shipdate > orderdate + 90 days (pair semantics — the
+            # max is a lossless reduction for an EXISTS-late test)
+            "WITH lp AS (SELECT l_orderkey, l_returnflag, "
+            "max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2) "
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lp JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE lp.ms > o_orderdate + INTERVAL 90 DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "unpivot_user_events": (
             # UNPIVOT: the wide per-user matrix melted back to long

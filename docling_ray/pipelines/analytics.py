@@ -2374,6 +2374,93 @@ def q21_waiting_supplier(sf_dir: str, late_days: int = 60,
         .sort(["numwait", "s_name"], descending=[True, False])
 
 
+def q12_late_shipments(sf_dir: str, late_days: int = 90,
+                       num_buckets: int = 64):
+    """TPC-H Q12 shape: two-way conditional counts after a large-large
+    join — per lineitem return flag, how many LATE shipments (shipdate
+    more than ``late_days`` past the order date) belong to high-priority
+    orders vs the rest. Orders pre-reduce per batch to (key, is_high);
+    lineitem to its per-(key, flag) max shipdate (lateness is monotone
+    in shipdate, so the max is lossless for the per-pair test); the
+    bucketed co-group applies one vectorized compare and the final
+    groupby is flag-sized. Output: (l_returnflag, high_line_count,
+    low_line_count) ordered by l_returnflag."""
+    late_us = late_days * 86_400_000_000
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                      "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(prio, ["1-URGENT", "2-HIGH"])
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": batch["o_orderkey"],
+            "odate_us": od,
+            "high": pa.array(high),
+            "flag": pa.nulls(len(ok), pa.string()),
+            "max_ship_us": pa.nulls(len(ok), pa.int64()),
+        })
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({
+            "key": batch["l_orderkey"],
+            "flag": batch["l_returnflag"],
+            "sd": sd,
+        }), ["key", "flag"]).aggregate([("sd", "max")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "odate_us": pa.nulls(g.num_rows, pa.int64()),
+            "high": pa.nulls(g.num_rows, pa.bool_()),
+            "flag": g["flag"],
+            "max_ship_us": g["sd_max"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["flag"].isna()
+        od = group[is_order]
+        odate = dict(zip(od["key"], od["odate_us"]))
+        ohigh = dict(zip(od["key"], od["high"]))
+        li = group[~is_order]
+        li = li[li["key"].isin(odate.keys())]
+        if li.empty:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "high": pa.array([], pa.int64()),
+                             "low": pa.array([], pa.int64())})
+        li = li.groupby(["key", "flag"], as_index=False) \
+            .agg(ms=("max_ship_us", "max"))
+        late = li.ms > (li.key.map(odate) + late_us)
+        sel = li[late].assign(is_high=li.key.map(ohigh)[late])
+        g = sel.groupby("flag", as_index=False).agg(
+            high=("is_high", "sum"), n=("is_high", "count"))
+        return pa.table({
+            "l_returnflag": pa.array(g.flag),
+            "high": pa.array(g.high, pa.int64()),
+            "low": pa.array(g.n - g.high, pa.int64()),
+        })
+
+    out = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("high", alias_name="high_line_count"),
+                   Sum("low", alias_name="low_line_count")) \
+        .sort("l_returnflag")
+    return out
+
+
 def pivot_user_events(sf_dir: str):
     """PIVOT: the long (user, event_type) stream becomes one wide row
     per user with a count column per type — the reshape operator
