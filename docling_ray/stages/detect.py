@@ -93,7 +93,7 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
             if blob[:5] == b"%PDF-":
                 return "pdf"
             if blob[:8] == b"\x89PNG\r\n\x1a\n" or blob[:2] == b"BM" or \
-                    blob[:2] in (b"P2", b"P3", b"P5", b"P6") or \
+                    blob[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") or \
                     blob[:3] == b"\xff\xd8\xff" or blob[:4] in (
                         b"II*\x00", b"MM\x00*", b"GIF8") or \
                     (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"):

@@ -435,8 +435,31 @@ def _pnm_header(data: bytes, n_fields: int) -> tuple[list[int], int]:
 
 
 def decode_pnm(data: bytes) -> tuple[np.ndarray, str]:
-    """P5/P6 (binary) and P2/P3 (ASCII) → (HxWx3 uint8 RGB, mode)."""
+    """P5/P6 (binary) and P2/P3 (ASCII) → (HxWx3 uint8 RGB, mode);
+    P1/P4 bitmaps (PBM: no maxval field, 1 = black; P4 rows packed
+    MSB-first and byte-padded) → mode "1"."""
     magic = data[:2]
+    if magic in (b"P1", b"P4"):
+        (width, height), off = _pnm_header(data, 2)
+        if width <= 0 or height <= 0 or width * height > _max_pixels():
+            raise ImageError(f"PNM bad dimensions {width}x{height}")
+        if magic == b"P1":
+            body = np.frombuffer(data, np.uint8, offset=off - 1)
+            digits = body[(body == 48) | (body == 49)]
+            if len(digits) < width * height:
+                raise ImageError("PBM ASCII raster truncated")
+            bits = (digits[: width * height] == 49).astype(np.uint8) \
+                .reshape(height, width)
+        else:
+            row_bytes = (width + 7) // 8
+            need = height * row_bytes
+            if len(data) < off + need:
+                raise ImageError("PBM raster truncated")
+            packed = np.frombuffer(data, np.uint8, count=need,
+                                   offset=off).reshape(height, row_bytes)
+            bits = np.unpackbits(packed, axis=1)[:, :width]
+        gray = ((1 - bits) * 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2), "1"
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise ImageError("not a PNM")
     gray = magic in (b"P2", b"P5")
@@ -602,6 +625,25 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
                 raise ImageError("TIFF fax raster truncated")
             # decoded 1 = black run; photometric 0 (WhiteIsZero) is the
             # fax sense, photometric 1 inverts
+            gray = ((1 - bw) if photometric == 0 else bw) \
+                .astype(np.uint8) * 255
+            frames.append((np.repeat(gray[:, :, None], 3, axis=2), "1"))
+            continue
+        if comp == 1 and bits == [1] and spp == 1:
+            # packed bilevel: rows byte-padded, MSB-first (TIFF §4)
+            if photometric not in (0, 1):
+                raise ImageError(
+                    f"TIFF bilevel photometric {photometric} unsupported")
+            row_b = (width + 7) // 8
+            raster = bytearray()
+            for so, sc in zip(strip_offs, strip_counts):
+                raster += data[so: so + sc]
+            if len(raster) < height * row_b:
+                raise ImageError("TIFF bilevel raster truncated")
+            packed = np.frombuffer(bytes(raster), np.uint8,
+                                   count=height * row_b) \
+                .reshape(height, row_b)
+            bw = np.unpackbits(packed, axis=1)[:, :width]
             gray = ((1 - bw) if photometric == 0 else bw) \
                 .astype(np.uint8) * 255
             frames.append((np.repeat(gray[:, :, None], 3, axis=2), "1"))
@@ -1331,7 +1373,7 @@ def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
         return [_total(decode_png, data)], "png"
     if data[:2] == b"BM":
         return [_total(decode_bmp, data)], "bmp"
-    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+    if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return [_total(decode_pnm, data)], "pnm"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return _total(decode_tiff, data), "tiff"

@@ -2131,15 +2131,33 @@ def fax_mh_encode(bits: "np.ndarray") -> bytes:
     return bw.flush()
 
 
+def bits_to_pbm(bits: "np.ndarray", ascii_: bool = False) -> bytes:
+    """PBM writer (P1 ASCII / P4 raw packed, rows byte-padded,
+    1 = black) — the decoder's independent round-trip half."""
+    h, w = bits.shape
+    if ascii_:
+        body = "\n".join(" ".join(str(int(v)) for v in row)
+                         for row in bits)
+        return f"P1\n{w} {h}\n{body}\n".encode("ascii")
+    packed = np.packbits(bits, axis=1)
+    return f"P4\n{w} {h}\n".encode("ascii") + packed.tobytes()
+
+
 def bilevel_to_tiff(frames_bits: list["np.ndarray"], width: int,
-                    height: int, g4: bool = True) -> bytes:
+                    height: int, g4: bool = True,
+                    compression: str = "fax") -> bytes:
     """Little-endian bilevel TIFF: BitsPerSample 1, Photometric 0
     (WhiteIsZero — the fax sense: 1 codes black), Compression 4 (G4) or
-    2 (MH RLE), one strip per page."""
+    2 (MH RLE) when ``compression="fax"``, or 1 (raw packed rows,
+    byte-padded MSB-first) when ``compression="none"``; one strip per
+    page."""
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_pos = 4
     for bits in frames_bits:
-        strip = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
+        if compression == "none":
+            strip = np.packbits(bits, axis=1).tobytes()
+        else:
+            strip = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
         strip_off = len(out)
         out += strip
         if len(out) % 2:
@@ -2148,7 +2166,8 @@ def bilevel_to_tiff(frames_bits: list["np.ndarray"], width: int,
         entries = [
             (256, 4, 1, width), (257, 4, 1, height),
             (258, 3, 1, 1),                 # BitsPerSample = 1
-            (259, 3, 1, 4 if g4 else 2),    # Compression
+            (259, 3, 1, 1 if compression == "none"
+             else (4 if g4 else 2)),        # Compression
             (262, 3, 1, 0),                 # WhiteIsZero
             (273, 4, 1, strip_off),
             (277, 3, 1, 1),
@@ -3163,7 +3182,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(15)
+    variant = rng.randrange(16)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 4 and rng.random() < 0.5:  # paletted BMP (plain / RLE8)
@@ -3312,6 +3331,19 @@ def build_image_doc(
     elif variant == 13:  # WebP lossy (VP8 keyframe)
         data, exp = vp8_lossy_webp(rng, w, h)
         ref = image_media_ref(w, h, "RGB", exp.tobytes())
+    elif variant == 15:  # bilevel PBM (P1/P4) or raw packed TIFF
+        import numpy as np
+
+        bits = (np.frombuffer(rng.randbytes(w * h), np.uint8)
+                .reshape(h, w) & 1).astype(np.uint8)
+        which = rng.randrange(3)
+        if which == 2:
+            data = bilevel_to_tiff([bits], w, h, compression="none")
+        else:
+            data = bits_to_pbm(bits, ascii_=(which == 1))
+        rgb = np.repeat(((1 - bits) * 255).astype(np.uint8)[:, :, None],
+                        3, axis=2).tobytes()
+        ref = image_media_ref(w, h, "1", rgb)
     elif variant == 14:  # CCITT fax TIFF (Group 4 MMR or MH RLE)
         # run-structured bilevel pages (the fax-natural content shape);
         # the expected RGB is hand-computed from the same bit matrix

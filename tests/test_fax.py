@@ -181,3 +181,24 @@ def test_pdf_ccittfax_xobject_roundtrip():
         if any("/1/" in str(x) for x in exp):
             n_ccitt += 1
     assert n_ccitt >= 5
+
+
+def test_pbm_and_raw_bilevel_tiff_roundtrip():
+    """P1/P4 PBM and uncompressed packed-bit TIFF round trip; odd
+    widths exercise the row byte-padding."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_pnm, decode_tiff
+    from docling_ray.synth import bilevel_to_tiff, bits_to_pbm
+
+    rng = random.Random(13)
+    for w, h in ((1, 1), (7, 3), (8, 2), (9, 5), (33, 4)):
+        bits = (np.frombuffer(rng.randbytes(w * h), np.uint8)
+                .reshape(h, w) & 1).astype(np.uint8)
+        want = (1 - bits) * 255
+        for ascii_ in (False, True):
+            rgb, mode = decode_pnm(bits_to_pbm(bits, ascii_=ascii_))
+            assert mode == "1" and np.array_equal(rgb[:, :, 0], want)
+        rgb, mode = decode_tiff(
+            bilevel_to_tiff([bits], w, h, compression="none"))[0]
+        assert mode == "1" and np.array_equal(rgb[:, :, 0], want)

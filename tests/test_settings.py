@@ -108,7 +108,8 @@ def test_image_and_chunker_options():
     assert err is None and ok_spans
     settings.configure("image", max_pixels=4)
     spans, _, _, err = extract_image_unit(b64)
-    assert spans == [] and "dimensions" in (err or "")
+    assert spans == [] and ("dimensions" in (err or "")
+                           or "max_pixels" in (err or ""))
     settings.reset()
 
     import pyarrow as pa
