@@ -340,9 +340,52 @@ def _bmp_rle8(data: bytes, width: int, height: int) -> np.ndarray:
     return grid
 
 
+def _bmp_rle4(data: bytes, width: int, height: int) -> np.ndarray:
+    """BI_RLE4 → index grid in STORAGE row order. Encoded runs
+    alternate the byte's high/low nibbles; absolute mode packs two
+    indices per byte, padded to a word boundary."""
+    grid = np.zeros((height, width), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run: alternating nibbles
+            if y >= height or x + cnt > width:
+                raise ImageError("BMP RLE4 run outside bitmap")
+            pair = np.array([val >> 4, val & 0x0F], np.uint8)
+            grid[y, x: x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            x += cnt
+        elif val == 0:
+            x, y = 0, y + 1
+        elif val == 1:
+            return grid
+        elif val == 2:
+            if i + 1 >= n:
+                raise ImageError("BMP RLE4 truncated delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ImageError("BMP RLE4 delta outside bitmap")
+        else:  # absolute: val indices, two per byte, word-aligned
+            nbytes = (val + 1) // 2
+            if y >= height or x + val > width or i + nbytes > n:
+                raise ImageError("BMP RLE4 absolute run outside bitmap")
+            packed = np.frombuffer(data, np.uint8, nbytes, i)
+            nibs = np.empty(nbytes * 2, np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0x0F
+            grid[y, x: x + val] = nibs[:val]
+            x += val
+            i += nbytes + (nbytes & 1)
+    return grid
+
+
 def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
     """BMP bytes → (HxWx3 uint8 RGB, mode). BI_RGB 24/32-bit truecolor,
-    plus 8-bit paletted (BI_RGB or BI_RLE8 runs)."""
+    plus 1/4/8-bit paletted (BI_RGB rows, BI_RLE8 or BI_RLE4 runs)."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ImageError("not a BMP")
     pix_off = struct.unpack("<I", data[10:14])[0]
@@ -353,19 +396,17 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
     planes, bpp = struct.unpack("<HH", data[26:30])
     compression = struct.unpack("<I", data[30:34])[0]
     clr_used = struct.unpack("<I", data[46:50])[0]
-    if bpp == 8:
-        if compression not in (0, 1):
-            raise ImageError(f"BMP compression {compression} not supported")
-    elif compression != 0:
-        raise ImageError(f"BMP compression {compression} not supported")
-    if bpp not in (8, 24, 32):
+    allowed = {8: (0, 1), 4: (0, 2), 1: (0,), 24: (0,), 32: (0,)}
+    if bpp not in allowed:
         raise ImageError(f"BMP {bpp}-bit not supported")
+    if compression not in allowed[bpp]:
+        raise ImageError(f"BMP compression {compression} not supported")
     if width <= 0 or height_raw == 0 or \
             width * abs(height_raw) > _max_pixels():
         raise ImageError(f"BMP bad dimensions {width}x{height_raw}")
     height = abs(height_raw)
-    if bpp == 8:
-        n_colors = clr_used or 256
+    if bpp in (1, 4, 8):
+        n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_colors > len(data):
             raise ImageError("BMP palette truncated")
@@ -374,15 +415,25 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, str]:
         palette = np.ascontiguousarray(quads[:, 2::-1])  # BGRx → RGB
         if compression == 1:
             grid = _bmp_rle8(data[pix_off:], width, height)
+        elif compression == 2:
+            grid = _bmp_rle4(data[pix_off:], width, height)
         else:
-            row_bytes = (width + 3) & ~3
+            row_bytes = ((width * bpp + 31) // 32) * 4
             need = pix_off + row_bytes * height
             if len(data) < need:
                 raise ImageError(
                     f"BMP pixel data truncated ({len(data)} < {need})")
-            grid = np.frombuffer(data, np.uint8, row_bytes * height,
-                                 pix_off).reshape(height,
-                                                  row_bytes)[:, :width]
+            rows = np.frombuffer(data, np.uint8, row_bytes * height,
+                                 pix_off).reshape(height, row_bytes)
+            if bpp == 8:
+                grid = rows[:, :width]
+            elif bpp == 4:
+                nibs = np.empty((height, row_bytes * 2), np.uint8)
+                nibs[:, 0::2] = rows >> 4
+                nibs[:, 1::2] = rows & 0x0F
+                grid = nibs[:, :width]
+            else:
+                grid = np.unpackbits(rows, axis=1)[:, :width]
         if int(grid.max(initial=0)) >= n_colors:
             raise ImageError("BMP palette index out of range")
         if height_raw > 0:  # bottom-up storage

@@ -1926,6 +1926,53 @@ def pixels_to_bmp8(idx_rows: list[bytes], width: int, height: int,
     return header + quads + bytes(raster)
 
 
+def pixels_to_bmp_lowbpp(idx_rows: list[bytes], width: int, height: int,
+                         palette: bytes, bpp: int,
+                         rle4: bool = False) -> bytes:
+    """1/4-bit paletted BMP writer (bottom-up, rows padded to 4 bytes),
+    or BI_RLE4 (encoded alternating-nibble runs). Independent of the
+    decoder; ``palette`` is RGB triples, storage quads BGR0."""
+    n_colors = len(palette) // 3
+    quads = b"".join(bytes((palette[3 * i + 2], palette[3 * i + 1],
+                            palette[3 * i], 0)) for i in range(n_colors))
+    if rle4:
+        raster = bytearray()
+        for row in reversed(idx_rows):
+            x = 0
+            while x < width:
+                run = 1
+                while (x + run < width and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                raster += bytes([run, (row[x] << 4) | row[x]])
+                x += run
+            raster += b"\x00\x00"
+        raster += b"\x00\x01"
+        compression, out_bpp = 2, 4
+    else:
+        row_bytes = ((width * bpp + 31) // 32) * 4
+        raster = bytearray()
+        for row in reversed(idx_rows):
+            if bpp == 4:
+                packed = bytearray()
+                for k in range(0, width, 2):
+                    hi = row[k] << 4
+                    lo = row[k + 1] if k + 1 < width else 0
+                    packed.append(hi | lo)
+            else:
+                packed = bytearray(np.packbits(
+                    np.frombuffer(bytes(row), np.uint8)).tobytes())
+            raster += bytes(packed) + b"\x00" * (row_bytes - len(packed))
+        compression, out_bpp = 0, bpp
+    pix_off = 54 + len(quads)
+    header = (b"BM" + _struct.pack("<IHHI", pix_off + len(raster), 0, 0,
+                                   pix_off)
+              + _struct.pack("<IiiHHIIiiII", 40, width, height, 1,
+                             out_bpp, compression, len(raster), 0, 0,
+                             n_colors, 0))
+    return header + quads + bytes(raster)
+
+
 def pixels_to_pnm(rows: list[bytes], width: int, height: int,
                   gray: bool) -> bytes:
     """Binary P5 (gray) / P6 (RGB) writer."""
@@ -3185,13 +3232,20 @@ def build_image_doc(
     variant = rng.randrange(16)
     from docling_ray.functions.refs import image_media_ref
 
-    if variant == 4 and rng.random() < 0.5:  # paletted BMP (plain / RLE8)
-        n_colors = rng.randrange(2, 17)
+    if variant == 4 and rng.random() < 0.5:  # paletted BMP
+        # 8-bit (plain / RLE8), 4-bit (plain / RLE4) or 1-bit rows
+        bpp = rng.choice([8, 8, 4, 1])
+        n_colors = 2 if bpp == 1 else rng.randrange(2, 17)
         palette = rng.randbytes(3 * n_colors)
         idx_rows = [bytes(rng.randrange(n_colors) for _ in range(w))
                     for _ in range(h)]
-        data = pixels_to_bmp8(idx_rows, w, h, palette,
-                              rle=rng.random() < 0.5)
+        if bpp == 8:
+            data = pixels_to_bmp8(idx_rows, w, h, palette,
+                                  rle=rng.random() < 0.5)
+        else:
+            data = pixels_to_bmp_lowbpp(idx_rows, w, h, palette, bpp,
+                                        rle4=(bpp == 4
+                                              and rng.random() < 0.5))
         rgb = b"".join(
             bytes(v for i in row for v in palette[3 * i: 3 * i + 3])
             for row in idx_rows)

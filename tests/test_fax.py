@@ -202,3 +202,26 @@ def test_pbm_and_raw_bilevel_tiff_roundtrip():
         rgb, mode = decode_tiff(
             bilevel_to_tiff([bits], w, h, compression="none"))[0]
         assert mode == "1" and np.array_equal(rgb[:, :, 0], want)
+
+
+def test_lowbpp_bmp_roundtrip():
+    """1/4-bit paletted BMP (plain rows and RLE4) round trips; odd
+    widths exercise nibble/bit packing and 4-byte row padding."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_bmp
+    from docling_ray.synth import pixels_to_bmp_lowbpp
+
+    rng = random.Random(3)
+    for w, h, bpp, rle4 in ((7, 3, 4, False), (9, 2, 4, True),
+                            (13, 5, 1, False), (8, 4, 1, False),
+                            (1, 1, 4, True)):
+        nc = 2 if bpp == 1 else 16
+        pal = rng.randbytes(3 * nc)
+        rows = [bytes(rng.randrange(nc) for _ in range(w))
+                for _ in range(h)]
+        rgb, mode = decode_bmp(
+            pixels_to_bmp_lowbpp(rows, w, h, pal, bpp, rle4=rle4))
+        want = np.array([[list(pal[3 * i: 3 * i + 3]) for i in row]
+                         for row in rows], dtype=np.uint8)
+        assert mode == "P" and np.array_equal(rgb, want), (w, h, bpp)
