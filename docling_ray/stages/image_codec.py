@@ -16,13 +16,15 @@ eager ``.convert("RGB")``, image_backend.py:168):
   palette at bit depth 1/2/4/8, all five scanline filters, Adam7
   interlace (seven independently-filtered passes scattered onto the
   grid), tRNS ignored (RGB conversion drops alpha, PIL parity).
-* **BMP** — uncompressed BI_RGB 24/32-bit, bottom-up or top-down rows.
+* **BMP** — uncompressed BI_RGB 24/32-bit, bottom-up or top-down
+  rows; 1/4/8-bit paletted incl. BI_RLE8 and BI_RLE4 runs.
 * **PNM** — binary P5 (gray) / P6 (RGB), maxval ≤ 65535 (16-bit scaled
-  down by high byte), plus ASCII P2/P3.
-* **TIFF** — baseline IFD walk (II/MM byte order), strip-organized
-  gray/RGB/RGBA at 8 bits/sample, compression 1 (none), 5 (LZW,
-  optionally with predictor 2), 32773 (PackBits), and bilevel CCITT
-  fax: 2 (MH RLE) and 4 (Group 4 / T.6 MMR) via
+  down by high byte), ASCII P2/P3, and P1/P4 PBM bitmaps.
+* **TIFF** — baseline IFD walk (II/MM byte order), strip- OR
+  tile-organized (TileWidth/TileLength, edge tiles padded) gray/RGB/
+  RGBA at 8 bits/sample, compression 1 (none), 5 (LZW, optionally with
+  predictor 2), 32773 (PackBits), packed 1-bit bilevel, and bilevel
+  CCITT fax: 2 (MH RLE) and 4 (Group 4 / T.6 MMR) via
   ``stages/fax_codec.py``; multi-page via chained IFDs (each page a
   frame, the reference's eager multi-frame extraction,
   image_backend.py:160-170).
@@ -708,6 +710,55 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
             raise ImageError(f"TIFF predictor {predictor} not supported")
         if spp not in (1, 3, 4):
             raise ImageError(f"TIFF {spp} samples/px not supported")
+        tile_w = tags.get(322, [0])[0]
+        tile_h = tags.get(323, [0])[0]
+        if tile_w and tile_h:
+            # tiled organization (the large-scan layout): each tile is
+            # an independently-compressed FULL tile_w×tile_h block
+            # (edges padded), stitched then cropped
+            tile_offs = tags.get(324, [])
+            tile_cnts = tags.get(325, [])
+            if tile_w % 16 or tile_h % 16:
+                raise ImageError("TIFF tile size must be multiple of 16")
+            ntx = (width + tile_w - 1) // tile_w
+            nty = (height + tile_h - 1) // tile_h
+            if len(tile_offs) < ntx * nty or len(tile_cnts) < ntx * nty:
+                raise ImageError("TIFF tile tables truncated")
+            tbytes = tile_w * tile_h * spp
+            full = np.zeros((nty * tile_h, ntx * tile_w, spp), np.uint8)
+            for ti in range(ntx * nty):
+                chunk = data[tile_offs[ti]: tile_offs[ti] + tile_cnts[ti]]
+                if comp == 32773:
+                    chunk = _unpackbits_decode(chunk, tbytes)
+                elif comp == 5:
+                    from docling_ray.stages.pdf_bytes import (
+                        PdfError, _pdf_lzw_decode)
+
+                    try:
+                        chunk = _pdf_lzw_decode(chunk, early_change=1)
+                    except PdfError as e:
+                        raise ImageError(f"TIFF LZW: {e}") from None
+                if len(chunk) < tbytes:
+                    raise ImageError("TIFF tile truncated")
+                t = np.frombuffer(chunk, np.uint8, tbytes) \
+                    .reshape(tile_h, tile_w, spp)
+                if predictor == 2:
+                    t = (np.cumsum(t.astype(np.int64), axis=1) % 256) \
+                        .astype(np.uint8)
+                ty, tx = divmod(ti, ntx)
+                full[ty * tile_h: (ty + 1) * tile_h,
+                     tx * tile_w: (tx + 1) * tile_w] = t
+            px = full[:height, :width]
+            if spp == 1:
+                if photometric == 0:
+                    px = 255 - px
+                frames.append((np.repeat(px, 3, axis=2), "L"))
+            elif spp == 3:
+                frames.append((np.ascontiguousarray(px), "RGB"))
+            else:
+                frames.append((np.ascontiguousarray(px[:, :, :3]),
+                               "RGBA"))
+            continue
         if not strip_offs:
             raise ImageError("TIFF missing StripOffsets")
         if not strip_counts:

@@ -1983,7 +1983,8 @@ def pixels_to_pnm(rows: list[bytes], width: int, height: int,
 
 def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
                    gray: bool, packbits: bool = False,
-                   lzw: bool = False, predictor: bool = False) -> bytes:
+                   lzw: bool = False, predictor: bool = False,
+                   tiled: bool = False) -> bytes:
     """Minimal little-endian TIFF writer: one IFD per frame, one strip,
     compression none, PackBits (literal-run-only encoding — valid
     PackBits) or LZW (compression 5, sharing the literal+CLEAR
@@ -1995,7 +1996,7 @@ def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
     ifd_ptr_pos = 4
 
     for fi, rows in enumerate(frames):
-        if predictor:  # horizontal differencing per row, per sample
+        if predictor and not tiled:  # horizontal differencing per row
             diffed = []
             for row in rows:
                 d = bytearray(row)
@@ -2003,6 +2004,80 @@ def pixels_to_tiff(frames: list[list[bytes]], width: int, height: int,
                     d[x] = (d[x] - d[x - spp]) & 0xFF
                 diffed.append(bytes(d))
             rows = diffed
+        if tiled:
+            # tiled layout: 16x16 tiles (the TIFF §15 minimum multiple),
+            # edge tiles padded to FULL size, each tile its own
+            # (optionally LZW) byte stream
+            tw = th = 16
+            ntx = (width + tw - 1) // tw
+            nty = (height + th - 1) // th
+            tile_offs: list[int] = []
+            tile_cnts: list[int] = []
+            for ty in range(nty):
+                for tx in range(ntx):
+                    tile = bytearray()
+                    for yy in range(th):
+                        y = ty * th + yy
+                        row = rows[y] if y < height else b""
+                        seg = row[tx * tw * spp: (tx + 1) * tw * spp]
+                        seg = bytearray(
+                            seg + b"\x00" * (tw * spp - len(seg)))
+                        if predictor:  # per TILE row, per sample
+                            for x in range(len(seg) - 1, spp - 1, -1):
+                                seg[x] = (seg[x] - seg[x - spp]) & 0xFF
+                        tile += seg
+                    blob = _enc_pdf_lzw(bytes(tile)) if lzw \
+                        else bytes(tile)
+                    tile_offs.append(len(out))
+                    tile_cnts.append(len(blob))
+                    out += blob
+                    if len(out) % 2:
+                        out += b"\x00"
+            ifd_off = len(out)
+            entries = [
+                (256, 4, 1, width), (257, 4, 1, height),
+                (258, 3, spp, None),
+                (259, 3, 1, 5 if lzw else 1),
+                (262, 3, 1, 1),
+                (277, 3, 1, spp),
+                (322, 4, 1, tw), (323, 4, 1, th),
+                (324, 4, len(tile_offs), tile_offs),
+                (325, 4, len(tile_cnts), tile_cnts),
+            ]
+            if predictor:
+                entries.append((317, 3, 1, 2))
+            extra = b""
+            extra_base = ifd_off + 2 + 12 * len(entries) + 4
+            body = bytearray(_struct.pack("<H", len(entries)))
+            for tag, typ, cnt, val in entries:
+                if tag == 258:
+                    if spp == 1:
+                        body += _struct.pack("<HHIHH", tag, typ, cnt,
+                                             8, 0)
+                    else:
+                        body += _struct.pack("<HHII", tag, typ, cnt,
+                                             extra_base + len(extra))
+                        extra += _struct.pack("<HHH", 8, 8, 8) \
+                            + b"\x00\x00"
+                elif isinstance(val, list):
+                    if cnt == 1:
+                        body += _struct.pack("<HHII", tag, typ, cnt,
+                                             val[0])
+                    else:
+                        body += _struct.pack("<HHII", tag, typ, cnt,
+                                             extra_base + len(extra))
+                        extra += _struct.pack(f"<{cnt}I", *val)
+                elif typ == 3:
+                    body += _struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+                else:
+                    body += _struct.pack("<HHII", tag, typ, cnt, val)
+            next_ptr_pos = ifd_off + 2 + 12 * len(entries)
+            body += _struct.pack("<I", 0)
+            out[ifd_ptr_pos: ifd_ptr_pos + 4] = _struct.pack(
+                "<I", ifd_off)
+            out += body + extra
+            ifd_ptr_pos = next_ptr_pos
+            continue
         raster = b"".join(rows)
         if lzw:
             strip = _enc_pdf_lzw(raster)
@@ -3302,6 +3377,12 @@ def build_image_doc(
                   for _ in range(n_pages)]
         if variant == 8:
             data = pixels_to_tiff(frames, w, h, gray=False, packbits=True)
+        elif rng.random() < 0.35:  # tiled layout (16x16, plain or LZW
+            # + per-tile predictor)
+            lzw = rng.random() < 0.5
+            data = pixels_to_tiff(frames, w, h, gray=False, tiled=True,
+                                  lzw=lzw,
+                                  predictor=lzw and rng.random() < 0.5)
         elif rng.random() < 0.5:  # LZW strips, half with predictor 2
             data = pixels_to_tiff(frames, w, h, gray=False, lzw=True,
                                   predictor=rng.random() < 0.5)

@@ -225,3 +225,24 @@ def test_lowbpp_bmp_roundtrip():
         want = np.array([[list(pal[3 * i: 3 * i + 3]) for i in row]
                          for row in rows], dtype=np.uint8)
         assert mode == "P" and np.array_equal(rgb, want), (w, h, bpp)
+
+
+def test_tiled_tiff_roundtrip():
+    """Tiled TIFF organization (16x16, plain/LZW, per-tile predictor)
+    round trips; non-multiple dimensions exercise edge-tile padding."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_tiff
+    from docling_ray.synth import pixels_to_tiff
+
+    rng = random.Random(5)
+    for w, h, lzw, pred in ((17, 9, False, False), (16, 16, True, False),
+                            (40, 33, True, True), (48, 17, True, True)):
+        rows = [rng.randbytes(3 * w) for _ in range(h)]
+        out = decode_tiff(pixels_to_tiff(
+            [rows, rows], w, h, gray=False, tiled=True, lzw=lzw,
+            predictor=pred))
+        want = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, 3)
+        assert len(out) == 2
+        for rgb, mode in out:
+            assert mode == "RGB" and np.array_equal(rgb, want)
