@@ -298,6 +298,13 @@ def _approx_distinct(sf_dir: str):
     })
 
 
+def _lm_score(sf_dir: str):
+    from docling_ray.stages.text_quality import bigram_lm_score
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_score(ds).sort("doc_id")
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -780,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _sample_bottomk,
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
+        "lm_score": _lm_score,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
@@ -1662,6 +1670,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             # content-free, stable across partitioning, SQL-recomputable
             "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
             "FROM documents ORDER BY h LIMIT 100"
+        ),
+        "lm_score": (
+            # corpus-trained bigram LM quality score: per-bigram
+            # 1e6*c(w1,w2)//c(w1) (floor — int arithmetic both sides),
+            # per-doc sum + floor mean
+            "WITH t AS (SELECT doc_id, "
+            f"{_TOKS} AS toks FROM documents), "
+            "uc AS (SELECT w, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+            "b0 AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 1)) AS i FROM t), "
+            "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
+            "FROM b0), "
+            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM b "
+            "GROUP BY w1, w2), "
+            "s AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "CAST(sum(bc.c * 1000000 // uc.c) AS BIGINT) AS sum_score "
+            "FROM b JOIN bc USING (w1, w2) JOIN uc ON uc.w = b.w1 "
+            "GROUP BY b.doc_id) "
+            "SELECT t.doc_id, "
+            "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "
+            "coalesce(s.sum_score, 0)::BIGINT AS sum_score, "
+            "CAST(CASE WHEN coalesce(s.n_bigrams, 0) > 0 "
+            "THEN s.sum_score // s.n_bigrams ELSE 0 END AS BIGINT) "
+            "AS avg_score "
+            "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
         ),
         "tfidf_topk": (
             # linear-idf TF-IDF: score = tf * N * 1e6 // df (integer

@@ -287,3 +287,82 @@ def tfidf_topk(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _lm_counts_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial: tagged unigram + bigram counts in one pass
+    (one row per distinct key per batch — the pre-aggregation rule)."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        toks = tokenize(t or "")
+        uni.update(toks)
+        bi.update("\x1f".join(p) for p in zip(toks, toks[1:]))
+    keys = ["u\x1f" + k for k in uni] + ["b\x1f" + k for k in bi]
+    cnts = list(uni.values()) + list(bi.values())
+    return pa.table({"key": pa.array(keys, pa.string()),
+                     "c": pa.array(cnts, pa.int64())})
+
+
+def bigram_lm_score(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Statistical language-model quality scoring — the KenLM-style
+    filter of web-scale training pipelines (e.g. CCNet), rebuilt with
+    integer arithmetic so the DuckDB oracle matches bit for bit: train
+    a corpus bigram model, then score every document by the mean
+    conditional-probability of its bigrams,
+    ``score(w1,w2) = 1e6 * count(w1 w2) // count(w1)`` (floor — no
+    float log-prob; monotone in P(w2|w1), which is what a quality
+    threshold needs).
+
+    Scale shape (same as :func:`tfidf_topk`): counting is a per-batch
+    tagged partial (unigrams + bigrams in one pass) and ONE
+    vocabulary-sized groupby; the model table is vocabulary-sized, not
+    corpus-sized, gathered once and broadcast via ``ray.put`` (the
+    Bloom/top-K-vocabulary fallback documented on line_dedup applies
+    when the bigram vocabulary outgrows worker memory); the scoring
+    pass streams with no shuffle. No reference analogue (SURVEY.md §4).
+
+    Output: (doc_id, n_bigrams, sum_score, avg_score) — avg is the
+    floor mean, 0 for docs with < 2 tokens — ordered by doc_id.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts_tbl = ds.map_batches(
+        _lm_counts_partial, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    ).groupby("key").aggregate(Sum("c", alias_name="c"))
+    model: dict[str, int] = {}
+    for b in counts_tbl.iter_batches(batch_format="pyarrow"):
+        model.update(zip(b["key"].to_pylist(),
+                         b["c"].to_numpy(zero_copy_only=False).tolist()))
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)  # object-store read, once per task
+        n = batch.num_rows
+        n_bi = np.zeros(n, np.int64)
+        s = np.zeros(n, np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = tokenize(t or "")
+            tot = 0
+            for w1, w2 in zip(toks, toks[1:]):
+                tot += (m["b\x1f" + w1 + "\x1f" + w2] * 1_000_000
+                        // m["u\x1f" + w1])
+            n_bi[i] = max(len(toks) - 1, 0)
+            s[i] = tot
+        avg = np.where(n_bi > 0, s // np.maximum(n_bi, 1), 0)
+        return pa.table({
+            "doc_id": batch[id_col],
+            "n_bigrams": pa.array(n_bi),
+            "sum_score": pa.array(s),
+            "avg_score": pa.array(avg),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
