@@ -282,6 +282,17 @@ def _sample_bottomk(sf_dir: str):
     return bottomk_sample(ds, k=100, id_col="doc_id")
 
 
+_MIX_QUOTAS = {"src0": 10, "src1": 5, "src2": 5, "src3": 2, "src4": 2}
+
+
+def _mixture_sample(sf_dir: str):
+    from docling_ray.stages.sketches import mixture_sample
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "source"])
+    return mixture_sample(ds, quotas=_MIX_QUOTAS)
+
+
 def _approx_distinct(sf_dir: str):
     """Sketched cardinalities (rows-only: approximations have no SQL
     twin; error bounds + merge-exactness pinned in tests/test_sketches)."""
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _line_dedup,
         "substring_dup": _substring_dup,
         "sample_bottomk": _sample_bottomk,
+        "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
         "lm_score": _lm_score,
@@ -1664,6 +1676,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
             "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
             "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "mixture_sample": (
+            # domain-mixture sampling: per-source bottom-quota by
+            # md5(doc_id) — deterministic dataset balancing
+            "SELECT doc_id, source, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents "
+            "WHERE source IN ('src0','src1','src2','src3','src4') "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY h) <= CASE source WHEN 'src0' THEN 10 "
+            "WHEN 'src1' THEN 5 WHEN 'src2' THEN 5 ELSE 2 END "
+            "ORDER BY source, h"
         ),
         "sample_bottomk": (
             # deterministic uniform sample: k smallest md5(doc_id) —

@@ -154,6 +154,55 @@ def bottomk_sample(
     return _local_bottomk(ds, k, id_col).sort("h").limit(k)
 
 
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+    key_col: str = "source",
+) -> "ray.data.Dataset":
+    """Deterministic domain-mixture sampling — the dataset-balancing
+    step of training-data pipelines (fix per-domain proportions before
+    training): for each domain, the ``quotas[domain]`` rows with the
+    smallest ``md5(id)``. Content-free and partitioning-invariant like
+    :func:`bottomk_sample`; per batch each PRESENT domain keeps only
+    its local bottom-quota (so the per-domain finalize sees at most
+    quota × n_batches rows), and the per-domain cut runs vectorized in
+    ``map_groups`` (domains are few by construction — the pivot
+    precondition). Domains outside ``quotas`` drop. Output:
+    (id_col, key_col, h) ordered by key_col, h."""
+    import pyarrow.compute as pc
+
+    def local(batch: pa.Table) -> pa.Table:
+        keep_idx: list[int] = []
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        dig = _md5_digests(batch[id_col])
+        hexes = np.array([d.tobytes().hex() for d in dig])
+        for dom, q in quotas.items():
+            rows = np.flatnonzero(keys == dom)
+            if rows.size:
+                order = np.argsort(hexes[rows], kind="stable")[:q]
+                keep_idx.extend(rows[order].tolist())
+        keep = pa.array(sorted(keep_idx), pa.int64())
+        sel = batch.take(keep)
+        return pa.table({
+            id_col: sel[id_col],
+            key_col: sel[key_col],
+            "h": pa.array(hexes[np.asarray(sorted(keep_idx), np.int64)]
+                          if keep_idx else [], pa.string()),
+        })
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def cut(group: pa.Table) -> pa.Table:
+        q = quotas.get(group[key_col][0].as_py(), 0)
+        idx = pc.sort_indices(group, sort_keys=[("h", "ascending")])
+        return group.take(idx[:q])
+
+    return cand.groupby(key_col).map_groups(cut, batch_format="pyarrow") \
+        .sort([key_col, "h"])
+
+
 def kmv_distinct(ds: "ray.data.Dataset", col: str,
                  k: int = 256) -> int:
     """K-minimum-values distinct estimate: with h_k = the k-th smallest

@@ -82,3 +82,26 @@ def test_bottomk_partitioning_invariant():
     b = bottomk_sample(ray.data.from_arrow(t).repartition(13),
                        k=20, id_col="doc_id").to_pandas()
     assert list(a.h) == list(b.h)
+
+
+def test_mixture_sample_quotas_and_invariance():
+    from docling_ray.stages.sketches import mixture_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(600)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(600)]),
+    })
+    quotas = {"s0": 7, "s1": 3}  # s2 drops entirely
+    a = mixture_sample(ray.data.from_arrow(t).repartition(2),
+                       quotas, key_col="source").to_pandas()
+    b = mixture_sample(ray.data.from_arrow(t).repartition(17),
+                       quotas, key_col="source").to_pandas()
+    assert list(a.doc_id) == list(b.doc_id)
+    assert a.source.value_counts().to_dict() == {"s0": 7, "s1": 3}
+    # per-source hashes are each source's true bottom-k
+    import hashlib
+    for src, q in quotas.items():
+        ids = [i for i in range(600) if f"s{i % 3}" == src]
+        want = sorted(hashlib.md5(str(i).encode()).hexdigest()
+                      for i in ids)[:q]
+        assert sorted(a[a.source == src].h) == want
