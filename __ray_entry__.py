@@ -520,6 +520,14 @@ def _pdf_outline(sf_dir: str):
                  .sort(["doc_id", "outline_idx"])
 
 
+def _curated_corpus(sf_dir: str):
+    from docling_ray.pipelines.training_data import curated_corpus
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "source"])
+    return curated_corpus(ds, quotas=_MIX_QUOTAS, lm_threshold=33_000)
+
+
 def _training_corpus(sf_dir: str):
     """Composite LLM training-data pipeline: quality gate → exact dedup →
     near-dup drop → surviving doc ids."""
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _simhash_dedup,
         "jaccard_pairs": _jaccard_pairs,
         "training_corpus": _training_corpus,
+        "curated_corpus": _curated_corpus,
         "doc_chunks": A.doc_chunks,
         "pii_scrub": _pii_scrub,
         "contamination": _contamination,
@@ -1676,6 +1685,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
             "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
             "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "curated_corpus": (
+            # full curation recipe end to end: quality gate → bigram-LM
+            # gate (model trained on the kept subset, floor-ppm mean
+            # >= 33000) → exact dedup (min doc_id per md5) → per-source
+            # bottom-quota mixture cut
+            "WITH t AS (SELECT doc_id, source, text, "
+            f"{_TOKS} AS toks FROM documents), "
+            "q AS (SELECT * FROM t WHERE len(toks) BETWEEN 5 AND 100000 "
+            f"AND floor(len(list_filter(toks, x -> list_contains("
+            f"{_STOP_SQL}, x))) * 1000000.0 "
+            "/ greatest(len(toks), 1)) >= 10000), "
+            "uc AS (SELECT w, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(toks) AS w FROM q) GROUP BY w), "
+            "b0 AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 1)) AS i FROM q), "
+            "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
+            "FROM b0), "
+            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM b "
+            "GROUP BY w1, w2), "
+            "s AS (SELECT b.doc_id, count(*)::BIGINT AS nb, "
+            "CAST(sum(bc.c * 1000000 // uc.c) AS BIGINT) AS ss "
+            "FROM b JOIN bc USING (w1, w2) JOIN uc ON uc.w = b.w1 "
+            "GROUP BY b.doc_id), "
+            "l AS (SELECT q.* FROM q JOIN s USING (doc_id) "
+            "WHERE s.nb > 0 AND s.ss // s.nb >= 33000), "
+            "e AS (SELECT min(doc_id) AS doc_id FROM l "
+            "GROUP BY md5(text)), "
+            "le AS (SELECT l.doc_id, l.source FROM l JOIN e "
+            "USING (doc_id)) "
+            "SELECT doc_id, source, "
+            "md5(CAST(doc_id AS VARCHAR)) AS h FROM le "
+            "WHERE source IN ('src0','src1','src2','src3','src4') "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY h) <= CASE source WHEN 'src0' THEN 10 "
+            "WHEN 'src1' THEN 5 WHEN 'src2' THEN 5 ELSE 2 END "
+            "ORDER BY source, h"
         ),
         "mixture_sample": (
             # domain-mixture sampling: per-source bottom-quota by

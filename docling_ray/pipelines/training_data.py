@@ -80,3 +80,93 @@ def training_corpus_survivors(
                    .select(["doc_id"]),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+def curated_corpus(
+    docs: "ray.data.Dataset",
+    quotas: dict[str, int],
+    lm_threshold: int = 33_000,
+) -> "ray.data.Dataset":
+    """End-to-end curation composite — the full pre-training data
+    recipe chained from the repo's already-oracled operators, no
+    materialization between stages:
+
+      quality gate → corpus-trained bigram-LM score gate → exact dedup
+      (min doc_id per content hash) → domain-mixture sampling.
+
+    The LM trains on the QUALITY-KEPT subset (garbage must not teach
+    the model); exact-dedup survivor ids rejoin their source column in
+    a tag co-group (Sum(tag) + Max(source) per doc_id — no broadcast of
+    corpus-scale id sets, no per-group Python); the final mixture cut
+    is the deterministic per-source bottom-quota. Output:
+    (doc_id, source, h) ordered by source, h.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from docling_ray.functions.hashing import content_md5
+    from docling_ray.stages.sketches import mixture_sample
+    from docling_ray.stages.text_quality import (_lm_counts_partial,
+                                                 quality_batch,
+                                                 tokenize)
+
+    def kept_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(quality_batch(batch)["keep"])
+
+    q = docs.map_batches(kept_rows, batch_format="pyarrow")
+
+    counts_tbl = q.map_batches(
+        _lm_counts_partial, batch_format="pyarrow",
+        fn_kwargs={"text_col": "text"},
+    ).groupby("key").aggregate(Sum("c", alias_name="c"))
+    model: dict[str, int] = {}
+    for b in counts_tbl.iter_batches(batch_format="pyarrow"):
+        model.update(zip(b["key"].to_pylist(),
+                         b["c"].to_numpy(zero_copy_only=False).tolist()))
+    import ray as _ray
+
+    model_ref = _ray.put(model)
+
+    def lm_gate(batch: pa.Table) -> pa.Table:
+        m = _ray.get(model_ref)
+        keep = []
+        for t in batch["text"].to_pylist():
+            toks = tokenize(t or "")
+            nb = max(len(toks) - 1, 0)
+            ss = sum(m["b\x1f" + w1 + "\x1f" + w2] * 1_000_000
+                     // m["u\x1f" + w1]
+                     for w1, w2 in zip(toks, toks[1:]))
+            keep.append(nb > 0 and ss // nb >= lm_threshold)
+        return batch.filter(pa.array(keep))
+
+    g = q.map_batches(lm_gate, batch_format="pyarrow")
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array([content_md5(t or "")
+                           for t in batch["text"].to_pylist()]),
+            "doc_id": batch["doc_id"],
+        })
+
+    survivors = g.map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .select_columns(["doc_id"])
+
+    # rejoin source without broadcasting corpus-scale id sets: tag
+    # co-group on doc_id (survivor=1, gated row=2 with its source)
+    tag_s = survivors.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "tag": pa.array([1] * t.num_rows, pa.int64()),
+                            "source": pa.nulls(t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    tag_g = g.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "tag": pa.array([2] * t.num_rows, pa.int64()),
+                            "source": t["source"]}),
+        batch_format="pyarrow")
+    merged = tag_s.union(tag_g).groupby("doc_id") \
+        .aggregate(Sum("tag", alias_name="tags"),
+                   Max("source", alias_name="source"))
+    final_in = merged.filter(expr="tags == 3") \
+        .select_columns(["doc_id", "source"])
+    return mixture_sample(final_in, quotas=quotas)
