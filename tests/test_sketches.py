@@ -105,3 +105,26 @@ def test_mixture_sample_quotas_and_invariance():
         want = sorted(hashlib.md5(str(i).encode()).hexdigest()
                       for i in ids)[:q]
         assert sorted(a[a.source == src].h) == want
+
+
+def test_curate_job_script(tmp_path, ray_session):
+    """The submittable curation job writes source-partitioned output
+    matching the quotas (same surface `ray job submit` drives)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [sys.executable, "jobs/curate_job.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out),
+         "--quotas", "src0=3,src1=2", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT source, count(*) FROM read_parquet("
+        f"'{out}/**/*.parquet', hive_partitioning=1) "
+        f"GROUP BY 1 ORDER BY 1").fetchall()
+    assert dict(got) == {"src0": 3, "src1": 2}
