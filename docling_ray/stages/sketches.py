@@ -114,6 +114,66 @@ def hll_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> int:
     return int(out[f"hll_distinct({col})"])
 
 
+def _mg_shrink(counters: dict, k: int) -> dict:
+    """Keep at most k-1 counters by subtracting the k-th largest weight
+    from everyone (the Misra-Gries decrement, batched)."""
+    if len(counters) < k:
+        return counters
+    weights = sorted(counters.values(), reverse=True)
+    cut = weights[k - 1]
+    return {key: c - cut for key, c in counters.items() if c > cut}
+
+
+def mg_aggregate(col: str, k: int = 64) -> "AggregateFn":
+    """Misra-Gries heavy-hitters summary as a Ray ``AggregateFn``:
+    at most k-1 (item, weight) counters whose error is bounded by N/k.
+    Map side folds whole Arrow blocks (one value_counts per block, then
+    one batched decrement); merges add counters then shrink — the
+    mergeable-summaries construction (Agarwal et al. 2012), so the
+    result is partitioning-DEPENDENT only in its weights, while the
+    guarantee (every item with true frequency > N/k survives) holds
+    under any partitioning. Only k-sized dicts ever move."""
+
+    def acc_block(counters: dict, block) -> dict:
+        t = block if isinstance(block, pa.Table) else pa.Table \
+            .from_pandas(block)
+        vc = t[col].value_counts()
+        merged = dict(counters)
+        for item, cnt in zip(vc.field("values").to_pylist(),
+                             vc.field("counts").to_pylist()):
+            merged[item] = merged.get(item, 0) + cnt
+        return _mg_shrink(merged, k)
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for key, c in b.items():
+            out[key] = out.get(key, 0) + c
+        return _mg_shrink(out, k)
+
+    return AggregateFn(
+        init=lambda _k: {},
+        merge=merge,
+        accumulate_block=acc_block,
+        finalize=lambda c: c,
+        name=f"heavy_hitters({col})",
+    )
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str,
+                  k: int = 64) -> "pa.Table":
+    """Approximate frequent items of ``ds[col]``: every item with true
+    frequency > N/k is guaranteed present; reported weights
+    underestimate true counts by at most N/k. One aggregate pass, no
+    shuffle. Output: (item, min_count) sorted by min_count desc, item."""
+    out = ds.aggregate(mg_aggregate(col, k))
+    counters = out[f"heavy_hitters({col})"]
+    items = sorted(counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    return pa.table({
+        "item": pa.array([str(i) for i, _ in items], pa.string()),
+        "min_count": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 def _md5_digests(col: "pa.ChunkedArray") -> np.ndarray:
     """16-byte md5 digests per value, as a (n, 16) uint8 matrix. Byte
     ordering of the digest equals lexicographic ordering of the hex

@@ -1,6 +1,8 @@
 """Sketch correctness: HLL/KMV error bounds, merge-exactness, and the
 deterministic bottom-k sample vs a DuckDB recomputation."""
 
+import random
+
 import duckdb
 import numpy as np
 import pyarrow as pa
@@ -128,3 +130,32 @@ def test_curate_job_script(tmp_path, ray_session):
         f"'{out}/**/*.parquet', hive_partitioning=1) "
         f"GROUP BY 1 ORDER BY 1").fetchall()
     assert dict(got) == {"src0": 3, "src1": 2}
+
+
+def test_heavy_hitters_guarantee():
+    """Misra-Gries: every item with true frequency > N/k survives, and
+    reported weights never exceed true counts nor undershoot by > N/k."""
+    from collections import Counter
+
+    from docling_ray.stages.sketches import heavy_hitters
+
+    rng = random.Random(19)
+    vals = ([7] * 4000 + [13] * 2500 + [21] * 1200
+            + [rng.randrange(10_000, 99_999) for _ in range(2300)])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    true = Counter(vals)
+    n = len(vals)
+    k = 32
+    for parts in (3, 11):
+        out = heavy_hitters(ray.data.from_arrow(t).repartition(parts),
+                            "v", k=k).to_pandas()
+        got = dict(zip(out.item, out.min_count))
+        for item, c in true.items():
+            if c > n / k:
+                assert str(item) in got, item
+        for item, w in got.items():
+            c = true[int(item)]
+            assert w <= c and c - w <= n / k, (item, w, c)
+    # the three planted heavy items lead the report
+    assert set(out.item[:3]) == {"7", "13", "21"}
