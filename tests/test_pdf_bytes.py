@@ -879,3 +879,23 @@ def test_inline_image_unsupported_stays_opaque():
     out = interpret_content(content, height=200.0, page_no=1,
                             resources=None, doc=None)
     assert out["images"] == []
+
+
+def test_macroman_base_encoding():
+    """/MacRomanEncoding text decodes through the mac_roman map (bytes
+    written here by hand — the writer never emits MacRoman, so this
+    pins the decoder side alone)."""
+    from docling_ray.stages.pdf_bytes import _simple_encoding_map
+
+    class _Doc:
+        def resolve(self, x):
+            return x
+
+    mapping, code_len = _simple_encoding_map(_Doc(), "MacRomanEncoding")
+    assert code_len == 1
+    # hand-picked MacRoman positions (public table)
+    assert mapping[0x80] == "Ä"
+    assert mapping[0x8E] == "é"
+    assert mapping[0xA5] == "•"
+    assert mapping[0xD0] == "–"
+    assert mapping[0x41] == "A"  # ASCII identity
