@@ -181,6 +181,17 @@ def _embedding_neardup(sf_dir: str):
     return out
 
 
+def _ann_sq8(sf_dir: str):
+    """Scalar-quantized ANN (rows-only: lossy by design; recall vs
+    brute force pinned in tests/test_similarity-style sq8 tests)."""
+    from docling_ray.pipelines.analytics import _query_vector
+    from docling_ray.stages.similarity import sq8_topk
+
+    ds = read_sf_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
+    return sq8_topk(ds, _query_vector(sf_dir), k=10)
+
+
 def _ann_lsh(sf_dir: str):
     import ray
 
@@ -823,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity
         "ann_topk": A.ann_brute_topk,
         "ann_lsh": _ann_lsh,
+        "ann_sq8": _ann_sq8,
         "ann_ivf": _ann_ivf,
         "embedding_neardup": _embedding_neardup,
         "embedding_norms": A.embedding_label_norms,

@@ -494,3 +494,19 @@ def test_funnel_conversions_window_semantics(ray_session):
         pq.write_table(tbl, os.path.join(d, "events.parquet"))
         got = funnel_conversions(d).to_pandas()
     assert dict(zip(got.user_id, got.n_converted)) == {1: 1, 3: 1}
+
+
+def test_sq8_topk_recall_and_invariance(ray_session):
+    """SQ8 (int8 scalar quantization, asymmetric distance): high recall
+    vs brute force at 8-bit resolution, and the codebook (per-dim
+    min/max) is partitioning-invariant so results are too."""
+    from docling_ray.stages.similarity import brute_topk, sq8_topk
+
+    ds, m = _emb_ds(n=500, dim=16, seed=4)
+    q = m[11].astype(np.float64)
+    exact = list(brute_topk(ds, q, k=10).to_pandas()["vec_id"])
+    a = sq8_topk(ds, q, k=10).to_pandas()
+    assert 11 in set(a["vec_id"])  # the query's own vector survives
+    assert len(set(exact) & set(a["vec_id"])) >= 8  # 8-bit is near-exact
+    b = sq8_topk(ds.repartition(13), q, k=10).to_pandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
