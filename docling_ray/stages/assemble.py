@@ -63,6 +63,10 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
             from docling_ray.stages.image_codec import extract_image_unit
 
             return extract_image_unit(text)
+        if kind == "audio":
+            from docling_ray.stages.audio_codec import extract_audio_unit
+
+            return extract_audio_unit(text)
         if kind == "csv":
             from docling_ray.stages.csv_extract import extract_csv
 

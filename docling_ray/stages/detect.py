@@ -99,6 +99,8 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
                     (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"):
                 # raster containers (decoded or rejected by image_codec)
                 return "image"
+            if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                return "audio"  # WAV PCM (stages/audio_codec)
             if blob[:2] == b"\x1f\x8b":
                 return "mets_gbs"  # gzipped tar container
             if blob[:4] == b"PK\x03\x04":

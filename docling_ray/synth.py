@@ -3296,6 +3296,82 @@ def pixels_to_webp(rgb_rows: list[bytes], width: int, height: int, *,
     return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def pcm_to_wav(samples: "np.ndarray", rate: int, bits: int = 16,
+               channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM, 8-bit unsigned or 16-bit signed,
+    channels duplicated from the mono input) — independent of
+    stages/audio_codec."""
+    if channels > 1:
+        samples = np.repeat(samples, channels)
+    if bits == 16:
+        pcm = samples.astype("<i2").tobytes()
+    else:
+        pcm = ((samples.astype(np.int32) >> 8) + 128) \
+            .astype(np.uint8).tobytes()
+    ba = channels * bits // 8
+    fmt = _struct.pack("<HHIIHH", 1, channels, rate, rate * ba, ba, bits)
+    chunks = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", len(pcm)) + pcm
+              + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def build_audio_doc(
+    rng: random.Random, doc_id: str,
+) -> tuple[str, list[Span], str]:
+    """One WAV audio document → (base64 payload, expected spans, status).
+    The signal is PLANNED as alternating voice/silence frame runs with
+    amplitudes cleanly above/below the VAD peak threshold (and, for the
+    8-bit variant, multiples of 256 so the byte round trip is exact);
+    the expected audio_meta/audio_segment spans derive from the PLAN,
+    never from the detector — the independent round trip."""
+    import numpy as np
+
+    rate = rng.choice([8000, 16000])
+    frame_ms = 20
+    spf = rate * frame_ms // 1000
+    runs: list[tuple[bool, int]] = []
+    voice = rng.random() < 0.5
+    for _ in range(rng.randint(2, 8)):
+        runs.append((voice, rng.randint(1, 8)))
+        voice = not voice
+    parts = []
+    for is_voice, n_frames in runs:
+        amp = (rng.choice([2560, 8192, 16384]) if is_voice
+               else rng.choice([0, 256, 1024]))
+        seg = np.full(n_frames * spf, amp, np.int16)
+        seg[1::2] = -amp  # square wave: frame peak == amp exactly
+        parts.append(seg)
+    samples = np.concatenate(parts)
+    if runs[-1][1] > 1 and rng.random() < 0.4:
+        samples = samples[: len(samples) - rng.randint(1, spf - 1)]
+    n = len(samples)
+    duration_ms = n * 1000 // rate
+    n_frames_total = (n + spf - 1) // spf
+
+    from docling_ray.functions.hashing import stable_hash64
+
+    fp = stable_hash64(samples.astype("<i2").tobytes()) \
+        & 0xFFFFFFFFFFFFFFFF
+    ref = f"wavpcm://{rate}/{n}/{fp:016x}"
+    exp: list[Span] = [("audio_meta", f"{rate}hz {duration_ms}ms", ref)]
+    f0 = 0
+    for is_voice, n_fr in runs:
+        f1 = min(f0 + n_fr, n_frames_total)
+        if is_voice and f1 > f0:
+            exp.append(("audio_segment",
+                        f"{f0 * frame_ms}-"
+                        f"{min(f1 * frame_ms, duration_ms)}", ref))
+        f0 = f1
+        if f0 >= n_frames_total:
+            break
+    bits = 8 if rng.random() < 0.3 else 16
+    channels = 2 if rng.random() < 0.3 else 1
+    data = pcm_to_wav(samples, rate, bits=bits, channels=channels)
+    return (base64.b64encode(data).decode("ascii"), exp,
+            S.STATUS_SUCCESS)
+
+
 def build_image_doc(
     rng: random.Random, doc_id: str,
 ) -> tuple[str, list[Span], str]:
@@ -3608,6 +3684,9 @@ def make_doc(
     elif r < 0.945:
         b64, exp, status = build_image_doc(rng, doc_id)
         in_spans = [("image", b64, "")]
+    elif r < 0.96:
+        b64, exp, status = build_audio_doc(rng, doc_id)
+        in_spans = [("audio", b64, "")]
     else:
         in_spans, exp = build_text_doc(rng, pool, doc_id)
     input_row = {
