@@ -3,8 +3,10 @@
 Shape parity with the reference's ``AsrPipeline``
 (``docling/pipeline/asr_pipeline.py:30`` + ``asr_transcriber.py``) and
 ``VideoPipeline`` (``docling/pipeline/video_pipeline.py:108`` +
-``docling/utils/video_frame_sampling.py``). No ASR model or ffmpeg exists
-in this container, so:
+``docling/utils/video_frame_sampling.py``). The AUDIO FRONT END is real:
+``stages/audio_codec.py`` decodes WAV PCM from scratch and runs
+energy-based voice-activity segmentation (the ``audio`` corpus kind).
+No ASR model or ffmpeg exists in this container, so for transcription:
 
   * the transcriber registry mirrors ``ocr.py`` — real engines raise
     ``NotImplementedError`` at construction; the deterministic ``fake``
