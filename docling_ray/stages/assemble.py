@@ -67,6 +67,10 @@ def extract_unit(kind: str, text: str, media_ref: str) -> tuple[list[Span], int,
             from docling_ray.stages.audio_codec import extract_audio_unit
 
             return extract_audio_unit(text)
+        if kind == "video":
+            from docling_ray.stages.video_codec import extract_video_unit
+
+            return extract_video_unit(text)
         if kind == "csv":
             from docling_ray.stages.csv_extract import extract_csv
 

@@ -101,6 +101,8 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
                 return "image"
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 return "audio"  # WAV PCM (stages/audio_codec)
+            if blob[4:8] == b"ftyp":
+                return "video"  # ISO BMFF / MP4 (stages/video_codec)
             if blob[:2] == b"\x1f\x8b":
                 return "mets_gbs"  # gzipped tar container
             if blob[:4] == b"PK\x03\x04":

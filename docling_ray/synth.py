@@ -3372,6 +3372,66 @@ def build_audio_doc(
             S.STATUS_SUCCESS)
 
 
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (_struct.pack(">I", 1) + btype
+                + _struct.pack(">Q", 16 + len(body)) + body)
+    return _struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def duration_to_mp4(duration_ms: int, width: int, height: int,
+                    mvhd_v1: bool = False,
+                    largesize_moov: bool = False) -> bytes:
+    """Minimal ISO BMFF writer: ftyp + moov{mvhd, trak{tkhd}} + empty
+    mdat — enough structure for the container walk (independent of
+    stages/video_codec). ``mvhd_v1`` writes the 64-bit-duration layout;
+    ``largesize_moov`` exercises the size==1 largesize path."""
+    timescale = 1000
+    if mvhd_v1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + _struct.pack(">IQ", timescale, duration_ms)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00" * 12
+                + _struct.pack(">II", timescale, duration_ms)
+                + b"\x00" * 80)
+    tkhd = (b"\x00" * 76
+            + _struct.pack(">II", width << 16, height << 16))
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov_body = _mp4_box(b"mvhd", mvhd) + trak
+    moov = _mp4_box(b"moov", moov_body, largesize=largesize_moov)
+    return (_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + moov + _mp4_box(b"mdat", b""))
+
+
+def build_video_doc(
+    rng: random.Random, doc_id: str,
+) -> tuple[str, list[Span], str]:
+    """One MP4 video document → (base64 payload, expected spans,
+    status). The expected keyframe schedule is re-derived HERE from the
+    chosen duration (uniform interval with a frame cap — the
+    video_frame_sampling strategy), never by calling the extractor."""
+    duration_ms = rng.randint(1_000, 900_000)
+    w = rng.choice([320, 640, 1280, 1920])
+    h = rng.choice([240, 480, 720, 1080])
+    data = duration_to_mp4(duration_ms, w, h,
+                           mvhd_v1=rng.random() < 0.4,
+                           largesize_moov=rng.random() < 0.25)
+    ref = f"mp4://{duration_ms}/{w}x{h}"
+    exp: list[Span] = [("video_meta", f"{duration_ms}ms {w}x{h}", ref)]
+    # uniform keyframe schedule, cap 64 (hand-derived, one formula)
+    interval = 5_000
+    n = duration_ms // interval + 1
+    if n > 64:
+        interval = duration_ms // 63
+        n = 64
+    for i in range(int(n)):
+        exp.append(("video_frame", str(min(i * interval, duration_ms)),
+                    ref))
+    return (base64.b64encode(data).decode("ascii"), exp,
+            S.STATUS_SUCCESS)
+
+
 def build_image_doc(
     rng: random.Random, doc_id: str,
 ) -> tuple[str, list[Span], str]:
@@ -3687,6 +3747,9 @@ def make_doc(
     elif r < 0.96:
         b64, exp, status = build_audio_doc(rng, doc_id)
         in_spans = [("audio", b64, "")]
+    elif r < 0.97:
+        b64, exp, status = build_video_doc(rng, doc_id)
+        in_spans = [("video", b64, "")]
     else:
         in_spans, exp = build_text_doc(rng, pool, doc_id)
     input_row = {
