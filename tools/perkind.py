@@ -29,7 +29,7 @@ def main(n_docs: int = 4000, seed: int = 77) -> None:
 
     def kindof(spans):
         ks = {s["kind"] for s in spans}
-        for k in ("pdf_cells", "image", "pdf", "audio", "html"):
+        for k in ("pdf_cells", "image", "pdf", "audio", "video", "html"):
             if k in ks:
                 return k
         return "media"
