@@ -710,6 +710,45 @@ def _image_meta(sf_dir: str):
     return out.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
 
 
+def _av_meta(sf_dir: str):
+    """Audio/video front-end spans per doc (stages/audio_codec +
+    stages/video_codec): WAV decode fingerprints, VAD segments, MP4
+    duration/geometry and the keyframe schedule. The oracle is the
+    generator's expected table computed from its amplitude/duration
+    PLANS — hash equality proves the decode + segmentation."""
+    import pyarrow as pa
+
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.sources.corpus import derive_corpus
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    out = extract_corpus(corpus, mode="fast")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids, seqs, kinds, texts, refs = [], [], [], [], []
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            seq = 0
+            for s in spans or []:
+                if s["kind"].startswith(("audio_", "video_")):
+                    ids.append(did)
+                    seqs.append(seq)
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    refs.append(s["media_ref"])
+                    seq += 1
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "seq": pa.array(seqs, pa.int32()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+        })
+
+    return out.map_batches(kernel, batch_format="pyarrow") \
+        .sort(["doc_id", "seq"])
+
+
 def _pii_scrub(sf_dir: str):
     """PII redaction over documents (stages/scrub.py): synthetic email +
     IPv4 columns are appended deterministically per doc (the documents
@@ -851,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "list_markers": _list_markers,
         "pdf_outline": _pdf_outline,
         "image_meta": _image_meta,
+        "av_meta": _av_meta,
         # exports
         "export_markdown": _export_markdown,
         "export_html": _export_html,
@@ -1089,6 +1129,11 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, chunk_idx, sim_e6 "
             f"FROM read_parquet('{exp}/rag_topk.parquet') "
             "ORDER BY sim_e6 DESC, doc_id, chunk_idx"
+        ),
+        "av_meta": (
+            "SELECT doc_id, seq, kind, text, media_ref "
+            f"FROM read_parquet('{exp}/av_meta.parquet') "
+            "ORDER BY doc_id, seq"
         ),
         "picture_descriptions": (
             'SELECT doc_id, "offset", media_ref, description '

@@ -49,7 +49,7 @@ _DEP_FILES = [
 
 
 # bump when the set of expected tables changes (cache layout version)
-_LAYOUT_VERSION = b"v16"
+_LAYOUT_VERSION = b"v17"
 
 
 def _fingerprint() -> str:
@@ -173,6 +173,13 @@ _IMAGE_META_SCHEMA = pa.schema([
     ("mode", pa.string()),
     ("fingerprint", pa.string()),
 ])
+_AV_META_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("seq", pa.int32()),
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+])
 _PICCLS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("offset", pa.int32()),
@@ -226,6 +233,7 @@ def ensure_expected_tables(
     outlines, picdescs, charts, markers = [], [], [], []
     formfields = []
     imgmeta, hybchunks, exp_html, exp_chunks, bboxes = [], [], [], [], []
+    avmeta = []
     rag_rows = []
     rag_query = rag_query_vector()
     feat = MediaFeatureExtractor()
@@ -299,6 +307,14 @@ def ensure_expected_tables(
                 rag_rows.append({
                     "doc_id": row["doc_id"], "chunk_idx": j,
                     "sim_e6": int(np.floor(sim * 1_000_000.0))})
+            av_seq = 0
+            for s_ in spans:
+                if s_["kind"].startswith(("audio_", "video_")):
+                    avmeta.append({"doc_id": row["doc_id"],
+                                   "seq": av_seq, "kind": s_["kind"],
+                                   "text": s_["text"],
+                                   "media_ref": s_["media_ref"]})
+                    av_seq += 1
             for s_ in spans:
                 ref = s_["media_ref"] or ""
                 if s_["kind"] == "picture" and ref.startswith("imgpx://"):
@@ -368,6 +384,8 @@ def ensure_expected_tables(
                    os.path.join(out, "form_fields.parquet"))
     pq.write_table(pa.Table.from_pylist(imgmeta, schema=_IMAGE_META_SCHEMA),
                    os.path.join(out, "image_meta.parquet"))
+    pq.write_table(pa.Table.from_pylist(avmeta, schema=_AV_META_SCHEMA),
+                   os.path.join(out, "av_meta.parquet"))
     pq.write_table(pa.Table.from_pylist(hybchunks, schema=_CHUNKS_SCHEMA),
                    os.path.join(out, "doc_chunks_hybrid.parquet"))
     pq.write_table(pa.Table.from_pylist(exp_html, schema=_EXPORT_SCHEMA),
