@@ -56,7 +56,7 @@ def test_text_and_csv_never_raise(s):
                                      "xlsx_xml", "jats", "pptx_xml",
                                      "odt_xml", "epub_xhtml", "boxnote",
                                      "latex", "uspto", "xbrl", "mets_gbs",
-                                     "image", "dclx", "doclang", "pdf",
+                                     "image", "audio", "video", "dclx", "doclang", "pdf",
                                      "epub", "csv", "docx", "xlsx", "pptx",
                                      "odt", "ods", "odp", "garbage_kind"]),
             "text": st.text(max_size=200),
