@@ -320,6 +320,14 @@ def _approx_distinct(sf_dir: str):
     })
 
 
+def _source_quality_report(sf_dir: str):
+    from docling_ray.stages.text_quality import source_quality_report
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "source"])
+    return source_quality_report(ds)
+
+
 def _lm_score(sf_dir: str):
     from docling_ray.stages.text_quality import bigram_lm_score
 
@@ -858,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
         "lm_score": _lm_score,
+        "source_quality_report": _source_quality_report,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
@@ -1796,6 +1805,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             # content-free, stable across partitioning, SQL-recomputable
             "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
             "FROM documents ORDER BY h LIMIT 100"
+        ),
+        "source_quality_report": (
+            # per-source corpus health: docs, quality keep-rate (floor
+            # ppm), token volume, distinct-content pressure
+            "WITH t AS (SELECT doc_id, source, text, "
+            f"{_TOKS} AS toks FROM documents), "
+            "q AS (SELECT source, len(toks) AS n_tokens, "
+            "(len(toks) BETWEEN 5 AND 100000 AND "
+            f"floor(len(list_filter(toks, x -> list_contains("
+            f"{_STOP_SQL}, x))) * 1000000.0 "
+            "/ greatest(len(toks), 1)) >= 10000) AS keep, "
+            "md5(text) AS h FROM t) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "* 1000000 // count(*) AS kept_ppm, "
+            "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+            "count(DISTINCT h)::BIGINT AS n_distinct "
+            "FROM q GROUP BY source ORDER BY source"
         ),
         "lm_score": (
             # corpus-trained bigram LM quality score: per-bigram

@@ -366,3 +366,80 @@ def bigram_lm_score(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def source_quality_report(
+    ds: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Corpus health report per source domain — the per-provider quality
+    dashboard every ingestion pipeline publishes: doc counts, quality
+    keep-rate (floor ppm), token volume and dedup pressure (distinct
+    content hashes vs docs). One per-batch partial + one domain-sized
+    groupby; exact-dup pressure pre-reduces as per-batch distinct
+    hashes then a (hash, source) groupby — one row per distinct hash
+    per batch. Output: (source, n_docs, n_kept, kept_ppm, sum_tokens,
+    n_distinct) ordered by source."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        t = pa.table({
+            "source": batch["source"],
+            "kept": q["keep"].cast(pa.int64()),
+            "toks": q["n_tokens"].cast(pa.int64()),
+        })
+        g = pa.TableGroupBy(t, "source").aggregate(
+            [("kept", "sum"), ("toks", "sum"), ([], "count_all")])
+        return pa.table({
+            "source": g["source"],
+            "n_kept": g["kept_sum"],
+            "sum_tokens": g["toks_sum"],
+            "n_docs": g["count_all"].cast(pa.int64()),
+        })
+
+    stats = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("source") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_kept", alias_name="n_kept"),
+                   Sum("sum_tokens", alias_name="sum_tokens"))
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "h": pa.array([content_md5(x or "")
+                           for x in batch["text"].to_pylist()]),
+            "source": batch["source"],
+        })
+        return pa.TableGroupBy(t, ["h", "source"]).aggregate([])
+
+    distinct = ds.map_batches(hash_partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["h", "source"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: pa.TableGroupBy(
+            t.select(["source"]), "source").aggregate([([], "count_all")])
+            .rename_columns(["source", "n_distinct"]),
+            batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_distinct",
+                                         alias_name="n_distinct"))
+
+    # both sides are domain-sized: a tag co-group joins them without
+    # any corpus-scale movement
+    import ray as _ray  # noqa: F401  (parity with module convention)
+
+    s_pd = stats.to_pandas().set_index("source")
+    d_pd = distinct.to_pandas().set_index("source")
+    joined = s_pd.join(d_pd, how="left").fillna(0).reset_index() \
+        .sort_values("source")
+    out = pa.table({
+        "source": pa.array(joined.source, pa.string()),
+        "n_docs": pa.array(joined.n_docs, pa.int64()),
+        "n_kept": pa.array(joined.n_kept, pa.int64()),
+        "kept_ppm": pa.array(
+            (joined.n_kept.astype("int64") * 1_000_000
+             // joined.n_docs.astype("int64")), pa.int64()),
+        "sum_tokens": pa.array(joined.sum_tokens, pa.int64()),
+        "n_distinct": pa.array(joined.n_distinct, pa.int64()),
+    })
+    import ray.data as _rd
+
+    return _rd.from_arrow(out)
