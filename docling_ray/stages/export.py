@@ -68,6 +68,12 @@ def spans_to_markdown(spans: list[dict]) -> str:
             parts.append("[x]")
         elif kind == "checkbox_unselected":
             parts.append("[ ]")
+        elif kind in ("audio_meta", "video_meta"):
+            parts.append(f"[{kind.split('_')[0]}: {text}]({ref})")
+        elif kind == "audio_segment":
+            parts.append(f"- segment {text}")
+        elif kind == "video_frame":
+            parts.append(f"- frame @{text}ms")
         # page_header / page_footer: furniture, skipped
     return "\n\n".join(parts)
 
