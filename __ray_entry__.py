@@ -1763,17 +1763,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"AND floor(len(list_filter(toks, x -> list_contains("
             f"{_STOP_SQL}, x))) * 1000000.0 "
             "/ greatest(len(toks), 1)) >= 10000), "
-            "uc AS (SELECT w, count(*)::BIGINT AS c FROM "
-            "(SELECT unnest(toks) AS w FROM q) GROUP BY w), "
+            # pruned LM (mirror of lm_train): count >= 2, then top-K
+            # by (count desc, gram asc); unseen grams contribute 0
+            "uc AS (SELECT w, c FROM (SELECT w, count(*)::BIGINT AS c "
+            "FROM (SELECT unnest(toks) AS w FROM q) GROUP BY w) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w) <= 262144), "
             "b0 AS (SELECT doc_id, toks, "
             "unnest(generate_series(1, len(toks) - 1)) AS i FROM q), "
             "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
             "FROM b0), "
-            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM b "
-            "GROUP BY w1, w2), "
+            "bc AS (SELECT w1, w2, c FROM (SELECT w1, w2, "
+            "count(*)::BIGINT AS c FROM b GROUP BY w1, w2) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w1, w2) <= 1048576), "
             "s AS (SELECT b.doc_id, count(*)::BIGINT AS nb, "
-            "CAST(sum(bc.c * 1000000 // uc.c) AS BIGINT) AS ss "
-            "FROM b JOIN bc USING (w1, w2) JOIN uc ON uc.w = b.w1 "
+            "CAST(sum(CASE WHEN bc.c IS NOT NULL AND uc.c IS NOT NULL "
+            "THEN bc.c * 1000000 // uc.c ELSE 0 END) AS BIGINT) AS ss "
+            "FROM b LEFT JOIN bc USING (w1, w2) "
+            "LEFT JOIN uc ON uc.w = b.w1 "
             "GROUP BY b.doc_id), "
             "l AS (SELECT q.* FROM q JOIN s USING (doc_id) "
             "WHERE s.nb > 0 AND s.ss // s.nb >= 33000), "
@@ -1832,17 +1840,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             # per-doc sum + floor mean
             "WITH t AS (SELECT doc_id, "
             f"{_TOKS} AS toks FROM documents), "
-            "uc AS (SELECT w, count(*)::BIGINT AS c FROM "
-            "(SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+            # pruned LM (mirror of lm_train): count >= 2, then top-K
+            # by (count desc, gram asc); unseen grams contribute 0
+            "uc AS (SELECT w, c FROM (SELECT w, count(*)::BIGINT AS c "
+            "FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w) <= 262144), "
             "b0 AS (SELECT doc_id, toks, "
             "unnest(generate_series(1, len(toks) - 1)) AS i FROM t), "
             "b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
             "FROM b0), "
-            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM b "
-            "GROUP BY w1, w2), "
+            "bc AS (SELECT w1, w2, c FROM (SELECT w1, w2, "
+            "count(*)::BIGINT AS c FROM b GROUP BY w1, w2) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w1, w2) <= 1048576), "
             "s AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, "
-            "CAST(sum(bc.c * 1000000 // uc.c) AS BIGINT) AS sum_score "
-            "FROM b JOIN bc USING (w1, w2) JOIN uc ON uc.w = b.w1 "
+            "CAST(sum(CASE WHEN bc.c IS NOT NULL AND uc.c IS NOT NULL "
+            "THEN bc.c * 1000000 // uc.c ELSE 0 END) AS BIGINT) "
+            "AS sum_score "
+            "FROM b LEFT JOIN bc USING (w1, w2) "
+            "LEFT JOIN uc ON uc.w = b.w1 "
             "GROUP BY b.doc_id) "
             "SELECT t.doc_id, "
             "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "

@@ -22,6 +22,7 @@ hash-checked end-to-end by the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -86,6 +87,9 @@ def curated_corpus(
     docs: "ray.data.Dataset",
     quotas: dict[str, int],
     lm_threshold: int = 33_000,
+    lm_min_count: int | None = None,
+    lm_vocab_topk: int | None = None,
+    lm_bigram_topk: int | None = None,
 ) -> "ray.data.Dataset":
     """End-to-end curation composite — the full pre-training data
     recipe chained from the repo's already-oracled operators, no
@@ -95,48 +99,42 @@ def curated_corpus(
       (min doc_id per content hash) → domain-mixture sampling.
 
     The LM trains on the QUALITY-KEPT subset (garbage must not teach
-    the model); exact-dedup survivor ids rejoin their source column in
-    a tag co-group (Sum(tag) + Max(source) per doc_id — no broadcast of
-    corpus-scale id sets, no per-group Python); the final mixture cut
-    is the deterministic per-source bottom-quota. Output:
+    the model) with the pruned trainer (:func:`lm_train` — min-count +
+    top-K caps, so the broadcast model is hard-bounded regardless of
+    corpus vocabulary); exact-dedup survivor ids rejoin their source
+    column in a tag co-group (Sum(tag) + Max(source) per doc_id — no
+    broadcast of corpus-scale id sets, no per-group Python); the final
+    mixture cut is the deterministic per-source bottom-quota. Output:
     (doc_id, source, h) ordered by source, h.
     """
+    import ray as _ray
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
     from docling_ray.functions.hashing import content_md5
     from docling_ray.stages.sketches import mixture_sample
-    from docling_ray.stages.text_quality import (_lm_counts_partial,
-                                                 quality_batch,
-                                                 tokenize)
+    from docling_ray.stages.text_quality import (LM_BIGRAM_TOPK,
+                                                 LM_MIN_COUNT,
+                                                 LM_VOCAB_TOPK,
+                                                 lm_score_texts,
+                                                 lm_train,
+                                                 quality_batch)
 
     def kept_rows(batch: pa.Table) -> pa.Table:
         return batch.filter(quality_batch(batch)["keep"])
 
     q = docs.map_batches(kept_rows, batch_format="pyarrow")
 
-    counts_tbl = q.map_batches(
-        _lm_counts_partial, batch_format="pyarrow",
-        fn_kwargs={"text_col": "text"},
-    ).groupby("key").aggregate(Sum("c", alias_name="c"))
-    model: dict[str, int] = {}
-    for b in counts_tbl.iter_batches(batch_format="pyarrow"):
-        model.update(zip(b["key"].to_pylist(),
-                         b["c"].to_numpy(zero_copy_only=False).tolist()))
-    import ray as _ray
-
-    model_ref = _ray.put(model)
+    model_ref = _ray.put(lm_train(
+        q, "text",
+        LM_MIN_COUNT if lm_min_count is None else lm_min_count,
+        LM_VOCAB_TOPK if lm_vocab_topk is None else lm_vocab_topk,
+        LM_BIGRAM_TOPK if lm_bigram_topk is None else lm_bigram_topk))
 
     def lm_gate(batch: pa.Table) -> pa.Table:
         m = _ray.get(model_ref)
-        keep = []
-        for t in batch["text"].to_pylist():
-            toks = tokenize(t or "")
-            nb = max(len(toks) - 1, 0)
-            ss = sum(m["b\x1f" + w1 + "\x1f" + w2] * 1_000_000
-                     // m["u\x1f" + w1]
-                     for w1, w2 in zip(toks, toks[1:]))
-            keep.append(nb > 0 and ss // nb >= lm_threshold)
+        n_bi, ss = lm_score_texts(m, batch["text"].to_pylist())
+        keep = (n_bi > 0) & (ss // np.maximum(n_bi, 1) >= lm_threshold)
         return batch.filter(pa.array(keep))
 
     g = q.map_batches(lm_gate, batch_format="pyarrow")

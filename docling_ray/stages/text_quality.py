@@ -306,57 +306,174 @@ def _lm_counts_partial(batch: pa.Table, text_col: str) -> pa.Table:
                      "c": pa.array(cnts, pa.int64())})
 
 
-def bigram_lm_score(
+# Default LM pruning bounds. min_count drops hapax grams (the long
+# tail that dominates a web corpus vocabulary); the top-K caps are the
+# HARD bound on the broadcast model regardless of corpus size — a
+# KenLM-style quality filter needs the frequent head of the
+# distribution, not the tail (CCNet prunes its LM the same way).
+LM_MIN_COUNT = 2
+LM_VOCAB_TOPK = 262_144
+LM_BIGRAM_TOPK = 1_048_576
+
+
+def _gram_digest(key: str) -> bytes:
+    """128-bit blake2b digest of a tagged gram key. The model stores
+    digests, not strings: fixed-width ``S16`` numpy arrays are
+    zero-copy out of the object store (one copy per NODE, not per
+    worker) and support vectorized ``searchsorted`` lookup. 128 bits
+    makes a collision across even a billion-entry vocabulary
+    negligible (~1e-20)."""
+    import hashlib
+
+    return hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+
+
+def _topk_counts(counts_tbl: "ray.data.Dataset", prefix: str, k: int,
+                 min_count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (count desc, key asc) rows of one tag of the aggregated
+    gram-count table, as (sorted digest S16 array, aligned int64
+    counts). Per-block partial top-k (keys are distinct post-groupby,
+    so block-local pruning is exact) keeps the sort shuffle bounded by
+    k × blocks; only k rows ever reach the driver."""
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.starts_with(t["key"], pattern=prefix),
+                       pc.greater_equal(t["c"], min_count))
+        t = t.filter(mask)
+        if t.num_rows > k:
+            idx = pc.sort_indices(
+                t, sort_keys=[("c", "descending"), ("key", "ascending")])
+            t = t.take(idx.slice(0, k))
+        return t
+
+    top = counts_tbl.map_batches(prune, batch_format="pyarrow") \
+        .sort(key=["c", "key"], descending=[True, False]).limit(k)
+    keys: list[str] = []
+    cnts: list[int] = []
+    for b in top.iter_batches(batch_format="pyarrow"):
+        keys.extend(b["key"].to_pylist())
+        cnts.extend(b["c"].to_numpy(zero_copy_only=False).tolist())
+    dig = np.frombuffer(b"".join(_gram_digest(s) for s in keys), dtype="S16")
+    c = np.asarray(cnts, dtype=np.int64)
+    order = np.argsort(dig, kind="stable")
+    return np.ascontiguousarray(dig[order]), np.ascontiguousarray(c[order])
+
+
+def lm_train(
     ds: "ray.data.Dataset",
     text_col: str = "text",
-    id_col: str = "doc_id",
-) -> "ray.data.Dataset":
-    """Statistical language-model quality scoring — the KenLM-style
-    filter of web-scale training pipelines (e.g. CCNet), rebuilt with
-    integer arithmetic so the DuckDB oracle matches bit for bit: train
-    a corpus bigram model, then score every document by the mean
-    conditional-probability of its bigrams,
-    ``score(w1,w2) = 1e6 * count(w1 w2) // count(w1)`` (floor — no
-    float log-prob; monotone in P(w2|w1), which is what a quality
-    threshold needs).
-
-    Scale shape (same as :func:`tfidf_topk`): counting is a per-batch
-    tagged partial (unigrams + bigrams in one pass) and ONE
-    vocabulary-sized groupby; the model table is vocabulary-sized, not
-    corpus-sized, gathered once and broadcast via ``ray.put`` (the
-    Bloom/top-K-vocabulary fallback documented on line_dedup applies
-    when the bigram vocabulary outgrows worker memory); the scoring
-    pass streams with no shuffle. No reference analogue (SURVEY.md §4).
-
-    Output: (doc_id, n_bigrams, sum_score, avg_score) — avg is the
-    floor mean, 0 for docs with < 2 tokens — ordered by doc_id.
-    """
-    import ray
+    min_count: int = LM_MIN_COUNT,
+    vocab_topk: int = LM_VOCAB_TOPK,
+    bigram_topk: int = LM_BIGRAM_TOPK,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Train a PRUNED corpus bigram model: (uni_keys, uni_counts,
+    bi_keys, bi_counts), keys sorted S16 digests. Counting is a
+    per-batch tagged partial + ONE vocabulary-sized groupby; pruning
+    (count >= min_count, then top-K by count desc / gram asc) happens
+    distributed, so the driver gather and the broadcast are bounded by
+    vocab_topk + bigram_topk entries no matter the corpus size —
+    unpruned web-scale vocabularies are corpus-proportional and must
+    never be broadcast."""
     from ray.data.aggregate import Sum
 
     counts_tbl = ds.map_batches(
         _lm_counts_partial, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col},
-    ).groupby("key").aggregate(Sum("c", alias_name="c"))
-    model: dict[str, int] = {}
-    for b in counts_tbl.iter_batches(batch_format="pyarrow"):
-        model.update(zip(b["key"].to_pylist(),
-                         b["c"].to_numpy(zero_copy_only=False).tolist()))
-    model_ref = ray.put(model)
+    ).groupby("key").aggregate(Sum("c", alias_name="c")).materialize()
+    uk, uc = _topk_counts(counts_tbl, "u\x1f", vocab_topk, min_count)
+    bk, bc = _topk_counts(counts_tbl, "b\x1f", bigram_topk, min_count)
+    return uk, uc, bk, bc
+
+
+def _lookup_counts(keys: np.ndarray, counts: np.ndarray,
+                   probes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (found, count) lookup of S16 probes in a sorted model
+    column. Missing probes get found=False, count=1 (safe divisor)."""
+    if len(keys) == 0 or len(probes) == 0:
+        n = len(probes)
+        return np.zeros(n, dtype=bool), np.ones(n, dtype=np.int64)
+    idx = np.searchsorted(keys, probes)
+    clip = np.minimum(idx, len(keys) - 1)
+    found = keys[clip] == probes
+    c = np.where(found, counts[clip], 1)
+    return found, c
+
+
+def lm_score_texts(
+    model: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score a batch of texts against a pruned model: per-doc
+    (n_bigrams, sum_score) where each bigram contributes
+    ``1e6 * c(w1,w2) // c(w1)`` if BOTH the bigram and its unigram
+    context survived pruning, else 0 (the unseen-gram floor). The
+    lookups and arithmetic are one vectorized pass over the whole
+    batch's gram stream."""
+    uk, uc, bk, bc = model
+    n = len(texts)
+    n_bi = np.zeros(n, np.int64)
+    hb: list[bytes] = []
+    hu: list[bytes] = []
+    offs = np.zeros(n + 1, np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t or "")
+        for w1, w2 in zip(toks, toks[1:]):
+            hb.append(_gram_digest("b\x1f" + w1 + "\x1f" + w2))
+            hu.append(_gram_digest("u\x1f" + w1))
+        n_bi[i] = max(len(toks) - 1, 0)
+        offs[i + 1] = len(hb)
+    if not hb:
+        return n_bi, np.zeros(n, np.int64)
+    hb_a = np.frombuffer(b"".join(hb), dtype="S16")
+    hu_a = np.frombuffer(b"".join(hu), dtype="S16")
+    fb, cb = _lookup_counts(bk, bc, hb_a)
+    fu, cu = _lookup_counts(uk, uc, hu_a)
+    contrib = np.where(fb & fu, cb * 1_000_000 // cu, 0)
+    csum = np.concatenate(([0], np.cumsum(contrib)))
+    return n_bi, (csum[offs[1:]] - csum[offs[:-1]]).astype(np.int64)
+
+
+def bigram_lm_score(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = LM_MIN_COUNT,
+    vocab_topk: int = LM_VOCAB_TOPK,
+    bigram_topk: int = LM_BIGRAM_TOPK,
+) -> "ray.data.Dataset":
+    """Statistical language-model quality scoring — the KenLM-style
+    filter of web-scale training pipelines (e.g. CCNet), rebuilt with
+    integer arithmetic so the DuckDB oracle matches bit for bit: train
+    a PRUNED corpus bigram model (count >= min_count, then top-K by
+    count desc / gram asc — mirrored exactly in the oracle SQL via
+    QUALIFY row_number()), then score every document by the mean
+    conditional-probability of its bigrams,
+    ``score(w1,w2) = 1e6 * count(w1 w2) // count(w1)`` (floor — no
+    float log-prob; monotone in P(w2|w1), which is what a quality
+    threshold needs); bigrams pruned out of the model contribute 0
+    (the unseen-gram floor).
+
+    Scale shape: counting is a per-batch tagged partial (unigrams +
+    bigrams in one pass) and ONE vocabulary-sized groupby; pruning is
+    distributed (per-block partial top-k, then sort+limit), so the
+    broadcast model is HARD-BOUNDED at vocab_topk + bigram_topk
+    entries regardless of corpus vocabulary — stored as sorted S16
+    digest numpy arrays (zero-copy per node out of the object store,
+    vectorized searchsorted lookup). The scoring pass streams with no
+    shuffle. No reference analogue (SURVEY.md §4).
+
+    Output: (doc_id, n_bigrams, sum_score, avg_score) — avg is the
+    floor mean, 0 for docs with < 2 tokens — ordered by doc_id.
+    """
+    import ray
+
+    model_ref = ray.put(lm_train(ds, text_col, min_count,
+                                 vocab_topk, bigram_topk))
 
     def score(batch: pa.Table) -> pa.Table:
         m = ray.get(model_ref)  # object-store read, once per task
-        n = batch.num_rows
-        n_bi = np.zeros(n, np.int64)
-        s = np.zeros(n, np.int64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            toks = tokenize(t or "")
-            tot = 0
-            for w1, w2 in zip(toks, toks[1:]):
-                tot += (m["b\x1f" + w1 + "\x1f" + w2] * 1_000_000
-                        // m["u\x1f" + w1])
-            n_bi[i] = max(len(toks) - 1, 0)
-            s[i] = tot
+        n_bi, s = lm_score_texts(m, batch[text_col].to_pylist())
         avg = np.where(n_bi > 0, s // np.maximum(n_bi, 1), 0)
         return pa.table({
             "doc_id": batch[id_col],
