@@ -42,7 +42,11 @@ _SM_M2 = np.uint64(0x94D049BB133111EB)
 
 def _hash64_column(col: "pa.ChunkedArray") -> np.ndarray:
     """Deterministic 64-bit hashes for a column: splitmix64 (fully
-    vectorized) for integer keys, blake2b for everything else."""
+    vectorized) for integer keys; for strings a vectorized polars
+    ``hash`` (zero-copy from Arrow, fixed seed — stable within a
+    polars version, which is all the rows-only HLL/KMV sketches need),
+    falling back to a blake2b loop when polars is absent; blake2b for
+    any other type."""
     if pa.types.is_integer(col.type):
         x = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
@@ -52,6 +56,14 @@ def _hash64_column(col: "pa.ChunkedArray") -> np.ndarray:
             x = (x ^ (x >> np.uint64(27))) * _SM_M2
             x = x ^ (x >> np.uint64(31))
         return x
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        try:
+            import polars as pl
+
+            return pl.from_arrow(col).hash(seed=0) \
+                .to_numpy().astype(np.uint64)
+        except ImportError:
+            pass
     digests = b"".join(
         hashlib.blake2b(str(v).encode(), digest_size=8).digest()
         for v in col.to_pylist())

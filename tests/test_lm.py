@@ -72,3 +72,17 @@ def test_bigram_lm_score_dataset_roundtrip():
     assert d1["n_bigrams"] == 3
     assert d1["sum_score"] == 3 * (4 * 1_000_000 // 6)  # yy thrice
     assert d1["avg_score"] == d1["sum_score"] // 3
+
+
+def test_hll_string_column_error_bound():
+    # string keys take the vectorized polars hash path; the error
+    # bound must hold there too (p=12 -> 3 sigma ~ 4.9%)
+    import pyarrow as pa
+
+    from docling_ray.stages.sketches import hll_distinct
+
+    n = 50_000
+    t = pa.table({"k": pa.array([f"user-{i:06d}" for i in range(n)])})
+    ds = ray.data.from_arrow(t).repartition(8)
+    est = hll_distinct(ds, "k", p=12)
+    assert abs(est - n) / n < 0.05
