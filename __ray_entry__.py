@@ -384,6 +384,7 @@ def _hyperlinks(sf_dir: str):
     from docling_ray.sources.corpus import derive_corpus
     from docling_ray.stages.html_extract import extract_links
     from docling_ray.stages.pdf_bytes import extract_pdf_links
+    from docling_ray.stages.text_extract import extract_md_links
 
     corpus = derive_corpus(sf_dir, seed=SEED)
 
@@ -397,6 +398,8 @@ def _hyperlinks(sf_dir: str):
                     found = extract_links(s["text"] or "")
                 elif s["kind"] == "pdf":
                     found = extract_pdf_links(s["text"] or "")
+                elif s["kind"] == "text":
+                    found = extract_md_links(s["text"] or "")
                 else:
                     continue
                 for text, href, region in found:

@@ -1772,30 +1772,108 @@ CODE_SNIPPETS: list[tuple[str, str]] = [
 
 def build_text_doc(
     rng: random.Random, pool: list[str], doc_id: str
-) -> tuple[list[tuple[str, str, str]], list[Span]]:
-    """Mixed markdown-ish text + media input spans → (input spans, expected)."""
+) -> tuple[list[tuple[str, str, str]], list[Span],
+           list[tuple[str, str, str]]]:
+    """Mixed markdown text + media input spans → (input spans,
+    expected spans, expected hyperlinks). Every expected span and link
+    is hand-computed HERE from the same values handed to the markdown
+    writer — never via the extractor (the round-trip discipline);
+    ``grid_media_ref`` is the pinned generator-shared serialization
+    (functions/refs.py)."""
+    from docling_ray.functions.refs import grid_media_ref
+
     input_spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
     exp: list[Span] = []
+    links: list[tuple[str, str, str]] = []
     lines: list[str] = []
     title = _sentence(rng, pool)[:-1]
     lines.append(f"# {title}")
     exp.append(("title", title, ""))
+    img_n = 0
     for _ in range(rng.randint(2, 6)):
         r = rng.random()
-        if r < 0.2:
+        if r < 0.12:
             h = _sentence(rng, pool)[:-1]
             lines.extend(["", f"## {h}"])
             exp.append(("section_header", h, ""))
-        elif r < 0.6:
+        elif r < 0.18:
+            # setext heading: underlined with = (title) or - (h2)
+            h = _sentence(rng, pool)[:-1]
+            if rng.random() < 0.5:
+                lines.extend(["", h, "=" * rng.randint(3, 8)])
+                exp.append(("title", h, ""))
+            else:
+                lines.extend(["", h, "-" * rng.randint(3, 8)])
+                exp.append(("section_header", h, ""))
+        elif r < 0.44:
             t = _para_text(rng, pool)
             lines.extend(["", t])
             exp.append(("text", t, ""))
-        elif r < 0.8:
+        elif r < 0.52:
+            # paragraph with an inline link: span keeps the anchor
+            # text, the hyperlink goes to the companion stream
+            pre = _sentence(rng, pool)
+            post = _sentence(rng, pool)
+            anchor = f"{rng.choice(pool)} {rng.choice(pool)}"
+            url = f"https://ex.test/{rng.choice(pool)}"
+            lines.extend(["", f"{pre} [{anchor}]({url}) {post}"])
+            exp.append(("text", f"{pre} {anchor} {post}", ""))
+            links.append((anchor, url, "body"))
+        elif r < 0.58:
+            # pipe table: header row, separator skipped, data rows
+            ncols = rng.randint(2, 3)
+            hdr = [rng.choice(pool) for _ in range(ncols)]
+            data = [[rng.choice(pool) for _ in range(ncols)]
+                    for _ in range(rng.randint(1, 3))]
+            lines.append("")
+            lines.append("| " + " | ".join(hdr) + " |")
+            lines.append("|" + "---|" * ncols)
+            lines.extend("| " + " | ".join(row) + " |" for row in data)
+            exp.append(("table", "", grid_media_ref([hdr] + data)))
+        elif r < 0.64:
+            # blockquote: stripped markers, one flow paragraph
+            sents = [_sentence(rng, pool)
+                     for _ in range(rng.randint(1, 2))]
+            lines.append("")
+            lines.extend(f"> {s}" for s in sents)
+            exp.append(("text", " ".join(sents), ""))
+        elif r < 0.70:
+            # inline image: picture + title caption + alt in the flow
+            ref = f"img://{doc_id}/t{img_n}"
+            img_n += 1
+            alt = (f"{rng.choice(pool)} {rng.choice(pool)}"
+                   if rng.random() < 0.7 else "")
+            cap = _sentence(rng, pool)[:-1] if rng.random() < 0.6 else ""
+            trail = _sentence(rng, pool) if rng.random() < 0.5 else ""
+            part = f"![{alt}]({ref}" + (f' "{cap}")' if cap else ")")
+            lines.extend(["", part + (f" {trail}" if trail else "")])
+            exp.append(("picture", "", ref))
+            if cap:
+                exp.append(("caption", cap, ""))
+            if alt:
+                exp.append(("text", alt, ""))
+            if trail:
+                exp.append(("text", trail, ""))
+        elif r < 0.76:
+            # embedded HTML block, delegated to the HTML extractor
+            if rng.random() < 0.5:
+                t = _sentence(rng, pool)
+                lines.extend(["", f"<p>{t}</p>"])
+                exp.append(("text", t, ""))
+            else:
+                grid = [[rng.choice(pool) for _ in range(2)]
+                        for _ in range(2)]
+                frag = "<table>" + "".join(
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                    for row in grid) + "</table>"
+                lines.extend(["", frag])
+                exp.append(("table", "", grid_media_ref(grid)))
+        elif r < 0.84:
             items = [_sentence(rng, pool) for _ in range(rng.randint(2, 4))]
             lines.append("")
             lines.extend(f"- {it}" for it in items)
             exp.extend(("list_item", it, "") for it in items)
-        elif r < 0.9:
+        elif r < 0.92:
             lang, tmpl = CODE_SNIPPETS[rng.randrange(len(CODE_SNIPPETS))]
             code = tmpl.format(n=rng.randrange(100), m=rng.randrange(9) + 2)
             lines.extend(["", "```", code, "```"])
@@ -1812,7 +1890,7 @@ def build_text_doc(
         exp.append(("picture", "", ref))
         if cap:
             exp.append(("caption", cap, ""))
-    return input_spans, exp
+    return input_spans, exp, links
 
 
 # ======================================================================
@@ -3751,7 +3829,7 @@ def make_doc(
         b64, exp, status = build_video_doc(rng, doc_id)
         in_spans = [("video", b64, "")]
     else:
-        in_spans, exp = build_text_doc(rng, pool, doc_id)
+        in_spans, exp, links = build_text_doc(rng, pool, doc_id)
     input_row = {
         "doc_id": doc_id,
         "spans": [
