@@ -3394,19 +3394,17 @@ def pcm_to_wav(samples: "np.ndarray", rate: int, bits: int = 16,
     return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def build_audio_doc(
-    rng: random.Random, doc_id: str,
-) -> tuple[str, list[Span], str]:
-    """One WAV audio document → (base64 payload, expected spans, status).
-    The signal is PLANNED as alternating voice/silence frame runs with
-    amplitudes cleanly above/below the VAD peak threshold (and, for the
-    8-bit variant, multiples of 256 so the byte round trip is exact);
-    the expected audio_meta/audio_segment spans derive from the PLAN,
-    never from the detector — the independent round trip."""
+def _plan_voice_signal(
+    rng: random.Random, rate: int, frame_ms: int = 20,
+) -> tuple["np.ndarray", list[tuple[int, int]], int]:
+    """Amplitude-PLANNED voice/silence signal → (mono int16 samples,
+    expected VAD segments [(start_ms, end_ms)], duration_ms). The runs
+    use amplitudes cleanly above/below the VAD peak threshold (and
+    multiples of 256 so the 8-bit WAV byte round trip is exact); the
+    expected segments derive from the PLAN, never from the detector —
+    the independent round trip."""
     import numpy as np
 
-    rate = rng.choice([8000, 16000])
-    frame_ms = 20
     spf = rate * frame_ms // 1000
     runs: list[tuple[bool, int]] = []
     voice = rng.random() < 0.5
@@ -3426,6 +3424,28 @@ def build_audio_doc(
     n = len(samples)
     duration_ms = n * 1000 // rate
     n_frames_total = (n + spf - 1) // spf
+    segs: list[tuple[int, int]] = []
+    f0 = 0
+    for is_voice, n_fr in runs:
+        f1 = min(f0 + n_fr, n_frames_total)
+        if is_voice and f1 > f0:
+            segs.append((f0 * frame_ms,
+                         min(f1 * frame_ms, duration_ms)))
+        f0 = f1
+        if f0 >= n_frames_total:
+            break
+    return samples, segs, duration_ms
+
+
+def build_audio_doc(
+    rng: random.Random, doc_id: str,
+) -> tuple[str, list[Span], str]:
+    """One WAV audio document → (base64 payload, expected spans, status).
+    Signal + expected segments come from :func:`_plan_voice_signal`
+    (the plan, never the detector)."""
+    rate = rng.choice([8000, 16000])
+    samples, segs, duration_ms = _plan_voice_signal(rng, rate)
+    n = len(samples)
 
     from docling_ray.functions.hashing import stable_hash64
 
@@ -3433,16 +3453,7 @@ def build_audio_doc(
         & 0xFFFFFFFFFFFFFFFF
     ref = f"wavpcm://{rate}/{n}/{fp:016x}"
     exp: list[Span] = [("audio_meta", f"{rate}hz {duration_ms}ms", ref)]
-    f0 = 0
-    for is_voice, n_fr in runs:
-        f1 = min(f0 + n_fr, n_frames_total)
-        if is_voice and f1 > f0:
-            exp.append(("audio_segment",
-                        f"{f0 * frame_ms}-"
-                        f"{min(f1 * frame_ms, duration_ms)}", ref))
-        f0 = f1
-        if f0 >= n_frames_total:
-            break
+    exp.extend(("audio_segment", f"{s}-{e}", ref) for s, e in segs)
     bits = 8 if rng.random() < 0.3 else 16
     channels = 2 if rng.random() < 0.3 else 1
     data = pcm_to_wav(samples, rate, bits=bits, channels=channels)
@@ -3457,13 +3468,59 @@ def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
     return _struct.pack(">I", 8 + len(body)) + btype + body
 
 
+def _mp4_audio_trak(n_frames: int, rate: int, fmt: str, channels: int,
+                    chunk_counts: list[int], offsets: list[int],
+                    stsz_table: bool) -> bytes:
+    """Sound trak with full sample tables for a raw-PCM track
+    (SoundSampleEntry 'twos'/'sowt'). One stsc run per chunk; stsz
+    either the constant-size fast path or an explicit table."""
+    frame_sz = 2 * channels
+    tkhd = b"\x00" * 76 + _struct.pack(">II", 0, 0)
+    mdhd = (b"\x00" * 12 + _struct.pack(">II", rate, n_frames)
+            + b"\x00" * 4)
+    hdlr = b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00"
+    entry = (_struct.pack(">I", 36) + fmt.encode("ascii")
+             + b"\x00" * 6 + _struct.pack(">H", 1)
+             + b"\x00" * 8  # version/revision/vendor
+             + _struct.pack(">HHHH", channels, 16, 0, 0)
+             + _struct.pack(">I", rate << 16))
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + _struct.pack(">I", 1) + entry)
+    stts = _mp4_box(b"stts", b"\x00" * 4
+                    + _struct.pack(">III", 1, n_frames, 1))
+    stsc = _mp4_box(b"stsc", b"\x00" * 4
+                    + _struct.pack(">I", len(chunk_counts))
+                    + b"".join(_struct.pack(">III", i + 1, c, 1)
+                               for i, c in enumerate(chunk_counts)))
+    if stsz_table:
+        stsz = _mp4_box(b"stsz", b"\x00" * 4
+                        + _struct.pack(">II", 0, n_frames)
+                        + _struct.pack(">I", frame_sz) * n_frames)
+    else:
+        stsz = _mp4_box(b"stsz", b"\x00" * 4
+                        + _struct.pack(">II", frame_sz, n_frames))
+    stco = _mp4_box(b"stco", b"\x00" * 4
+                    + _struct.pack(">I", len(offsets))
+                    + b"".join(_struct.pack(">I", o) for o in offsets))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _mp4_box(b"smhd", b"\x00" * 8)
+    minf = _mp4_box(b"minf", smhd + stbl)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"mdhd", mdhd)
+                    + _mp4_box(b"hdlr", hdlr) + minf)
+    return _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+
+
 def duration_to_mp4(duration_ms: int, width: int, height: int,
                     mvhd_v1: bool = False,
-                    largesize_moov: bool = False) -> bytes:
-    """Minimal ISO BMFF writer: ftyp + moov{mvhd, trak{tkhd}} + empty
-    mdat — enough structure for the container walk (independent of
+                    largesize_moov: bool = False,
+                    audio: tuple | None = None) -> bytes:
+    """Minimal ISO BMFF writer: ftyp + moov{mvhd, trak{tkhd}} + mdat —
+    enough structure for the container walk (independent of
     stages/video_codec). ``mvhd_v1`` writes the 64-bit-duration layout;
-    ``largesize_moov`` exercises the size==1 largesize path."""
+    ``largesize_moov`` exercises the size==1 largesize path. ``audio``
+    = (mono int16 samples, rate, fmt 'twos'/'sowt', channels,
+    n_chunks, stsz_table) adds a raw-PCM sound trak whose sample data
+    lives in the mdat (absolute stco offsets resolved in a second
+    pass — box sizes don't depend on the offset values)."""
     timescale = 1000
     if mvhd_v1:
         mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
@@ -3476,10 +3533,34 @@ def duration_to_mp4(duration_ms: int, width: int, height: int,
     tkhd = (b"\x00" * 76
             + _struct.pack(">II", width << 16, height << 16))
     trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
-    moov_body = _mp4_box(b"mvhd", mvhd) + trak
-    moov = _mp4_box(b"moov", moov_body, largesize=largesize_moov)
-    return (_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-            + moov + _mp4_box(b"mdat", b""))
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if audio is None:
+        moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak,
+                        largesize=largesize_moov)
+        return ftyp + moov + _mp4_box(b"mdat", b"")
+    samples, rate, fmt, channels, n_chunks, stsz_table = audio
+    inter = (np.repeat(samples, channels) if channels > 1 else samples)
+    pcm = inter.astype(">i2" if fmt == "twos" else "<i2").tobytes()
+    n_frames = len(samples)
+    frame_sz = 2 * channels
+    n_chunks = max(1, min(n_chunks, n_frames))
+    base = n_frames // n_chunks
+    chunk_counts = [base + (1 if i < n_frames % n_chunks else 0)
+                    for i in range(n_chunks)]
+
+    def build(offsets: list[int]) -> bytes:
+        atrak = _mp4_audio_trak(n_frames, rate, fmt, channels,
+                                chunk_counts, offsets, stsz_table)
+        return _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak + atrak,
+                        largesize=largesize_moov)
+
+    moov0 = build([0] * n_chunks)
+    mdat_off = len(ftyp) + len(moov0) + 8
+    offs, acc = [], 0
+    for c in chunk_counts:
+        offs.append(mdat_off + acc)
+        acc += c * frame_sz
+    return ftyp + build(offs) + _mp4_box(b"mdat", pcm)
 
 
 def build_video_doc(
@@ -3492,9 +3573,30 @@ def build_video_doc(
     duration_ms = rng.randint(1_000, 900_000)
     w = rng.choice([320, 640, 1280, 1920])
     h = rng.choice([240, 480, 720, 1080])
+    # half the videos carry a raw-PCM audio track (twos/sowt) demuxed
+    # into the same VAD path as WAV docs; expected segments come from
+    # the amplitude plan, the fingerprint from the planned samples
+    audio = None
+    audio_exp: list[Span] = []
+    if rng.random() < 0.5:
+        rate = rng.choice([8000, 16000])
+        samples, segs, a_dur = _plan_voice_signal(rng, rate)
+        fmt = rng.choice(["twos", "sowt"])
+        channels = 2 if rng.random() < 0.3 else 1
+        audio = (samples, rate, fmt, channels, rng.randint(1, 3),
+                 rng.random() < 0.3)
+        from docling_ray.functions.hashing import stable_hash64
+
+        fp = stable_hash64(samples.astype("<i2").tobytes()) \
+            & 0xFFFFFFFFFFFFFFFF
+        aref = f"mp4pcm://{rate}/{len(samples)}/{fp:016x}"
+        audio_exp.append(("audio_meta", f"{rate}hz {a_dur}ms", aref))
+        audio_exp.extend(("audio_segment", f"{s}-{e}", aref)
+                         for s, e in segs)
     data = duration_to_mp4(duration_ms, w, h,
                            mvhd_v1=rng.random() < 0.4,
-                           largesize_moov=rng.random() < 0.25)
+                           largesize_moov=rng.random() < 0.25,
+                           audio=audio)
     ref = f"mp4://{duration_ms}/{w}x{h}"
     exp: list[Span] = [("video_meta", f"{duration_ms}ms {w}x{h}", ref)]
     # uniform keyframe schedule, cap 64 (hand-derived, one formula)
@@ -3506,6 +3608,7 @@ def build_video_doc(
     for i in range(int(n)):
         exp.append(("video_frame", str(min(i * interval, duration_ms)),
                     ref))
+    exp.extend(audio_exp)
     return (base64.b64encode(data).decode("ascii"), exp,
             S.STATUS_SUCCESS)
 

@@ -77,3 +77,59 @@ def test_video_kind_flows_through_pipeline(ray_session):
         want = [(s["kind"], s["text"], s["media_ref"])
                 for s in row["spans"]]
         assert got[row["doc_id"]] == want
+
+
+def test_mp4_pcm_demux_literal():
+    """twos/sowt, stereo downmix, stsz table, multi-chunk stco."""
+    import base64
+    import random
+
+    import numpy as np
+
+    from docling_ray.stages.video_codec import (decode_mp4_pcm,
+                                                extract_video_unit,
+                                                parse_mp4)
+    from docling_ray.synth import duration_to_mp4
+
+    samples = np.array([1000, -1000, 2000, -2000, 50, -50, 0, 25],
+                       np.int16)
+    for fmt in ("twos", "sowt"):
+        for channels in (1, 2):
+            for stsz_table in (False, True):
+                data = duration_to_mp4(
+                    5_000, 640, 480,
+                    audio=(samples, 8000, fmt, channels, 3, stsz_table))
+                meta = parse_mp4(data)
+                assert "audio" in meta
+                got, rate = decode_mp4_pcm(data, meta["audio"])
+                assert rate == 8000
+                assert got.tolist() == samples.tolist()
+
+
+def test_mp4_audio_vad_spans():
+    import random
+
+    import numpy as np
+
+    from docling_ray.stages.audio_codec import FRAME_MS, VOICE_PEAK
+    from docling_ray.stages.video_codec import extract_video_unit
+    from docling_ray.synth import duration_to_mp4
+    import base64
+
+    rate = 8000
+    spf = rate * FRAME_MS // 1000
+    # 2 voice frames, 2 silence, 1 voice
+    sig = np.concatenate([
+        np.full(2 * spf, 8192, np.int16),
+        np.zeros(2 * spf, np.int16),
+        np.full(spf, 8192, np.int16),
+    ])
+    data = duration_to_mp4(1_000, 320, 240,
+                           audio=(sig, rate, "sowt", 1, 2, False))
+    spans, _, conf, err = extract_video_unit(
+        base64.b64encode(data).decode("ascii"))
+    assert err is None
+    seg_texts = [t for k, t, _ in spans if k == "audio_segment"]
+    assert seg_texts == ["0-40", "80-100"]
+    assert any(k == "audio_meta" and t == "8000hz 100ms"
+               for k, t, _ in spans)
