@@ -102,6 +102,70 @@ def _rows_to_pixels(rows: list[list[int]], width: int) -> np.ndarray:
     return out
 
 
+def _decode_2d_line(br: _BitReader, ref: list[int],
+                    width: int) -> list[int] | None:
+    """One 2D-coded line (shared by T.6 and T.4 K>0 lines) → changing
+    elements, or None when the stream hits EOL/EOFB at line start."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    while a0 < width:
+        # b1: first changing element on the reference line right of
+        # a0 with color opposite to a0's color; b2: the next one
+        i = 0
+        while ref[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode = _read_mode(br)
+        if mode == "EOFB":
+            if cur:
+                raise FaxError("fax: EOL mid-line")
+            return None
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            a0s = max(a0, 0)
+            r1 = _read_run(br, black=bool(color))
+            r2 = _read_run(br, black=not bool(color))
+            a1 = a0s + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise FaxError("fax: H runs overflow line")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:  # vertical
+            d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                 "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + d
+            if a1 < 0 or a1 > width:
+                raise FaxError("fax: vertical move out of line")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    if len(cur) & 1:
+        cur.append(width)
+    return cur
+
+
+def _decode_1d_line(br: _BitReader, width: int) -> list[int]:
+    """One modified-Huffman line (white run first) → changing elements."""
+    trans: list[int] = []
+    pos = 0
+    black = False
+    while pos < width:
+        run = _read_run(br, black)
+        pos += run
+        if pos > width:
+            raise FaxError("fax: run overflows line")
+        trans.append(pos)
+        black = not black
+    return trans
+
+
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     """T.6 (MMR) decode → (height, width) uint8, 1 = black."""
     if width <= 0 or height <= 0:
@@ -110,48 +174,66 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     ref: list[int] = [width, width]
     rows: list[list[int]] = []
     while len(rows) < height:
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < width:
-            # b1: first changing element on the reference line right of
-            # a0 with color opposite to a0's color; b2: the next one
-            i = 0
-            while ref[i] <= a0:
-                i += 1
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode = _read_mode(br)
-            if mode == "EOFB":
-                if cur or rows:
-                    return _finish(rows, cur, width, height)
-                raise FaxError("fax: EOFB before any data")
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                a0s = max(a0, 0)
-                r1 = _read_run(br, black=bool(color))
-                r2 = _read_run(br, black=not bool(color))
-                a1 = a0s + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    raise FaxError("fax: H runs overflow line")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:  # vertical
-                d = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + d
-                if a1 < 0 or a1 > width:
-                    raise FaxError("fax: vertical move out of line")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        if len(cur) & 1:
-            cur.append(width)
+        cur = _decode_2d_line(br, ref, width)
+        if cur is None:  # EOFB
+            if rows:
+                return _finish(rows, [], width, height)
+            raise FaxError("fax: EOFB before any data")
+        rows.append(cur)
+        ref = cur + [width, width]
+    return _rows_to_pixels(rows, width)
+
+
+def _try_consume_eol(br: _BitReader) -> bool:
+    """Consume fill zeros + one EOL (000000000001) if present at the
+    current position; restore the position and return False otherwise."""
+    save = br.pos
+    zeros = 0
+    while not br.eof() and zeros <= 4096:
+        if br.read_bit():
+            if zeros >= 11:
+                return True
+            br.pos = save
+            return False
+        zeros += 1
+    br.pos = save
+    return False
+
+
+def decode_g3(data: bytes, width: int, height: int, k: int = 0,
+              byte_align: bool = False) -> np.ndarray:
+    """ITU-T T.4 (Group 3) decode → (height, width) uint8, 1 = black.
+
+    ``k == 0``: pure one-dimensional MH lines, byte-aligned or packed
+    back to back, EOL codes (with optional fill) tolerated anywhere
+    between lines (TIFF Compression=3 1D, PDF /CCITTFaxDecode K=0
+    without EncodedByteAlign — the "unaligned MH" shape).
+    ``k > 0``: mixed mode — every line after an EOL carries a tag bit
+    (1 = 1D MH, 0 = 2D coded against the previous line, reusing the
+    T.6 machinery). Lines without a preceding EOL are legal only for
+    the leading 1D line."""
+    if width <= 0 or height <= 0:
+        raise FaxError("fax: bad dimensions")
+    br = _BitReader(data)
+    ref: list[int] = [width, width]
+    rows: list[list[int]] = []
+    while len(rows) < height:
+        if byte_align:
+            br.align_byte()
+        saw_eol = _try_consume_eol(br)
+        one_d = True
+        if k > 0:
+            if saw_eol:
+                one_d = br.read_bit() == 1
+            elif rows:
+                raise FaxError("fax: K>0 line missing EOL tag")
+        if one_d:
+            cur = _decode_1d_line(br, width)
+        else:
+            got = _decode_2d_line(br, ref, width)
+            if got is None:
+                raise FaxError("fax: unexpected EOL mid-stream")
+            cur = got
         rows.append(cur)
         ref = cur + [width, width]
     return _rows_to_pixels(rows, width)

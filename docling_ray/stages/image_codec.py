@@ -644,13 +644,18 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
         strip_counts = tags.get(279, [])
         if width <= 0 or height <= 0 or width * height > _max_pixels():
             raise ImageError(f"TIFF bad dimensions {width}x{height}")
-        if comp in (2, 4):
-            # CCITT fax (MH RLE / Group 4): bilevel strips decode via
-            # the from-scratch T.4/T.6 decoder; each strip is an
-            # independently-coded block
+        if comp in (2, 3, 4):
+            # CCITT fax (MH RLE / Group 3 / Group 4): bilevel strips
+            # decode via the from-scratch T.4/T.6 decoder; each strip
+            # is an independently-coded block. Compression 3 reads
+            # T4Options (tag 292): bit 0 = 2D (mixed K>0 lines),
+            # bit 2 = EOLs byte-aligned
             from docling_ray.stages.fax_codec import (FaxError,
+                                                      decode_g3,
                                                       decode_g4,
                                                       decode_mh_rle)
+
+            t4opts = tags.get(292, [0])[0]
 
             if spp != 1 or bits != [1]:
                 raise ImageError(
@@ -668,8 +673,15 @@ def decode_tiff(data: bytes) -> list[tuple[np.ndarray, str]]:
                 if n_rows <= 0:
                     break
                 try:
-                    dec = (decode_g4 if comp == 4 else decode_mh_rle)(
-                        data[so: so + sc], width, n_rows)
+                    strip = data[so: so + sc]
+                    if comp == 4:
+                        dec = decode_g4(strip, width, n_rows)
+                    elif comp == 3:
+                        dec = decode_g3(strip, width, n_rows,
+                                        k=(2 if t4opts & 1 else 0),
+                                        byte_align=bool(t4opts & 4))
+                    else:
+                        dec = decode_mh_rle(strip, width, n_rows)
                 except FaxError as e:
                     raise ImageError(str(e)) from None
                 parts.append(dec)

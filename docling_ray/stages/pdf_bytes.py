@@ -1681,10 +1681,12 @@ def _image_xobject_ref(doc: "PdfDocument", xo: Stream) -> str | None:
         return image_media_ref(arr.shape[1], arr.shape[0], mode,
                                arr.tobytes())
     if filters and filters[-1] == "CCITTFaxDecode":
-        # scanned-page shape: G4 (K<0) or byte-aligned MH (K=0 +
-        # EncodedByteAlign); BlackIs1 maps fax-black runs to sample 1
-        # (PDF 1.7 §7.4.6 — default false: black = sample 0)
-        from docling_ray.stages.fax_codec import (FaxError, decode_g4,
+        # scanned-page shape: G4 (K<0), byte-aligned MH (K=0 +
+        # EncodedByteAlign), unaligned 1D (K=0) or mixed 1D/2D (K>0);
+        # BlackIs1 maps fax-black runs to sample 1 (PDF 1.7 §7.4.6 —
+        # default false: black = sample 0)
+        from docling_ray.stages.fax_codec import (FaxError, decode_g3,
+                                                  decode_g4,
                                                   decode_mh_rle)
 
         pre = dict(d)
@@ -1709,7 +1711,8 @@ def _image_xobject_ref(doc: "PdfDocument", xo: Stream) -> str | None:
             elif k == 0 and aligned:
                 bits = decode_mh_rle(raw, cols, rows)
             else:
-                return None  # mixed 2D (K>0) / unaligned 1D: fall back
+                bits = decode_g3(raw, cols, rows, k=k,
+                                 byte_align=aligned)
         except FaxError:
             return None
         gray = ((bits if black1 else 1 - bits)
@@ -1797,20 +1800,25 @@ def _inline_image_ref(params: dict, payload: bytes) -> str | None:
         return image_media_ref(arr.shape[1], arr.shape[0], mode,
                                arr.tobytes())
     if last == "CCITTFaxDecode":
-        from docling_ray.stages.fax_codec import (FaxError, decode_g4,
+        from docling_ray.stages.fax_codec import (FaxError, decode_g3,
+                                                  decode_g4,
                                                   decode_mh_rle)
 
         k = int(dp.get("K", 0) or 0)
         cols = int(dp.get("Columns", 1728) or 1728)
         rows = int(dp.get("Rows", h) or h)
         black1 = bool(dp.get("BlackIs1", False))
+        align = bool(dp.get("EncodedByteAlign"))
         try:
             if k < 0:
                 bits = decode_g4(data, cols, rows)
-            elif k == 0 and dp.get("EncodedByteAlign"):
+            elif k == 0 and align:
                 bits = decode_mh_rle(data, cols, rows)
             else:
-                return None
+                # K=0 unaligned 1D (EOLs tolerated) and K>0 mixed
+                # 1D/2D (EOL + tag bit per line)
+                bits = decode_g3(data, cols, rows, k=k,
+                                 byte_align=align)
         except FaxError:
             return None
         gray = (bits if black1 else 1 - bits).astype(np.uint8) * 255

@@ -1129,15 +1129,15 @@ def pages_to_pdf_bytes(pages: list[dict],
                 )
                 continue
             if px is not None and px["codec"] == "ccitt":
-                # fax-scan payload: /CCITTFaxDecode with K/-Columns/
+                # fax-scan payload: /CCITTFaxDecode with K/Columns/
                 # Rows/BlackIs1 DecodeParms (+EncodedByteAlign for MH)
                 body = px["data"]
-                parms = (b"<< /K " + (b"-1" if px["g4"] else b"0")
+                parms = (b"<< /K " + str(px["k"]).encode()
                          + b" /Columns " + str(px["w"]).encode()
                          + b" /Rows " + str(px["h"]).encode()
                          + (b" /BlackIs1 true" if px["black1"] else b"")
-                         + (b"" if px["g4"]
-                            else b" /EncodedByteAlign true")
+                         + (b" /EncodedByteAlign true" if px["align"]
+                            else b"")
                          + b" >>")
                 img_body = (
                     b"<< /Type /XObject /Subtype /Image /Width "
@@ -1487,15 +1487,29 @@ def _make_embedded_image(rng: random.Random) -> tuple[str, dict]:
                 bits[r, x: x + run] = c
                 x += run
                 c ^= 1
-        g4 = rng.random() < 0.6
         black1 = rng.random() < 0.3
-        data = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
+        # four coding shapes: G4 (K<0), byte-aligned MH (K=0+align),
+        # unaligned 1D (K=0, EOLs optional), mixed 1D/2D (K>0)
+        shape = rng.choice(["g4", "mh", "g3_1d", "g3_2d"])
+        if shape == "g4":
+            data, k, align = fax_g4_encode(bits), -1, False
+        elif shape == "mh":
+            data, k, align = fax_mh_encode(bits), 0, True
+        elif shape == "g3_1d":
+            data = fax_g3_encode(bits, k=0,
+                                 with_eol=rng.random() < 0.5)
+            k, align = 0, False
+        else:
+            kk = rng.choice([2, 4])
+            data = fax_g3_encode(bits, k=kk)
+            k, align = kk, False
         # PDF 1.7 §7.4.6: BlackIs1 false (default) → black = sample 0
         gray = (bits if black1 else 1 - bits).astype(np.uint8) * 255
         rgb = np.repeat(gray[:, :, None], 3, axis=2)
         return (image_media_ref(w, h, "1", rgb.tobytes()),
                 {"w": w, "h": h, "mode": "bilevel", "codec": "ccitt",
-                 "data": data, "g4": g4, "black1": black1})
+                 "data": data, "k": k, "align": align,
+                 "black1": black1})
     if variant == 0:  # JPEG grayscale, constant 8x8 tiles
         w, h = rng.randrange(8, 33), rng.randrange(8, 33)
         tiles = np.frombuffer(
@@ -2263,6 +2277,59 @@ def _fax_transitions(row: "np.ndarray") -> list[int]:
     return out
 
 
+def _fax_encode_2d_line(bw: "_FaxBitWriter", cur: list[int],
+                        ref: list[int], w: int) -> None:
+    """One 2D-coded line (T.6 / T.4 K>0) against the reference line."""
+    from docling_ray.functions import faxcodes as _F
+
+    curx = cur + [w, w]
+    a0, color, ci = -1, 0, 0
+    while a0 < w:
+        i = 0
+        while ref[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        a1 = curx[ci] if ci < len(curx) else w
+        if b2 < a1:
+            bw.put(_F.MODE_CODES["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bw.put(_F.MODE_CODES[
+                "V0" if d == 0 else
+                (f"VR{d}" if d > 0 else f"VL{-d}")])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = curx[ci + 1] if ci + 1 < len(curx) else w
+            a0s = max(a0, 0)
+            bw.put(_F.MODE_CODES["H"])
+            _fax_put_run(bw, a1 - a0s, black=bool(color))
+            _fax_put_run(bw, a2 - a1, black=not bool(color))
+            a0 = a2
+            ci += 2
+
+
+def _fax_encode_1d_line(bw: "_FaxBitWriter", bits_row: "np.ndarray",
+                        w: int) -> None:
+    """One modified-Huffman line (white run first)."""
+    pos = 0
+    black = False
+    trans = _fax_transitions(bits_row) + [w]
+    for t in trans:
+        if t > w:
+            break
+        _fax_put_run(bw, t - pos, black)
+        pos = t
+        black = not black
+        if pos >= w:
+            break
+
+
 def fax_g4_encode(bits: "np.ndarray") -> bytes:
     """ITU-T T.6 (Group 4 / MMR) encoder over an (H, W) 0/1 array —
     independent of stages/fax_codec (only the functions/faxcodes tables
@@ -2274,39 +2341,42 @@ def fax_g4_encode(bits: "np.ndarray") -> bytes:
     ref = [w, w]
     for r in range(h):
         cur = _fax_transitions(bits[r])
-        curx = cur + [w, w]
-        a0, color, ci = -1, 0, 0
-        while a0 < w:
-            i = 0
-            while ref[i] <= a0:
-                i += 1
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            a1 = curx[ci] if ci < len(curx) else w
-            if b2 < a1:
-                bw.put(_F.MODE_CODES["P"])
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bw.put(_F.MODE_CODES[
-                    "V0" if d == 0 else
-                    (f"VR{d}" if d > 0 else f"VL{-d}")])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = curx[ci + 1] if ci + 1 < len(curx) else w
-                a0s = max(a0, 0)
-                bw.put(_F.MODE_CODES["H"])
-                _fax_put_run(bw, a1 - a0s, black=bool(color))
-                _fax_put_run(bw, a2 - a1, black=not bool(color))
-                a0 = a2
-                ci += 2
+        _fax_encode_2d_line(bw, cur, ref, w)
         ref = cur + [w, w]
     bw.put(_F.EOL)
     bw.put(_F.EOL)  # EOFB
+    return bw.flush()
+
+
+def fax_g3_encode(bits: "np.ndarray", k: int = 0,
+                  with_eol: bool = True,
+                  byte_align: bool = False) -> bytes:
+    """ITU-T T.4 (Group 3) encoder: ``k == 0`` writes pure 1D MH lines
+    (unaligned unless ``byte_align``); ``k > 0`` writes mixed mode —
+    every K-th line 1D, the rest 2D, each line preceded by EOL + tag
+    bit (1 = 1D, 0 = 2D). ``with_eol=False`` (k == 0 only) packs raw
+    MH lines back to back — the no-EOL unaligned shape."""
+    from docling_ray.functions import faxcodes as _F
+
+    h, w = bits.shape
+    if k > 0 and not with_eol:
+        raise ValueError("K>0 requires EOL tag bits")
+    bw = _FaxBitWriter()
+    ref = [w, w]
+    for r in range(h):
+        one_d = k == 0 or r % k == 0
+        if byte_align:
+            bw.align()
+        if with_eol:
+            bw.put(_F.EOL)
+            if k > 0:
+                bw.put("1" if one_d else "0")
+        cur = _fax_transitions(bits[r])
+        if one_d:
+            _fax_encode_1d_line(bw, bits[r], w)
+        else:
+            _fax_encode_2d_line(bw, cur, ref, w)
+        ref = cur + [w, w]
     return bw.flush()
 
 
@@ -2345,17 +2415,24 @@ def bits_to_pbm(bits: "np.ndarray", ascii_: bool = False) -> bytes:
 
 def bilevel_to_tiff(frames_bits: list["np.ndarray"], width: int,
                     height: int, g4: bool = True,
-                    compression: str = "fax") -> bytes:
+                    compression: str = "fax",
+                    g3_2d: bool = False,
+                    g3_align: bool = False) -> bytes:
     """Little-endian bilevel TIFF: BitsPerSample 1, Photometric 0
     (WhiteIsZero — the fax sense: 1 codes black), Compression 4 (G4) or
-    2 (MH RLE) when ``compression="fax"``, or 1 (raw packed rows,
-    byte-padded MSB-first) when ``compression="none"``; one strip per
-    page."""
+    2 (MH RLE) when ``compression="fax"``, Compression 3 (Group 3 with
+    per-line EOLs; ``g3_2d`` = mixed 1D/2D with tag bits, ``g3_align``
+    = byte-aligned EOLs — both recorded in T4Options) when
+    ``compression="g3"``, or 1 (raw packed rows, byte-padded MSB-first)
+    when ``compression="none"``; one strip per page."""
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_pos = 4
     for bits in frames_bits:
         if compression == "none":
             strip = np.packbits(bits, axis=1).tobytes()
+        elif compression == "g3":
+            strip = fax_g3_encode(bits, k=(4 if g3_2d else 0),
+                                  byte_align=g3_align)
         else:
             strip = fax_g4_encode(bits) if g4 else fax_mh_encode(bits)
         strip_off = len(out)
@@ -2363,17 +2440,24 @@ def bilevel_to_tiff(frames_bits: list["np.ndarray"], width: int,
         if len(out) % 2:
             out += b"\x00"
         ifd_off = len(out)
+        comp_tag = (1 if compression == "none"
+                    else 3 if compression == "g3"
+                    else (4 if g4 else 2))
         entries = [
             (256, 4, 1, width), (257, 4, 1, height),
             (258, 3, 1, 1),                 # BitsPerSample = 1
-            (259, 3, 1, 1 if compression == "none"
-             else (4 if g4 else 2)),        # Compression
+            (259, 3, 1, comp_tag),          # Compression
             (262, 3, 1, 0),                 # WhiteIsZero
             (273, 4, 1, strip_off),
             (277, 3, 1, 1),
             (278, 4, 1, height),
             (279, 4, 1, len(strip)),
         ]
+        if compression == "g3":
+            entries.append((292, 4, 1,      # T4Options
+                            (1 if g3_2d else 0)
+                            | (4 if g3_align else 0)))
+        entries.sort()
         body = bytearray(_struct.pack("<H", len(entries)))
         for tag, typ, cnt, val in entries:
             if typ == 3:
@@ -3814,8 +3898,14 @@ def build_image_doc(
                     x += run
                     c ^= 1
             frames_bits.append(bits)
-        data = bilevel_to_tiff(frames_bits, w, h,
-                               g4=rng.random() < 0.6)
+        if rng.random() < 0.35:  # Group 3 (compression 3, T4Options)
+            data = bilevel_to_tiff(frames_bits, w, h,
+                                   compression="g3",
+                                   g3_2d=rng.random() < 0.5,
+                                   g3_align=rng.random() < 0.3)
+        else:
+            data = bilevel_to_tiff(frames_bits, w, h,
+                                   g4=rng.random() < 0.6)
         refs = [image_media_ref(
             w, h, "1",
             np.repeat(((1 - bb) * 255).astype(np.uint8)[:, :, None],

@@ -246,3 +246,84 @@ def test_tiled_tiff_roundtrip():
         assert len(out) == 2
         for rgb, mode in out:
             assert mode == "RGB" and np.array_equal(rgb, want)
+
+
+def test_g3_roundtrip_all_shapes():
+    """K=0 (EOL / no-EOL / byte-aligned) and K>0 mixed 1D/2D round
+    trip through decode_g3; encoder in synth, decoder in stages."""
+    import numpy as np
+
+    from docling_ray.stages.fax_codec import decode_g3
+    from docling_ray.synth import fax_g3_encode
+
+    rng = random.Random(4242)
+    for _ in range(60):
+        w, h = rng.randrange(1, 64), rng.randrange(1, 24)
+        bits = np.zeros((h, w), np.uint8)
+        for r in range(h):
+            x = 0
+            c = rng.randrange(2)
+            while x < w:
+                run = min(rng.randrange(1, w + 1), w - x)
+                bits[r, x: x + run] = c
+                x += run
+                c ^= 1
+        for k, eol, align in ((0, True, False), (0, False, False),
+                              (0, True, True), (2, True, False),
+                              (4, True, False), (4, True, True)):
+            data = fax_g3_encode(bits, k=k, with_eol=eol,
+                                 byte_align=align)
+            got = decode_g3(data, w, h, k=k, byte_align=align)
+            assert (got == bits).all(), (w, h, k, eol, align)
+
+
+def test_g3_tiff_compression3_roundtrip():
+    """TIFF Compression=3 (1D and mixed-2D T4Options) decodes."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_tiff
+    from docling_ray.synth import bilevel_to_tiff
+
+    rng = random.Random(77)
+    for g3_2d in (False, True):
+        for g3_align in (False, True):
+            bits = (np.frombuffer(rng.randbytes(30 * 12), np.uint8)
+                    .reshape(12, 30) & 1).astype(np.uint8)
+            data = bilevel_to_tiff([bits], 30, 12, compression="g3",
+                                   g3_2d=g3_2d, g3_align=g3_align)
+            rgb, mode = decode_tiff(data)[0]
+            assert mode == "1"
+            assert np.array_equal(rgb[:, :, 0], (1 - bits) * 255)
+
+
+def test_g3_decoder_rejects_garbage():
+    import pytest
+
+    from docling_ray.stages.fax_codec import FaxError, decode_g3
+
+    with pytest.raises(FaxError):
+        decode_g3(b"\xff\xff\xff", 16, 4, k=0)
+    with pytest.raises(FaxError):
+        decode_g3(b"", 16, 4, k=4)
+
+
+def test_g3_decode_is_total():
+    """Corrupt Group-3 payloads raise FaxError/ImageError only."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import ImageError, decode_frames
+
+    rng = random.Random(9)
+    bits = (np.frombuffer(rng.randbytes(40 * 20), np.uint8)
+            .reshape(20, 40) & 1).astype(np.uint8)
+    for g3_2d in (False, True):
+        data = bytearray(bilevel_to_tiff([bits], 40, 20,
+                                         compression="g3", g3_2d=g3_2d))
+        for _ in range(150):
+            mut = bytearray(data)
+            for _k in range(rng.randrange(1, 6)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                decode_frames(bytes(mut))
+            except ImageError:
+                pass
