@@ -927,6 +927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
         "q8_market_share": A.q8_market_share,
         "q21_waiting_supplier": A.q21_waiting_supplier,
+        "q9_profit_by_nation_year": A.q9_profit_by_nation_year,
+        "q11_important_parts": A.q11_important_parts,
+        "q20_potential_promotion": A.q20_potential_promotion,
         "json_props_stats": A.json_props_stats,
         "pivot_user_events": A.pivot_user_events,
         "unpivot_user_events": A.unpivot_user_events,
@@ -1370,6 +1373,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND l3.l_suppkey <> l1.l_suppkey "
             "AND l3.ms > o_orderdate + INTERVAL 60 DAY) "
             "GROUP BY s_name ORDER BY numwait DESC, s_name"
+        ),
+        "q9_profit_by_nation_year": (
+            # Q9 shape (no partsupp): profit by supplier nation and
+            # order year; part cost stands in as retailprice * quantity
+            "SELECT n_name AS nation, "
+            "EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount) "
+            "- p_retailprice * l_quantity) * 10000) AS BIGINT) "
+            "AS profit_x10000 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE 'red%' "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+        ),
+        "q11_important_parts": (
+            # Q11 shape (no partsupp): per-part shipped value from one
+            # nation's suppliers, HAVING value > 2x the average per-part
+            # value (scale-free) — integer arithmetic on exact x100s
+            "WITH v AS (SELECT l_partkey, "
+            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) "
+            "AS value_x100 "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_1' GROUP BY l_partkey) "
+            "SELECT l_partkey, value_x100 FROM v "
+            "WHERE value_x100 * (SELECT count(*) FROM v) > "
+            "2 * (SELECT sum(value_x100) FROM v) "
+            "ORDER BY value_x100 DESC, l_partkey"
+        ),
+        "q20_potential_promotion": (
+            # Q20 shape (no partsupp): nested-IN semi-join chain —
+            # suppliers in NATION_1 that shipped > 30 units of any
+            # 'blue%' part during 1996 (exact x100 quantities)
+            "SELECT s_suppkey, s_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_1' AND s_suppkey IN ("
+            "SELECT l_suppkey FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'blue%') "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_suppkey, l_partkey "
+            "HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "> 3000) "
+            "ORDER BY s_name"
         ),
         "pivot_user_events": (
             # PIVOT: long (user, type) → wide per-user count columns

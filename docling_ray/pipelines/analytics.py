@@ -2641,3 +2641,251 @@ def full_outer_user_activity(sf_dir: str, left_type: str = "click",
 
     return both.groupby("bucket").map_groups(
         merge_bucket, batch_format="pandas").sort("user_id")
+
+def q9_profit_by_nation_year(sf_dir: str, name_prefix: str = "red",
+                             num_buckets: int = 64):
+    """TPC-H Q9 shape (schema-adapted — no partsupp): product profit by
+    supplier nation and order year. Part cost stands in as
+    ``p_retailprice * l_quantity`` (the schema's only per-part cost
+    column), so profit = extendedprice*(1-discount) - retailprice*qty.
+    The two dimension sides prune on the driver and broadcast once:
+    the name-filtered part subset (partkey → retailprice, ~1/8 of part)
+    and the supplier key → nationkey map — both sorted parallel arrays
+    for vectorized searchsorted lookup. The only fact-fact meet
+    (lineitem ⋈ orders for the order year) is ONE bucketed co-group on
+    orderkey with the lineitem side pre-aggregated per (orderkey,
+    nation) per batch — the q5/q7 pattern. Per-row profit is a single
+    IEEE subtract of two identically-computed products, so the amounts
+    are bitwise equal across engines; the sum is emitted as the exact
+    x10000 integer. Output: (nation, o_year, profit_x10000) ordered by
+    nation, o_year desc."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    names = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part.p_name.str.startswith(name_prefix)]
+    pk = part.p_partkey.to_numpy()
+    po = np.argsort(pk)
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp.s_suppkey.to_numpy()
+    so = np.argsort(sk)
+    part_ref = ray.put((pk[po], part.p_retailprice.to_numpy()[po]))
+    supp_ref = ray.put((sk[so], supp.s_nationkey.to_numpy()[so]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_quantity", "l_extendedprice", "l_discount"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        years = od.astype("M8[Y]").astype(np.int64) + 1970
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((ok % num_buckets).astype(np.int32)),
+            "key": batch["o_orderkey"],
+            "nat": pa.array(np.full(len(ok), -1, np.int64)),
+            "amt": pa.array(years.astype(np.float64)),
+        })
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        pkeys, pretail = ray.get(part_ref)
+        skeys, snat = ray.get(supp_ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkeys, lp)
+        pos_c = np.minimum(pos, len(pkeys) - 1)
+        keep = pkeys[pos_c] == lp
+        sel = batch.filter(pa.array(keep))
+        if sel.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "nat": pa.array([], pa.int64()),
+                             "amt": pa.array([], pa.float64())})
+        retail = pretail[pos_c[keep]]
+        ls = sel["l_suppkey"].to_numpy(zero_copy_only=False)
+        nat = snat[np.searchsorted(skeys, ls)]  # FK: always present
+        amt = pc.subtract(
+            pc.multiply(sel["l_extendedprice"],
+                        pc.subtract(1.0, sel["l_discount"])),
+            pc.multiply(pa.array(retail), sel["l_quantity"]))
+        g = pa.TableGroupBy(
+            pa.table({"key": sel["l_orderkey"],
+                      "nat": pa.array(nat.astype(np.int64)),
+                      "amt": amt}),
+            ["key", "nat"]).aggregate([("amt", "sum")])
+        kk = g["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((kk % num_buckets).astype(np.int32)),
+            "key": g["key"],
+            "nat": g["nat"],
+            "amt": g["amt_sum"],
+        })
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow",
+                              batch_size=65536).union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow",
+                             batch_size=65536))
+
+    def merge_bucket(group) -> pa.Table:
+        is_order = group["nat"] == -1
+        ymap = dict(zip(group.loc[is_order, "key"],
+                        group.loc[is_order, "amt"]))
+        li = group[~is_order]
+        if li.empty:
+            return pa.table({"nat": pa.array([], pa.int64()),
+                             "o_year": pa.array([], pa.int64()),
+                             "amt": pa.array([], pa.float64())})
+        years = li["key"].map(ymap).astype(np.int64)
+        g = li.assign(o_year=years).groupby(
+            ["nat", "o_year"], as_index=False).agg(amt=("amt", "sum"))
+        return pa.table({"nat": pa.array(g["nat"], pa.int64()),
+                         "o_year": pa.array(g["o_year"], pa.int64()),
+                         "amt": pa.array(g["amt"], pa.float64())})
+
+    agg = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas") \
+        .groupby(["nat", "o_year"]).aggregate(Sum("amt", alias_name="amt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": pa.array([names[int(n)]
+                                for n in t["nat"].to_pylist()],
+                               pa.string()),
+            "o_year": t["o_year"],
+            "profit_x10000": pc.round(
+                pc.multiply(t["amt"], 10_000.0), 0).cast(pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+        .sort(["nation", "o_year"], descending=[False, True])
+
+
+def q11_important_parts(sf_dir: str, nation: str = "NATION_1",
+                        mult: int = 2):
+    """TPC-H Q11 shape (schema-adapted — lineitem value stands in for
+    partsupp stock value): per-part shipped value from one nation's
+    suppliers, kept only where the part share exceeds a fraction of
+    the GLOBAL total — the group-HAVING-against-a-scalar-subquery
+    pattern. The nation's supplier keys broadcast once (a sorted
+    array); lineitem pre-sums value per partkey per batch; one
+    groupby(partkey) yields the per-part table (cardinality |part|,
+    stays distributed); the global total AND group count are scalar
+    aggregates over the exact x100 integers; the HAVING filter keeps
+    parts whose value exceeds ``mult``× the average per-part value —
+    a scale-free threshold (TPC-H scales Q11's fraction by 1/SF for
+    the same reason: any fixed fraction empties as |part| grows) in
+    pure integer arithmetic (value_x100 * count > mult * total_x100).
+    Output: (l_partkey, value_x100) ordered by value desc."""
+    nat = _read(sf_dir, "nation").to_pandas()
+    nkey = int(nat.loc[nat.n_name == nation, "n_nationkey"].iloc[0])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = np.sort(
+        supp.loc[supp.s_nationkey == nkey, "s_suppkey"].to_numpy())
+    supp_ref = ray.put(skeys)
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(supp_ref)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, ls), len(ks) - 1) \
+            if len(ks) else np.zeros(len(ls), np.int64)
+        keep = ks[pos] == ls if len(ks) else np.zeros(len(ls), bool)
+        sel = batch.filter(pa.array(keep))
+        g = pa.TableGroupBy(
+            sel.select(["l_partkey", "l_extendedprice"]),
+            "l_partkey").aggregate([("l_extendedprice", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "value": g["l_extendedprice_sum"]})
+
+    per_part = lineitem.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=65536) \
+        .groupby("l_partkey").aggregate(Sum("value", alias_name="value")) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "value_x100": pc.round(
+                pc.multiply(t["value"], 100.0), 0).cast(pa.int64()),
+        }), batch_format="pyarrow")
+    total = int(per_part.sum("value_x100") or 0)
+    n_parts = int(per_part.count())
+    # value_x100 * n > mult * total  ⟺  value_x100 ≥ cut (exact
+    # integer division — no float threshold)
+    cut = (mult * total) // max(n_parts, 1) + 1
+    return per_part.filter(expr=f"value_x100 >= {cut}") \
+        .sort(["value_x100", "l_partkey"], descending=[True, False])
+
+
+def q20_potential_promotion(sf_dir: str, name_prefix: str = "blue",
+                            nation: str = "NATION_1",
+                            qty_threshold_x100: int = 3000):
+    """TPC-H Q20 shape (schema-adapted — shipped quantity stands in for
+    partsupp availqty): the nested-IN semi-join chain. Innermost: the
+    name-filtered part keys (driver-pruned, broadcast as a sorted
+    array). Middle: lineitems of those parts shipped in 1996,
+    pre-summed per (suppkey, partkey) per batch, grouped, kept where
+    the exact x100 quantity exceeds the threshold — the grouped-HAVING
+    semi-join. Outer: the surviving supplier keys (bounded by
+    |supplier|) broadcast into a supplier scan filtered to the target
+    nation. Output: (s_suppkey, s_name) ordered by s_name."""
+    nat = _read(sf_dir, "nation").to_pandas()
+    nkey = int(nat.loc[nat.n_name == nation, "n_nationkey"].iloc[0])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(
+        part.loc[part.p_name.str.startswith(name_prefix),
+                 "p_partkey"].to_numpy())
+    part_ref = ray.put(pkeys)
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_suppkey", "l_quantity",
+                      "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(part_ref)
+        sd = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, lp), len(ks) - 1)
+        keep = (ks[pos] == lp) & (sd >= lo_us) & (sd < hi_us)
+        sel = batch.filter(pa.array(keep))
+        qty = pc.round(pc.multiply(sel["l_quantity"], 100.0), 0) \
+            .cast(pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"l_suppkey": sel["l_suppkey"],
+                      "l_partkey": sel["l_partkey"], "q": qty}),
+            ["l_suppkey", "l_partkey"]).aggregate([("q", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "l_partkey": g["l_partkey"], "q": g["q_sum"]})
+
+    winners = lineitem.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=65536) \
+        .groupby(["l_suppkey", "l_partkey"]) \
+        .aggregate(Sum("q", alias_name="q")) \
+        .filter(expr=f"q > {qty_threshold_x100}") \
+        .groupby("l_suppkey").aggregate(Count(alias_name="n"))
+    wk = np.sort(np.asarray(
+        [r["l_suppkey"] for r in winners.take_all()], np.int64))
+    wk_ref = ray.put(wk)
+
+    supplier = _read(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks = ray.get(wk_ref)
+        sel = batch.filter(pc.equal(batch["s_nationkey"], nkey))
+        sk = sel["s_suppkey"].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, sk), len(ks) - 1)
+            keep = ks[pos] == sk
+        else:
+            keep = np.zeros(len(sk), bool)
+        sel = sel.filter(pa.array(keep))
+        return sel.select(["s_suppkey", "s_name"])
+
+    return supplier.map_batches(pick, batch_format="pyarrow") \
+        .sort("s_name")
