@@ -85,13 +85,47 @@ def spans_to_text(spans: list[dict]) -> str:
     )
 
 
+def _otsl_escape(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;")
+
+
+def _otsl_unescape(t: str) -> str:
+    return t.replace("&lt;", "<").replace("&amp;", "&")
+
+
 def spans_to_doctags(spans: list[dict]) -> str:
     """Compact doctags-style serialization: <kind>text</kind> per span (the
-    reference's DocTags analogue, lossless for our span model)."""
+    reference's DocTags analogue, lossless for our span model).
+
+    Table spans carrying a canonical ``grid:`` ref serialize as OTSL
+    markup — ``<otsl><ched>h…<nl><fcel>c…<nl></otsl>`` with ``<ched>``
+    column headers on the first row, ``<fcel>`` body cells, ``<ecel>``
+    empties and ``<nl>`` row terminators — the same public table
+    vocabulary SmolDocling emits and the reference reloads through
+    docling_core ``load_from_doctags`` (vlm_pipeline.py:461-465). Cell
+    text is entity-escaped so the round trip is lossless for any cell
+    content; :func:`parse_doctags` rebuilds the canonical grid ref."""
     parts = []
     for s in spans:
-        attr = f' ref="{s["media_ref"]}"' if s["media_ref"] else ""
-        parts.append(f"<{s['kind']}{attr}>{s['text']}</{s['kind']}>")
+        kind, text, ref = s["kind"], s["text"], s["media_ref"]
+        if kind == "table" and not text and ref.startswith("grid:"):
+            try:
+                cells = json.loads(ref[len("grid:"):]).get("cells") or []
+            except (json.JSONDecodeError, AttributeError):
+                cells = None
+            if cells is not None:
+                body = []
+                for r, row in enumerate(cells):
+                    for c in row:
+                        tok = "ecel" if c == "" else \
+                            ("ched" if r == 0 else "fcel")
+                        body.append(f"<{tok}>" if tok == "ecel"
+                                    else f"<{tok}>{_otsl_escape(c)}")
+                    body.append("<nl>")
+                parts.append(f"<otsl>{''.join(body)}</otsl>")
+                continue
+        attr = f' ref="{ref}"' if ref else ""
+        parts.append(f"<{kind}{attr}>{text}</{kind}>")
     return "".join(parts)
 
 
@@ -407,15 +441,45 @@ def export_corpus(ds, fmt: str = "markdown"):
 import re as _re
 
 _DOCTAG_RE = _re.compile(
-    r"<(?P<kind>[a-z_]+)(?:\s+ref=\"(?P<ref>[^\"]*)\")?>(?P<text>.*?)</(?P=kind)>",
+    r"<otsl>(?P<otsl>.*?)</otsl>"
+    r"|<(?P<kind>[a-z_]+)(?:\s+ref=\"(?P<ref>[^\"]*)\")?>"
+    r"(?P<text>.*?)</(?P=kind)>",
     _re.DOTALL,
 )
+
+_OTSL_TOK_RE = _re.compile(r"<(fcel|ched|rhed|ecel|nl)>([^<]*)")
+
+
+def _parse_otsl(body: str) -> list[list[str]]:
+    rows: list[list[str]] = []
+    cur: list[str] = []
+    for m in _OTSL_TOK_RE.finditer(body):
+        tok, text = m.group(1), m.group(2)
+        if tok == "nl":
+            rows.append(cur)
+            cur = []
+        elif tok == "ecel":
+            cur.append("")
+        else:
+            cur.append(_otsl_unescape(text))
+    if cur:
+        rows.append(cur)
+    return rows
 
 
 def parse_doctags(raw: str) -> list[tuple[str, str, str]]:
     """DocTags string → (kind, text, media_ref) spans. Inverse of
-    :func:`spans_to_doctags` for our span model."""
-    return [
-        (m.group("kind"), m.group("text"), m.group("ref") or "")
-        for m in _DOCTAG_RE.finditer(raw)
-    ]
+    :func:`spans_to_doctags` for our span model; ``<otsl>`` table
+    markup rebuilds the canonical ``grid:`` ref via
+    :func:`~docling_ray.functions.refs.grid_media_ref`."""
+    from docling_ray.functions.refs import grid_media_ref
+
+    out = []
+    for m in _DOCTAG_RE.finditer(raw):
+        if m.group("otsl") is not None:
+            out.append(("table", "", grid_media_ref(
+                _parse_otsl(m.group("otsl")))))
+        else:
+            out.append((m.group("kind"), m.group("text"),
+                        m.group("ref") or ""))
+    return out

@@ -133,6 +133,49 @@ def test_doctags_roundtrip():
                                  ("code", "a\nb", "")]
 
 
+def test_doctags_otsl_table_roundtrip():
+    """Tables serialize as OTSL (<ched>/<fcel>/<ecel>/<nl>) and parse
+    back to the canonical grid ref — incl. empty cells, markup-looking
+    cell text, entities and ragged rows."""
+    from docling_ray.functions.refs import grid_media_ref
+
+    grid = [["h1", "", "a<b"], ["x&y", "<fcel>literal", "z"], ["tail"]]
+    spans = [
+        {"kind": "text", "text": "before", "media_ref": ""},
+        {"kind": "table", "text": "", "media_ref": grid_media_ref(grid)},
+        {"kind": "caption", "text": "after", "media_ref": ""},
+    ]
+    dt = spans_to_doctags(spans)
+    assert "<otsl>" in dt and "<ched>h1<ecel>" in dt and "<nl>" in dt
+    assert parse_doctags(dt) == [
+        ("text", "before", ""),
+        ("table", "", grid_media_ref(grid)),
+        ("caption", "after", ""),
+    ]
+
+
+def test_doctags_corpus_totalization(ray_session):
+    """Every span sequence the extractors emit round-trips through
+    doctags exactly — tables (OTSL), pictures, code, formulas, AV spans."""
+    import ray
+
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.synth import make_corpus
+
+    inp, _exp = make_corpus(150, seed=23)
+    out = extract_corpus(ray.data.from_arrow(inp)).to_pandas()
+    n_tables = 0
+    for spans in out.spans:
+        if spans is None:
+            continue
+        sl = [{"kind": s["kind"], "text": s["text"],
+               "media_ref": s["media_ref"]} for s in spans]
+        n_tables += sum(1 for s in sl if s["kind"] == "table")
+        assert parse_doctags(spans_to_doctags(sl)) == [
+            (s["kind"], s["text"], s["media_ref"]) for s in sl]
+    assert n_tables > 0  # the corpus must actually exercise OTSL
+
+
 def test_vlm_stub_stage(ray_session):
     import ray
 
