@@ -930,6 +930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation_year": A.q9_profit_by_nation_year,
         "q11_important_parts": A.q11_important_parts,
         "q20_potential_promotion": A.q20_potential_promotion,
+        "cube_revenue": A.cube_revenue,
+        "intersect_users": A.intersect_users,
+        "except_users": A.except_users,
         "json_props_stats": A.json_props_stats,
         "pivot_user_events": A.pivot_user_events,
         "unpivot_user_events": A.unpivot_user_events,
@@ -2026,6 +2029,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "o_orderpriority, o_totalprice FROM orders) "
             "GROUP BY ROLLUP (o_year, o_orderpriority) "
             "ORDER BY o_year, o_orderpriority"
+        ),
+        "cube_revenue": (
+            "SELECT COALESCE(o_year, -1) AS o_year, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice) * 100.0, 0) AS BIGINT) "
+            "AS sum_price_x100 "
+            "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "o_orderpriority, o_totalprice FROM orders) "
+            "GROUP BY CUBE (o_year, o_orderpriority) "
+            "ORDER BY o_year, o_orderpriority"
+        ),
+        "intersect_users": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'click' "
+            "INTERSECT SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' ORDER BY user_id"
+        ),
+        "except_users": (
+            # high-value threshold on side B keeps the difference
+            # non-empty (every user eventually hits every plain type)
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'click' "
+            "EXCEPT SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 99 "
+            "ORDER BY user_id"
         ),
         "user_running_value": (
             "SELECT event_id, user_id, "

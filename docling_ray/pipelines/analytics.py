@@ -2889,3 +2889,127 @@ def q20_potential_promotion(sf_dir: str, name_prefix: str = "blue",
 
     return supplier.map_batches(pick, batch_format="pyarrow") \
         .sort("s_name")
+
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (year, priority) over order revenue — ROLLUP's
+    sibling with the cross-dimensional (priority-only) level included.
+    Same two-phase shape as :func:`rollup_revenue`: only the finest
+    (year, priority) level aggregates distributed (per-batch partials →
+    small groupby); all four cube levels then re-aggregate that
+    years×priorities table driver-side (tens of rows — the documented
+    small-result exception). Subtotal keys surface as ``-1`` /
+    ``'ALL'``. Output: (o_year, o_orderpriority, n_orders,
+    sum_price_x100) ordered by the keys."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+            "price": batch["o_totalprice"],
+        })
+        g = pa.TableGroupBy(t, ["o_year", "o_orderpriority"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return pa.table({
+            "o_year": g["o_year"],
+            "o_orderpriority": g["o_orderpriority"],
+            "price": g["price_sum"],
+            "n": g["price_count"],
+        })
+
+    finest = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .groupby(["o_year", "o_orderpriority"]).aggregate(
+                   Sum("price", alias_name="price"),
+                   Sum("n", alias_name="n"))
+    f = pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
+
+    def level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = pa.TableGroupBy(tbl, keys).aggregate(
+                [("price", "sum"), ("n", "sum")])
+            cols = {k: g[k] for k in keys}
+            price, n = g["price_sum"], g["n_sum"]
+        else:
+            cols = {}
+            price = pa.array([pc.sum(tbl["price"]).as_py() or 0.0])
+            n = pa.array([pc.sum(tbl["n"]).as_py() or 0], pa.int64())
+        ny = len(price)
+        return pa.table({
+            "o_year": cols.get("o_year", pa.array([-1] * ny, pa.int64())),
+            "o_orderpriority": cols.get(
+                "o_orderpriority", pa.array(["ALL"] * ny, pa.string())),
+            "price": price,
+            "n": pc.cast(n, pa.int64()),
+        })
+
+    out = pa.concat_tables([
+        level(f, ["o_year", "o_orderpriority"]),
+        level(f, ["o_year"]),
+        level(f, ["o_orderpriority"]),
+        level(f, []),
+    ])
+    out = pa.table({
+        "o_year": out["o_year"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n_orders": out["n"],
+        "sum_price_x100": pc.round(
+            pc.multiply(out["price"], 100.0), 0).cast(pa.int64()),
+    })
+    idx = pc.sort_indices(out, sort_keys=[("o_year", "ascending"),
+                                          ("o_orderpriority", "ascending")])
+    return out.take(idx)
+
+
+def _user_type_mask(sf_dir: str, type_a: str, type_b: str,
+                    b_min_value: float | None = None):
+    """Shared kernel for INTERSECT / EXCEPT over event actors: per-batch
+    distinct (user, side-bit) partials OR-reduce into per-user side
+    flags (a = did ``type_a``, b = did ``type_b`` [optionally above a
+    value threshold]) — one groupby over |users| rows, no row-level
+    shuffle of the event log."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        is_a = et == type_a
+        is_b = et == type_b
+        if b_min_value is not None:
+            val = batch["value"].to_numpy(zero_copy_only=False)
+            is_b = is_b & (val > b_min_value)
+        keep = is_a | is_b
+        t = pa.table({"user_id": pa.array(uid[keep]),
+                      "a": pa.array(is_a[keep].astype(np.int64)),
+                      "b": pa.array(is_b[keep].astype(np.int64))})
+        g = pa.TableGroupBy(t, "user_id").aggregate(
+            [("a", "max"), ("b", "max")])
+        return pa.table({"user_id": g["user_id"],
+                         "a": g["a_max"], "b": g["b_max"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("user_id").aggregate(Max("a", alias_name="a"),
+                                      Max("b", alias_name="b"))
+
+
+def intersect_users(sf_dir: str, type_a: str = "click",
+                    type_b: str = "purchase"):
+    """INTERSECT: distinct users who performed BOTH event types. Output:
+    (user_id) ordered."""
+    return _user_type_mask(sf_dir, type_a, type_b) \
+        .filter(expr="a == 1 and b == 1") \
+        .select_columns(["user_id"]).sort("user_id")
+
+
+def except_users(sf_dir: str, type_a: str = "click",
+                 type_b: str = "purchase",
+                 b_min_value: float = 99.0):
+    """EXCEPT: distinct users who performed ``type_a`` but never a
+    high-value ``type_b`` (the value threshold keeps the difference
+    non-empty — with few users every type is eventually hit by
+    everyone). Output: (user_id) ordered."""
+    return _user_type_mask(sf_dir, type_a, type_b, b_min_value) \
+        .filter(expr="a == 1 and b == 0") \
+        .select_columns(["user_id"]).sort("user_id")
