@@ -214,6 +214,12 @@ def _ann_ivf(sf_dir: str):
     return ivf_topk(ds, _query_vector(sf_dir), k=10)
 
 
+def _kmeans_clusters(sf_dir: str):
+    from docling_ray.stages.similarity import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(sf_dir, n_clusters=8, n_iter=4)
+
+
 def _media_features(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -887,6 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "ann_sq8": _ann_sq8,
         "ann_ivf": _ann_ivf,
+        # full-corpus distributed Lloyd's k-means (iterative — no SQL
+        # analogue; blob-recovery pinned in tests/test_ops.py)
+        "kmeans_clusters": _kmeans_clusters,
         "embedding_neardup": _embedding_neardup,
         "embedding_norms": A.embedding_label_norms,
         # enrichment

@@ -522,3 +522,107 @@ def sq8_topk(
 
     return ds.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full-corpus Lloyd's) — the iterative-algorithm
+# operator the IVF coarse quantizer's bounded-sample trainer is NOT:
+# every iteration is one streaming pass over the whole dataset with the
+# centroids broadcast, per-batch partial (cluster, count, vector-sum)
+# rows reduced through a k-row groupby, and a k × dim driver update.
+# Nothing corpus-proportional ever reaches the driver: the shuffle moves
+# ≤ n_clusters rows per batch and the final take is n_clusters rows.
+# (Reference has no clustering op; this serves the training-data
+# pipeline: topic bucketing / stratified mixture inputs over embeddings.)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset", n_clusters: int = 8, n_iter: int = 4,
+    seed: int = 11, vec_col: str = "embedding", sample_rows: int = 4096,
+) -> np.ndarray:
+    """Lloyd's k-means over the full dataset. Init = the deterministic
+    bounded-sample trainer (:func:`ivf_train_centroids`); each of the
+    ``n_iter`` refinement rounds streams the corpus once. Per batch the
+    kernel computes argmin distances via one matmul and reduces to one
+    (cluster, n, vsum) row per non-empty cluster; a groupby over those
+    k-per-batch partials sums them distributed; the driver sees k rows.
+    Empty clusters keep their previous centroid. Float-sum order across
+    batches is nondeterministic at the last ulp — callers needing exact
+    reproducibility pin well-separated data (see tests)."""
+    from docling_ray.state.broadcast import read_broadcast
+
+    centroids = ivf_train_centroids(ds, n_clusters, 8, sample_rows,
+                                    seed, vec_col).astype(np.float64)
+    k = len(centroids)
+
+    for _ in range(n_iter):
+        cent_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = read_broadcast(cent_ref)
+            mat = _to_matrix(batch[vec_col]).astype(np.float64)
+            # |x-c|^2 argmin == (-2 x.c + |c|^2) argmin (|x|^2 constant/row)
+            d = mat @ cent.T * -2.0 + (cent * cent).sum(axis=1)
+            a = d.argmin(axis=1)
+            sums = np.zeros((k, cent.shape[1]), np.float64)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=k)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "vsum": pa.array(list(sums[nz])),
+            })
+
+        def reduce_group(g) -> pa.Table:
+            vs = np.stack(g["vsum"].to_numpy()).sum(axis=0)
+            return pa.table({
+                "cluster": pa.array([int(g["cluster"].iloc[0])], pa.int32()),
+                "n": pa.array([int(g["n"].sum())], pa.int64()),
+                "vsum": pa.array([vs]),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("cluster").map_groups(reduce_group,
+                                           batch_format="pandas") \
+            .take_all()
+        for r in rows:
+            if r["n"]:
+                centroids[int(r["cluster"])] = \
+                    np.asarray(r["vsum"], np.float64) / r["n"]
+    return centroids
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset", centroids: np.ndarray,
+    vec_col: str = "embedding", out_col: str = "cluster",
+) -> "ray.data.Dataset":
+    """Label every row with its nearest centroid (broadcast once)."""
+    cent_ref = ray.put(centroids.astype(np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from docling_ray.state.broadcast import read_broadcast
+
+        cent = read_broadcast(cent_ref)
+        mat = _to_matrix(batch[vec_col]).astype(np.float64)
+        d = mat @ cent.T * -2.0 + (cent * cent).sum(axis=1)
+        return batch.append_column(
+            out_col, pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_cluster_sizes(
+    sf_dir: str, n_clusters: int = 8, n_iter: int = 4, seed: int = 11,
+):
+    """Query surface: fit on the embeddings table, return per-cluster
+    membership counts — (cluster, n_members) ordered by cluster."""
+    from docling_ray.sources.tables import read_sf_table
+
+    ds = read_sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter, seed=seed)
+    from ray.data.aggregate import Count
+
+    return kmeans_assign(ds, cent).groupby("cluster") \
+        .aggregate(Count(alias_name="n_members")).sort("cluster")

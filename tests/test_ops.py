@@ -510,3 +510,38 @@ def test_sq8_topk_recall_and_invariance(ray_session):
     assert len(set(exact) & set(a["vec_id"])) >= 8  # 8-bit is near-exact
     b = sq8_topk(ds.repartition(13), q, k=10).to_pandas()
     assert list(a["vec_id"]) == list(b["vec_id"])
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    """Full-corpus Lloyd's: on well-separated blobs the fit recovers the
+    blob partition exactly and assignment counts match blob sizes."""
+    import collections
+
+    import ray
+
+    from docling_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    sizes = [200, 150, 250]
+    pts, blob_id = [], []
+    for i, (c, n) in enumerate(zip(centers, sizes)):
+        pts.append(c + rng.randn(n, 8) * 0.1)
+        blob_id += [i] * n
+    mat = np.concatenate(pts)
+    blob = np.asarray(blob_id)
+    order = rng.permutation(len(mat))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(mat))),     # vec_id i ↔ mat[order[i]]
+        "embedding": pa.array(list(mat[order].astype(np.float32))),
+    })).repartition(6)
+    cent = kmeans_fit(ds, n_clusters=3, n_iter=4, seed=11)
+    got = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    lab = got.cluster.to_numpy()
+    true_blob = blob[order][got.vec_id.to_numpy()]
+    # pure partition: each k-means cluster pairs with exactly one blob
+    by_cluster = collections.defaultdict(set)
+    for cl, bl in zip(lab.tolist(), true_blob.tolist()):
+        by_cluster[cl].add(bl)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert sorted(collections.Counter(lab.tolist()).values()) == sorted(sizes)
