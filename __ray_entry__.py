@@ -220,6 +220,14 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(sf_dir, n_clusters=8, n_iter=4)
 
 
+def _semantic_dedup(sf_dir: str):
+    from docling_ray.stages.similarity import semantic_dedup
+
+    ds = read_sf_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=8, threshold=0.99).sort("vec_id")
+
+
 def _media_features(sf_dir: str):
     from docling_ray.pipelines.extract import extract_corpus
     from docling_ray.sources.corpus import derive_corpus
@@ -896,6 +904,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-corpus distributed Lloyd's k-means (iterative — no SQL
         # analogue; blob-recovery pinned in tests/test_ops.py)
         "kmeans_clusters": _kmeans_clusters,
+        # SemDeDup composite (k-means + in-cluster cosine pruning;
+        # planted-near-dup pruning pinned in tests/test_ops.py)
+        "semantic_dedup": _semantic_dedup,
         "embedding_neardup": _embedding_neardup,
         "embedding_norms": A.embedding_label_norms,
         # enrichment

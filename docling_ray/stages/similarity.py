@@ -626,3 +626,53 @@ def kmeans_cluster_sizes(
 
     return kmeans_assign(ds, cent).groupby("cluster") \
         .aggregate(Count(alias_name="n_members")).sort("cluster")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset", n_clusters: int = 16, threshold: float = 0.97,
+    n_iter: int = 4, seed: int = 11, id_col: str = "vec_id",
+    vec_col: str = "embedding", chunk: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means buckets bound the quadratic, then each
+    cluster prunes members whose cosine similarity to a LOWER-id member
+    exceeds ``threshold`` (keep-first by id — deterministic within a
+    cluster). The pairwise pass runs inside ``groupby(cluster)``
+    co-groups as chunked matmuls (``chunk`` rows vs the cluster), so
+    worker memory stays O(chunk × m) even for hot clusters; nothing
+    quadratic in the corpus ever forms. Returns the surviving
+    (id, cluster) rows."""
+    cent = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter, seed=seed,
+                      vec_col=vec_col)
+    labeled = kmeans_assign(ds, cent, vec_col=vec_col)
+
+    def prune(group) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(group[vec_col].to_numpy()).astype(np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        m = len(ids)
+        drop = np.zeros(m, bool)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = mat[lo:hi] @ mat.T          # (hi-lo, m)
+            for r in range(lo, hi):
+                if drop[r]:
+                    continue
+                # earlier (lower-id) kept member too similar → drop r
+                row = sims[r - lo, :r]
+                if len(row) and (row[~drop[:r]] > threshold).any():
+                    drop[r] = True
+        keep = ~drop
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "cluster": pa.array(
+                np.full(int(keep.sum()),
+                        int(group["cluster"].iloc[0]), np.int32)),
+        })
+
+    return labeled.groupby("cluster").map_groups(prune,
+                                                 batch_format="pandas")

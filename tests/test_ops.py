@@ -545,3 +545,31 @@ def test_kmeans_recovers_separated_blobs(ray_session):
         by_cluster[cl].add(bl)
     assert all(len(v) == 1 for v in by_cluster.values())
     assert sorted(collections.Counter(lab.tolist()).values()) == sorted(sizes)
+
+
+def test_semantic_dedup_prunes_planted_neardups(ray_session):
+    """SemDeDup composite: planted near-identical vectors collapse to
+    their lowest id (greedy keep-first chain semantics); distinct
+    vectors survive — across well-separated blobs."""
+    import ray
+
+    from docling_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = []
+    for c in ([0.0] * 8, [10.0] * 8, [-10.0] * 8):
+        base.append(np.asarray(c) + rng.randn(20, 8))
+    mat = np.concatenate(base)                      # ids 0..59 distinct
+    dup_of = {60: 5, 61: 5, 62: 33, 63: 50}          # near-copies
+    dups = np.stack([mat[src] + rng.randn(8) * 1e-4
+                     for src in dup_of.values()])
+    allm = np.concatenate([mat, dups]).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(allm))),
+        "embedding": pa.array(list(allm)),
+    })).repartition(4)
+    kept = semantic_dedup(ds, n_clusters=3, threshold=0.999999,
+                          seed=11).to_pandas()
+    ids = set(kept.vec_id)
+    assert set(range(60)) <= ids            # every original survives
+    assert ids.isdisjoint(dup_of)           # every near-copy pruned
