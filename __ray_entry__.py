@@ -951,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": A.q11_important_parts,
         "q20_potential_promotion": A.q20_potential_promotion,
         "cube_revenue": A.cube_revenue,
+        "pack_sequences": A.pack_sequences,
         "intersect_users": A.intersect_users,
         "except_users": A.except_users,
         "json_props_stats": A.json_props_stats,
@@ -2060,6 +2061,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "o_orderpriority, o_totalprice FROM orders) "
             "GROUP BY CUBE (o_year, o_orderpriority) "
             "ORDER BY o_year, o_orderpriority"
+        ),
+        "pack_sequences": (
+            # concat-and-chunk sequence packing: global token stream in
+            # doc_id order cut into 2048-token bins (integer window fn)
+            "WITH t AS (SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) "
+            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t) "
+            "SELECT doc_id, n_tokens, s // 2048 AS bin_id, "
+            "s % 2048 AS bin_offset FROM c ORDER BY doc_id"
         ),
         "intersect_users": (
             "SELECT DISTINCT user_id FROM events "

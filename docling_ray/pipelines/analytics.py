@@ -3013,3 +3013,61 @@ def except_users(sf_dir: str, type_a: str = "click",
     return _user_type_mask(sf_dir, type_a, type_b, b_min_value) \
         .filter(expr="a == 1 and b == 0") \
         .select_columns(["user_id"]).sort("user_id")
+
+def pack_sequences(sf_dir: str, budget: int = 2048, num_buckets: int = 64):
+    """Sequence packing — the concat-and-chunk layout LLM training uses:
+    documents in doc_id order form one global token stream cut into
+    fixed-``budget`` context windows; each doc is labeled with the bin
+    and offset where it starts. The global prefix sum is the classic
+    two-phase distributed scan with NO global sort: docs range-bucket by
+    id (contiguous id ranges → ordered buckets), a per-bucket token
+    total (B rows) comes to the driver to form exclusive bucket
+    offsets, and each bucket then cumsums internally and adds its
+    offset. The tokenized stats table (3 ints/doc) is materialized
+    between the two phases so the corpus text is read exactly once.
+    Token definition matches token_stats ([a-z0-9]+ on lowercased
+    text); all arithmetic integer — the oracle mirrors it with one SQL
+    window function. Output: (doc_id, n_tokens, bin_id, bin_offset)
+    ordered by doc_id."""
+    from docling_ray.functions.hashing import tokenize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_ids = int(docs.max("doc_id")) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = np.fromiter(
+            (len(tokenize(t or "")) for t in batch["text"].to_pylist()),
+            np.int64, len(ids))
+        return pa.table({
+            "bucket": pa.array((ids * num_buckets // n_ids)
+                               .astype(np.int32)),
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+        })
+
+    toks = docs.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+
+    totals = toks.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="tot")).to_pandas() \
+        .sort_values("bucket")
+    starts = np.concatenate([[0], np.cumsum(totals.tot.to_numpy())[:-1]])
+    off_ref = ray.put(dict(zip(totals.bucket.astype(int), starts)))
+
+    def per_bucket(group) -> pa.Table:
+        offs = ray.get(off_ref)
+        g = group.sort_values("doc_id", kind="mergesort")
+        n_tok = g["n_tokens"].to_numpy()
+        start = int(offs[int(g["bucket"].iloc[0])]) \
+            + np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "bin_id": pa.array(start // budget, pa.int64()),
+            "bin_offset": pa.array(start % budget, pa.int64()),
+        })
+
+    return toks.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas") \
+        .sort("doc_id")
