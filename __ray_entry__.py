@@ -349,6 +349,14 @@ def _lm_score(sf_dir: str):
     return bigram_lm_score(ds).sort("doc_id")
 
 
+def _dsir_weights(sf_dir: str):
+    from docling_ray.stages.text_quality import dsir_weights
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "lang"])
+    return dsir_weights(ds).sort("doc_id")
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -883,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
         "lm_score": _lm_score,
+        "dsir_weights": _dsir_weights,
         "source_quality_report": _source_quality_report,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
@@ -1944,6 +1953,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "CAST(CASE WHEN coalesce(s.n_bigrams, 0) > 0 "
             "THEN s.sum_score // s.n_bigrams ELSE 0 END AS BIGINT) "
             "AS avg_score "
+            "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "dsir_weights": (
+            # DSIR-style importance weight: target-model (lang='en')
+            # bigram sum-score minus source-model (all docs) sum-score;
+            # each model pruned exactly like lm_train (count >= 2 then
+            # top-K by count desc / gram asc); all integer arithmetic
+            "WITH t AS (SELECT doc_id, lang, "
+            f"{_TOKS} AS toks FROM documents), "
+            "b0 AS (SELECT doc_id, lang, toks, "
+            "unnest(generate_series(1, len(toks) - 1)) AS i FROM t), "
+            "b AS (SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2 "
+            "FROM b0), "
+            "uc_s AS (SELECT w, c FROM (SELECT w, count(*)::BIGINT AS c "
+            "FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w) <= 262144), "
+            "bc_s AS (SELECT w1, w2, c FROM (SELECT w1, w2, "
+            "count(*)::BIGINT AS c FROM b GROUP BY w1, w2) "
+            "WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w1, w2) <= 1048576), "
+            "uc_t AS (SELECT w, c FROM (SELECT w, count(*)::BIGINT AS c "
+            "FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') "
+            "GROUP BY w) WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w) <= 262144), "
+            "bc_t AS (SELECT w1, w2, c FROM (SELECT w1, w2, "
+            "count(*)::BIGINT AS c FROM b WHERE lang = 'en' "
+            "GROUP BY w1, w2) WHERE c >= 2 QUALIFY row_number() OVER "
+            "(ORDER BY c DESC, w1, w2) <= 1048576), "
+            "s AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "CAST(sum(CASE WHEN bt.c IS NOT NULL AND ut.c IS NOT NULL "
+            "THEN bt.c * 1000000 // ut.c ELSE 0 END) "
+            "- sum(CASE WHEN bs.c IS NOT NULL AND us.c IS NOT NULL "
+            "THEN bs.c * 1000000 // us.c ELSE 0 END) AS BIGINT) "
+            "AS weight "
+            "FROM b "
+            "LEFT JOIN bc_t bt ON bt.w1 = b.w1 AND bt.w2 = b.w2 "
+            "LEFT JOIN uc_t ut ON ut.w = b.w1 "
+            "LEFT JOIN bc_s bs ON bs.w1 = b.w1 AND bs.w2 = b.w2 "
+            "LEFT JOIN uc_s us ON us.w = b.w1 "
+            "GROUP BY b.doc_id) "
+            "SELECT t.doc_id, "
+            "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "
+            "coalesce(s.weight, 0)::BIGINT AS weight "
             "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
         ),
         "tfidf_topk": (

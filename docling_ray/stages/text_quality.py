@@ -560,3 +560,50 @@ def source_quality_report(
     import ray.data as _rd
 
     return _rd.from_arrow(out)
+
+
+def dsir_weights(
+    ds: "ray.data.Dataset",
+    target_col: str = "lang",
+    target_val: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = LM_MIN_COUNT,
+    vocab_topk: int = LM_VOCAB_TOPK,
+    bigram_topk: int = LM_BIGRAM_TOPK,
+) -> "ray.data.Dataset":
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more
+    target-like than corpus-average its bigrams read. Two PRUNED bigram
+    models train the same way as :func:`bigram_lm_score` — one on the
+    target slice (rows where ``target_col == target_val``), one on the
+    whole corpus — and the weight is the integer difference of the two
+    sum-scores, ``Σ (1e6·c_t(w1w2)//c_t(w1)) − Σ (1e6·c_s(w1w2)//c_s(w1))``
+    (monotone in the target-vs-source likelihood ratio the paper ranks
+    by, with pruning standing in for its hash-bucket compression; floor
+    integer arithmetic so the DuckDB oracle matches bit for bit).
+
+    Scale shape: each model is the hard-bounded lm_train broadcast
+    (min-count + top-K pruning — never corpus-vocabulary-sized); the
+    scoring pass streams once with both models read zero-copy from the
+    object store. Selection is then a threshold or top-k over the
+    weight column. Output: (doc_id, n_bigrams, weight) by doc_id."""
+    import ray
+
+    target = ds.filter(expr=f"{target_col} == '{target_val}'")
+    model_t = ray.put(lm_train(target, text_col, min_count,
+                               vocab_topk, bigram_topk))
+    model_s = ray.put(lm_train(ds, text_col, min_count,
+                               vocab_topk, bigram_topk))
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_bi, s_t = lm_score_texts(ray.get(model_t), texts)
+        _, s_s = lm_score_texts(ray.get(model_s), texts)
+        return pa.table({
+            "doc_id": batch[id_col],
+            "n_bigrams": pa.array(n_bi),
+            "weight": pa.array(s_t - s_s),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
