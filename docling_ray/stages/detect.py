@@ -96,7 +96,8 @@ def sniff_kind(payload: str, media_ref: str = "", filename: str = "") -> str:
                     blob[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") or \
                     blob[:3] == b"\xff\xd8\xff" or blob[:4] in (
                         b"II*\x00", b"MM\x00*", b"GIF8") or \
-                    (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"):
+                    (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP") or \
+                    blob[:4] == b"\x00\x00\x01\x00":
                 # raster containers (decoded or rejected by image_codec)
                 return "image"
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":

@@ -1461,6 +1461,84 @@ def _reconstruct(height, width, comps, coefs, qtables,
 # dispatch + page wrapping
 # ---------------------------------------------------------------------------
 
+def decode_ico(data: bytes) -> tuple[np.ndarray, str]:
+    """ICO container → (HxWx3 uint8 RGB, mode) of the LARGEST icon
+    entry (the reference gets ICO via PIL, which exposes the largest
+    size by default). Entries are either embedded PNGs (Vista+) or
+    classic DIBs: a BITMAPINFOHEADER with DOUBLED height covering the
+    XOR color image then the 1-bit AND transparency mask, both
+    bottom-up and 4-byte row aligned. For <32-bpp entries, AND-masked
+    pixels render black; a 32-bpp entry's alpha channel is
+    authoritative (mask ignored, alpha dropped like 32-bit BMP)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ImageError("not an ICO")
+    count = struct.unpack("<H", data[4:6])[0]
+    if count == 0 or 6 + 16 * count > len(data):
+        raise ImageError("ICO directory truncated")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        bw, bh = data[off], data[off + 1]
+        bw, bh = bw or 256, bh or 256
+        size, img_off = struct.unpack("<II", data[off + 8: off + 16])
+        if img_off + size > len(data):
+            raise ImageError("ICO entry out of range")
+        if best is None or bw * bh > best[0]:
+            best = (bw * bh, img_off, size)
+    _, img_off, size = best
+    payload = data[img_off: img_off + size]
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if len(payload) < 40 or struct.unpack("<I", payload[:4])[0] != 40:
+        raise ImageError("ICO DIB header not BITMAPINFOHEADER")
+    width, height2 = struct.unpack("<ii", payload[4:12])
+    bpp = struct.unpack("<H", payload[14:16])[0]
+    compression = struct.unpack("<I", payload[16:20])[0]
+    clr_used = struct.unpack("<I", payload[32:36])[0]
+    if compression != 0:
+        raise ImageError(f"ICO DIB compression {compression} not supported")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ImageError(f"ICO {bpp}-bit not supported")
+    height = height2 // 2
+    if width <= 0 or height <= 0 or width * height > _max_pixels():
+        raise ImageError(f"ICO bad dimensions {width}x{height2}")
+    pos = 40
+    if bpp <= 8:
+        n_colors = clr_used or (1 << bpp)
+        if pos + 4 * n_colors > len(payload):
+            raise ImageError("ICO palette truncated")
+        quads = np.frombuffer(payload, np.uint8, 4 * n_colors,
+                              pos).reshape(n_colors, 4)
+        palette = np.ascontiguousarray(quads[:, 2::-1])
+        pos += 4 * n_colors
+    xor_stride = ((width * bpp + 31) // 32) * 4
+    and_stride = ((width + 31) // 32) * 4
+    need = pos + (xor_stride + and_stride) * height
+    if len(payload) < need:
+        raise ImageError(f"ICO pixel data truncated ({len(payload)} < {need})")
+    xor_rows = np.frombuffer(payload, np.uint8, xor_stride * height,
+                             pos).reshape(height, xor_stride)[::-1]
+    mask_rows = np.frombuffer(
+        payload, np.uint8, and_stride * height,
+        pos + xor_stride * height).reshape(height, and_stride)[::-1]
+    mask = np.unpackbits(mask_rows, axis=1)[:, :width].astype(bool)
+    if bpp <= 8:
+        grid = _unpack_bits(xor_rows, bpp, width) if bpp < 8 \
+            else xor_rows[:, :width]
+        if int(grid.max(initial=0)) >= len(palette):
+            raise ImageError("ICO palette index out of range")
+        rgb = palette[grid]
+        rgb[mask] = 0
+        return np.ascontiguousarray(rgb), "P"
+    bytes_px = bpp // 8
+    px = xor_rows[:, : width * bytes_px].reshape(height, width, bytes_px)
+    rgb = np.ascontiguousarray(px[:, :, 2::-1])
+    if bpp == 24:
+        rgb[mask] = 0
+        return np.ascontiguousarray(rgb), "RGB"
+    return rgb, "RGBA"
+
+
 _UNSUPPORTED_MAGICS = ()
 
 
@@ -1499,6 +1577,8 @@ def decode_frames(data: bytes) -> tuple[list[tuple[np.ndarray, str]], str]:
         from docling_ray.stages.webp_codec import decode_webp
 
         return [_total(decode_webp, data)], "webp"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return [_total(decode_ico, data)], "ico"
     for magic, name in _UNSUPPORTED_MAGICS:
         if data[: len(magic)] == magic:
             raise ImageError(

@@ -1982,6 +1982,48 @@ def pixels_to_bmp(rgb_rows: list[bytes], width: int, height: int) -> bytes:
     return header + bytes(raster)
 
 
+def pixels_to_ico(rgb_rows: list[bytes], width: int, height: int,
+                  mask_rows: list[bytes] | None = None,
+                  png: bool = False,
+                  alpha_rows: list[bytes] | None = None) -> bytes:
+    """One-entry ICO writer (independent of the decoder). ``png=True``
+    embeds a PNG payload; otherwise a classic DIB with doubled-height
+    BITMAPINFOHEADER, bottom-up BGR(A) XOR rows and the bottom-up 1-bit
+    AND mask (``mask_rows`` of 0/1 bytes per pixel; all-opaque when
+    None). ``alpha_rows`` switches the DIB to 32-bpp BGRA."""
+    if png:
+        payload = pixels_to_png(rgb_rows, width, height, color_type=2)
+    else:
+        bpp = 32 if alpha_rows is not None else 24
+        raster = bytearray()
+        for y in reversed(range(height)):
+            row = rgb_rows[y]
+            line = bytearray()
+            for x in range(width):
+                r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                line += bytes((b, g, r))
+                if bpp == 32:
+                    line.append(alpha_rows[y][x])
+            line += b"\x00" * ((-len(line)) % 4)
+            raster += line
+        and_stride = ((width + 31) // 32) * 4
+        for y in reversed(range(height)):
+            bits = bytearray(and_stride)
+            if mask_rows is not None:
+                for x in range(width):
+                    if mask_rows[y][x]:
+                        bits[x >> 3] |= 0x80 >> (x & 7)
+            raster += bits
+        payload = _struct.pack("<IiiHHIIiiII", 40, width, height * 2, 1,
+                               bpp, 0, len(raster), 0, 0, 0, 0) \
+            + bytes(raster)
+    entry = _struct.pack(
+        "<BBBBHHII",
+        width if width < 256 else 0, height if height < 256 else 0,
+        0, 0, 1, 32, len(payload), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + payload
+
+
 def pixels_to_bmp8(idx_rows: list[bytes], width: int, height: int,
                    palette: bytes, rle: bool = False) -> bytes:
     """8-bit paletted BMP writer (bottom-up rows), BI_RGB or BI_RLE8
@@ -3705,7 +3747,7 @@ def build_image_doc(
     the expected fingerprint is computable without the decoder."""
     w = rng.randrange(8, 49)
     h = rng.randrange(8, 41)
-    variant = rng.randrange(16)
+    variant = rng.randrange(17)
     from docling_ray.functions.refs import image_media_ref
 
     if variant == 4 and rng.random() < 0.5:  # paletted BMP
@@ -3914,6 +3956,26 @@ def build_image_doc(
         b64 = base64.b64encode(data).decode("ascii")
         return (b64, [("picture", "", r) for r in refs],
                 S.STATUS_SUCCESS)
+    elif variant == 16:  # ICO: embedded PNG, DIB24+AND mask, or DIB32
+        which = rng.randrange(3)
+        rgb_rows = [rng.randbytes(3 * w) for _ in range(h)]
+        if which == 0:  # PNG payload
+            data = pixels_to_ico(rgb_rows, w, h, png=True)
+            ref = image_media_ref(w, h, "RGB", b"".join(rgb_rows))
+        elif which == 1:  # classic DIB24, AND-masked pixels go black
+            mask_rows = [bytes(int(rng.random() < 0.2) for _ in range(w))
+                         for _ in range(h)]
+            data = pixels_to_ico(rgb_rows, w, h, mask_rows=mask_rows)
+            exp = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    exp += b"\x00\x00\x00" if mask_rows[y][x] \
+                        else rgb_rows[y][3 * x: 3 * x + 3]
+            ref = image_media_ref(w, h, "RGB", bytes(exp))
+        else:  # DIB32: alpha authoritative (dropped on RGB conversion)
+            alpha_rows = [rng.randbytes(w) for _ in range(h)]
+            data = pixels_to_ico(rgb_rows, w, h, alpha_rows=alpha_rows)
+            ref = image_media_ref(w, h, "RGBA", b"".join(rgb_rows))
     else:  # GIF: global palette; plain full-screen or animated frames
         import numpy as np
 

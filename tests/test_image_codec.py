@@ -882,3 +882,46 @@ def test_bmp8_palette_rle_and_absolute_mode():
                                [250, 0, 0]]  # idx 0,1,2, untouched bg 0
     assert arr[1].tolist() == [[250, 0, 0]] * 3 + [[9, 9, 9]]
     assert arr[2].tolist() == [[250, 0, 0]] * 4  # untouched bg row
+
+
+def test_ico_literal_dib24_mask_and_dib32():
+    """Hand-checkable ICO facts: AND-masked pixels go black in a 24-bpp
+    DIB; a 32-bpp entry keeps RGB with alpha dropped; an embedded PNG
+    payload routes through the PNG decoder; largest entry wins."""
+    import numpy as np
+
+    from docling_ray.stages.image_codec import decode_ico
+    from docling_ray.synth import pixels_to_ico, pixels_to_png
+
+    # 2x2 DIB24, mask hides the top-right pixel
+    rows = [bytes((255, 0, 0, 0, 255, 0)), bytes((0, 0, 255, 9, 9, 9))]
+    mask = [bytes((0, 1)), bytes((0, 0))]
+    arr, mode = decode_ico(pixels_to_ico(rows, 2, 2, mask_rows=mask))
+    assert mode == "RGB"
+    assert arr.tolist() == [[[255, 0, 0], [0, 0, 0]],
+                            [[0, 0, 255], [9, 9, 9]]]
+
+    # DIB32: alpha dropped, mask ignored
+    arr, mode = decode_ico(pixels_to_ico(rows, 2, 2, mask_rows=mask,
+                                         alpha_rows=[b"\x00\x7f", b"\xff\x01"]))
+    assert mode == "RGBA"
+    assert arr.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                            [[0, 0, 255], [9, 9, 9]]]
+
+    # PNG payload
+    arr, mode = decode_ico(pixels_to_ico(rows, 2, 2, png=True))
+    assert mode == "RGB" and arr.shape == (2, 2, 3)
+    assert arr.tolist()[0][0] == [255, 0, 0]
+
+    # two entries: the larger (second) one is decoded
+    small = pixels_to_ico([b"\x01\x02\x03"], 1, 1)
+    big = pixels_to_ico(rows, 2, 2)
+    pay_s, pay_b = small[22:], big[22:]
+    hdr = (b"\x00\x00\x01\x00\x02\x00"
+           + bytes((1, 1, 0, 0)) + b"\x01\x00\x20\x00"
+           + len(pay_s).to_bytes(4, "little") + (38).to_bytes(4, "little")
+           + bytes((2, 2, 0, 0)) + b"\x01\x00\x20\x00"
+           + len(pay_b).to_bytes(4, "little")
+           + (38 + len(pay_s)).to_bytes(4, "little"))
+    arr, _ = decode_ico(hdr + pay_s + pay_b)
+    assert arr.shape == (2, 2, 3)
