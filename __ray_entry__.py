@@ -1005,6 +1005,13 @@ _JACCARD_EXPR = (
     "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 "
     "/ len(list_distinct(a.sh || b.sh)) END"
 )
+# Semantics-preserving pair prefilter for threshold 0.8: J(A,B) >= 0.8
+# implies |A| >= 0.8|B| and |B| >= 0.8|A| (|A∩B| <= min sizes,
+# |A∪B| >= max sizes), so the integer size band prunes pairs BEFORE the
+# O(|A|+|B|) list ops — the all-pairs oracle stays exact but stops being
+# list-op-quadratic on corpora where most pairs differ in length.
+_JACCARD_BAND = ("5 * len(a.sh) >= 4 * len(b.sh) "
+                 "AND 5 * len(b.sh) >= 4 * len(a.sh)")
 # transitive closure + min-reachable representative over a pair CTE ``p``
 _CC_SQL = (
     "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p "
@@ -1701,6 +1708,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"WITH RECURSIVE {_SHINGLES_CTE}, "
             "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a "
             "JOIN s b ON a.doc_id < b.doc_id "
+            f"AND {_JACCARD_BAND} "
             f"WHERE {_JACCARD_EXPR} >= 0.8), "
             f"{_CC_SQL}"
         ),
@@ -1709,6 +1717,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT a.doc_id AS a, b.doc_id AS b, "
             f"CAST(floor(({_JACCARD_EXPR}) * 1000000.0) AS BIGINT) AS j_ppm "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            f"AND {_JACCARD_BAND} "
             f"WHERE {_JACCARD_EXPR} >= 0.8 ORDER BY a, b"
         ),
         "simhash_dedup": (
@@ -1736,6 +1745,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "toks[i+1] || ' ' || toks[i+2])) END AS sh FROM q), "
             "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a "
             "JOIN s b ON a.doc_id < b.doc_id "
+            f"AND {_JACCARD_BAND} "
             f"WHERE {_JACCARD_EXPR} >= 0.8), "
             "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p "
             "UNION SELECT a, a FROM p UNION SELECT b, b FROM p), "
