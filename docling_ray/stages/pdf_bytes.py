@@ -658,7 +658,128 @@ def _candidate_passwords() -> list[bytes]:
     return [p.encode("utf-8") for p in items]
 
 
-class _StdSecurityHandler:
+def _pubsec_keys() -> list[tuple[int, int]]:
+    """Configured recipient RSA private keys for certificate-encrypted
+    PDFs (settings kind ``pdf``, option ``pubsec_keys``): a list of
+    (n, d) int tuples from ``configure()``, or the env-friendly string
+    form ``"nhex:dhex,nhex:dhex"``. Reference: pdfium's PubSec handler
+    takes the recipient certificate + key the same way."""
+    from docling_ray import settings
+
+    raw = settings.options_for("pdf").get("pubsec_keys", "")
+    keys: list[tuple[int, int]] = []
+    if isinstance(raw, (list, tuple)):
+        for item in raw:
+            n, d = item
+            keys.append((int(n), int(d)))
+    else:
+        for item in str(raw).split(","):
+            if ":" in item:
+                nh, dh = item.split(":", 1)
+                keys.append((int(nh, 16), int(dh, 16)))
+    return keys
+
+
+class _CryptHandlerBase:
+    """Shared per-object decryption given ``file_key`` and the stream /
+    string crypt-filter methods (PDF 32000-1 Algorithm 1 / 1.A)."""
+
+    file_key: bytes
+    stm_cfm: str
+    str_cfm: str
+
+    def _apply(self, data: bytes, num: int, gen: int, cfm: str) -> bytes:
+        from docling_ray.functions.pdfcrypt import (
+            aes_cbc_decrypt, object_key, rc4)
+
+        if cfm == "Identity" or not data:
+            return data
+        if cfm == "AESV3":
+            key = self.file_key  # Algorithm 1.A: no per-object key
+        else:
+            key = object_key(self.file_key, num, gen, aes=cfm == "AESV2")
+        if cfm == "V2":
+            return rc4(key, data)
+        # AES-CBC: leading 16-byte IV, trailing RFC-2898-style padding
+        if len(data) < 32 or len(data) % 16:
+            raise PdfError("encrypted PDF: bad AES payload length")
+        plain = aes_cbc_decrypt(key, data[:16], data[16:])
+        padn = plain[-1]
+        if not 1 <= padn <= 16:
+            raise PdfError("encrypted PDF: bad AES padding")
+        return plain[:-padn]
+
+    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.str_cfm)
+
+    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.stm_cfm)
+
+
+class _PubSecSecurityHandler(_CryptHandlerBase):
+    """Public-key security handler (/Filter /Adobe.PubSec, SubFilter
+    adbe.pkcs7.s4/s5 — PDF 32000-1 §7.6.5): each /Recipients entry is a
+    CMS EnvelopedData blob whose RSA-wrapped content carries a 20-byte
+    seed + 4 permission bytes; the file key is a SHA-1 (SHA-256 for
+    AESV3) digest over seed + recipient blobs (+ FFFFFFFF when metadata
+    stays clear). Recipient private keys come from settings
+    ``pdf.pubsec_keys``. Reference capability anchor: pdfium's PubSec
+    handler behind pypdfium2_backend.py:409. No matching key, malformed
+    CMS, unsupported cipher — PdfError, recorded as a failure row."""
+
+    def __init__(self, edict: dict, resolve,
+                 keys: list[tuple[int, int]] | None = None) -> None:
+        from docling_ray.functions.cms import (
+            DerError, open_enveloped_data, pubsec_file_key)
+
+        if keys is None:
+            keys = _pubsec_keys()
+        v = int(resolve(edict.get("V", 0)) or 0)
+        length = int(resolve(edict.get("Length", 40)) or 40)
+        em = resolve(edict.get("EncryptMetadata", True))
+        em = True if em is None else bool(em)
+        if v in (1, 2):
+            cfm, key_len = "V2", max(5, min(16, length // 8))
+            recip = resolve(edict.get("Recipients"))
+        elif v in (4, 5):
+            cf = resolve(edict.get("CF")) or {}
+            name = resolve(edict.get("StmF", "Identity"))
+            if resolve(edict.get("StrF", "Identity")) != name:
+                raise PdfError("PubSec: split StmF/StrF unsupported")
+            d = resolve(cf.get(name)) or {}
+            cfm = str(resolve(d.get("CFM", "None")))
+            if cfm not in ("V2", "AESV2", "AESV3"):
+                raise PdfError(f"unsupported crypt filter CFM {cfm!r}")
+            key_len = 32 if cfm == "AESV3" else 16
+            recip = resolve(d.get("Recipients"))
+            if recip is None:
+                recip = resolve(edict.get("Recipients"))
+        else:
+            raise PdfError(f"unsupported PubSec version V={v}")
+        if isinstance(recip, (bytes, str)):
+            recip = [recip]
+        if not isinstance(recip, list) or not recip:
+            raise PdfError("PubSec: missing /Recipients")
+        blobs = [_str_raw(resolve(r)) for r in recip]
+        seed = None
+        for blob in blobs:
+            try:
+                content = open_enveloped_data(blob, keys)
+            except DerError as exc:
+                raise PdfError(f"PubSec: {exc}") from exc
+            if content is not None and len(content) >= 20:
+                seed = content[:20]
+                break
+        if seed is None:
+            raise PdfError("encrypted PDF: no matching recipient key")
+        self.file_key = pubsec_file_key(
+            seed, blobs, key_len, encrypt_metadata=em,
+            sha256=cfm == "AESV3")
+        self.stm_cfm = self.str_cfm = cfm
+        self.rev = 0
+
+
+class _StdSecurityHandler(_CryptHandlerBase):
     """Standard security handler (/Filter /Standard). Tries the empty
     user password first — the "encrypted but openable" shape that covers
     the vast majority of encrypted PDFs in the wild — then any configured
@@ -667,8 +788,9 @@ class _StdSecurityHandler:
     AES-128-CBC) and V5/R6 (AESV3 = AES-256). Reference capability
     anchor: pdfium's standard handler + password argument
     (docling/backend/pypdfium2_backend.py:409). Anything else —
-    non-Standard filters, no matching password — raises PdfError, which
-    the extractor records as a failure row (errors are data, never
+    unknown filters (PubSec routes to :class:`_PubSecSecurityHandler`
+    first), no matching password — raises PdfError, which the
+    extractor records as a failure row (errors are data, never
     exceptions)."""
 
     def __init__(self, edict: dict, id0: bytes, resolve,
@@ -755,34 +877,6 @@ class _StdSecurityHandler:
         else:
             raise PdfError("encrypted PDF: password required")
 
-    def _apply(self, data: bytes, num: int, gen: int, cfm: str) -> bytes:
-        from docling_ray.functions.pdfcrypt import (
-            aes_cbc_decrypt, object_key, rc4)
-
-        if cfm == "Identity" or not data:
-            return data
-        if cfm == "AESV3":
-            key = self.file_key  # Algorithm 1.A: no per-object key
-        else:
-            key = object_key(self.file_key, num, gen, aes=cfm == "AESV2")
-        if cfm == "V2":
-            return rc4(key, data)
-        # AES-CBC: leading 16-byte IV, trailing RFC-2898-style padding
-        if len(data) < 32 or len(data) % 16:
-            raise PdfError("encrypted PDF: bad AES payload length")
-        plain = aes_cbc_decrypt(key, data[:16], data[16:])
-        padn = plain[-1]
-        if not 1 <= padn <= 16:
-            raise PdfError("encrypted PDF: bad AES padding")
-        return plain[:-padn]
-
-    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
-        return self._apply(data, num, gen, self.str_cfm)
-
-    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
-        return self._apply(data, num, gen, self.stm_cfm)
-
-
 class PdfDocument:
     """Parsed PDF file: object store + page tree."""
 
@@ -811,9 +905,15 @@ class PdfDocument:
                 self._encrypt_num = enc.num
             ids = self.resolve(self.trailer.get("ID"))
             id0 = _str_raw(ids[0]) if isinstance(ids, list) and ids else b""
-            self._crypt = _StdSecurityHandler(
-                self.resolve(enc), id0, self.resolve,
-                passwords=self._passwords)
+            edict = self.resolve(enc)
+            filt = self.resolve(edict.get("Filter")) \
+                if isinstance(edict, dict) else None
+            if filt == "Adobe.PubSec":
+                self._crypt = _PubSecSecurityHandler(edict, self.resolve)
+            else:
+                self._crypt = _StdSecurityHandler(
+                    edict, id0, self.resolve,
+                    passwords=self._passwords)
             self.lex.crypt = self._crypt
             # objects cached before the handler existed (the /Encrypt
             # chain itself) hold still-encrypted strings; drop them so a

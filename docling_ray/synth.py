@@ -770,14 +770,33 @@ _AES256_FILE_KEY = __import__("hashlib").sha256(
 _AES256_SALTS = __import__("hashlib").sha256(
     b"docling_ray synthetic corpus aes256 salts").digest()
 
+# Deterministic 1024-bit test RSA keypair for the PubSec (certificate)
+# encryption modes: primes derived from fixed-seed SHA-256 streams +
+# Miller-Rabin, e = 65537. Tests configure the READER with the same
+# (N, D) via settings ``pdf.pubsec_keys`` — the keypair is test
+# material, not a secret.
+PUBSEC_RSA_N = int(
+    "896b936e5b9edac263793137728b99233fd52ee58ad1136a687f13f3bb63de29"
+    "4c02bd0c832251607a51a4d20f00d1f36bb21de38d2ecc11b67215785b5af3a2"
+    "3c3ca407c691217edae4fa894f520db4cb07de331061025b9e71a582fb02d9d9"
+    "eba41a8df74303a56e041c5ae9448d4782f48599ef4db7e2ed7f288beeb6bf9f", 16)
+PUBSEC_RSA_E = 65537
+PUBSEC_RSA_D = int(
+    "7a508b48963a5de2da217c222b4d7ffff5082e96d7a9630bba7929ec2ea6248f"
+    "437dc88183931f35ad8a50173c8d7152a65042f450ad0facd064d92168c71ac4"
+    "c2c8380837ebf5957cc791ca635a6952e41e9fd5fe425776174fd12c99df6bea"
+    "9fbec4f73da95eee5af882687017b7214e46a8d78d70f8545410d4e75dfb72c1", 16)
+
 
 class _PdfEncryptor:
     """Writer-side standard security handler (empty user/owner password).
     Serialization-level protocol code lives HERE, independently of the
     reader (stages/pdf_bytes.py); only the published algorithms in
-    functions/pdfcrypt.py (spec-vector-pinned) are shared. Modes:
-    ``rc4`` = V2/R3 RC4-128, ``aes`` = V4/R4 AESV2 (AES-128-CBC),
-    ``aes256`` = V5/R6 AESV3."""
+    functions/pdfcrypt.py + functions/cms.py (spec-vector-pinned) are
+    shared. Modes: ``rc4`` = V2/R3 RC4-128, ``aes`` = V4/R4 AESV2
+    (AES-128-CBC), ``aes256`` = V5/R6 AESV3, ``pubsec`` = Adobe.PubSec
+    V4/AESV2 (certificate-encrypted, adbe.pkcs7.s5), ``pubsec256`` =
+    Adobe.PubSec V5/AESV3."""
 
     def __init__(self, mode: str, seed_bytes: bytes,
                  user_pw: bytes = b"", owner_pw: bytes = b"") -> None:
@@ -807,6 +826,23 @@ class _PdfEncryptor:
             self.key = _AES256_FILE_KEY
             self.u, self.ue, self.o, self.oe = PC.r6_make_entries(
                 self.key, user_pw, owner_pw, salts=_AES256_SALTS)
+        elif mode in ("pubsec", "pubsec256"):
+            from docling_ray.functions.cms import (
+                build_enveloped_data, pubsec_file_key)
+
+            self.rev, self.aes = 0, True
+            wide = mode == "pubsec256"
+            seed = hashlib.sha256(b"pubsec-seed" + seed_bytes).digest()[:20]
+            cek = hashlib.sha256(
+                b"pubsec-cek" + seed_bytes).digest()[: 32 if wide else 16]
+            iv = hashlib.md5(b"pubsec-iv" + seed_bytes).digest()
+            ps = hashlib.sha256(b"pubsec-ps" + seed_bytes).digest()
+            perms = __import__("struct").pack("<i", self.p)
+            self.recipients = build_enveloped_data(
+                cek, seed + perms, iv, PUBSEC_RSA_N, PUBSEC_RSA_E,
+                serial=7, ps=ps)
+            self.key = pubsec_file_key(
+                seed, [self.recipients], 32 if wide else 16, sha256=wide)
         else:
             raise ValueError(f"unknown encrypt mode {mode!r}")
 
@@ -820,7 +856,7 @@ class _PdfEncryptor:
     def enc_bytes(self, data: bytes, num: int) -> bytes:
         from docling_ray.functions import pdfcrypt as PC
 
-        if self.mode == "aes256":
+        if self.mode in ("aes256", "pubsec256"):
             key = self.key  # Algorithm 1.A: file key used directly
         else:
             key = PC.object_key(self.key, num, 0, aes=self.aes)
@@ -847,6 +883,16 @@ class _PdfEncryptor:
                     b" /StmF /StdCF /StrF /StdCF"
                     b" /O " + hexs(self.o) + b" /U " + hexs(self.u)
                     + b" >>")
+        if self.mode in ("pubsec", "pubsec256"):
+            cfm, ln = (b"/AESV3", 32) if self.mode == "pubsec256" \
+                else (b"/AESV2", 16)
+            return (b"<< /Filter /Adobe.PubSec /SubFilter /adbe.pkcs7.s5"
+                    b" /V %d /Length %d" % (5 if ln == 32 else 4, ln * 8)
+                    + b" /CF << /DefaultCryptFilter << /CFM " + cfm
+                    + b" /Length %d /Recipients [" % ln
+                    + hexs(self.recipients) + b"] >> >>"
+                    b" /StmF /DefaultCryptFilter /StrF /DefaultCryptFilter"
+                    b" >>")
         import struct
 
         perms = PC.aes_encrypt_blocks(

@@ -899,3 +899,67 @@ def test_macroman_base_encoding():
     assert mapping[0xA5] == "•"
     assert mapping[0xD0] == "–"
     assert mapping[0x41] == "A"  # ASCII identity
+
+
+def test_pubsec_roundtrip_modes_and_styles():
+    """Certificate-encrypted PDFs (/Filter /Adobe.PubSec) open with the
+    recipient RSA key and parse identically to the clear document —
+    AESV2 and AESV3 crypt filters, both serializer styles, settings
+    route in both tuple and hex-string forms."""
+    import json
+
+    from docling_ray import settings
+    from docling_ray.stages.pdf_bytes import PdfDocument, PdfError
+    from docling_ray.synth import PUBSEC_RSA_D, PUBSEC_RSA_N
+
+    pages = _simple_pages()
+    outline = [(0, "Tïtle (Ünïcode)", 0)]
+    base_cells = json.dumps(parse_pdf_pages(
+        pages_to_pdf_bytes(pages, outline=outline)),
+        sort_keys=True, default=str)
+    base_outline = PdfDocument(
+        pages_to_pdf_bytes(pages, outline=outline)).outline()
+    for mode in ("pubsec", "pubsec256"):
+        for style in ("classic", "xrefstream"):
+            data = pages_to_pdf_bytes(pages, outline=outline, style=style,
+                                      encrypt=mode)
+            assert b"/Adobe.PubSec" in data and b"/Recipients" in data
+            # no key configured → a clean PdfError (failure row upstream)
+            with pytest.raises(PdfError, match="recipient key"):
+                PdfDocument(data)
+            settings.configure(
+                "pdf", pubsec_keys=[(PUBSEC_RSA_N, PUBSEC_RSA_D)])
+            try:
+                got = json.dumps(parse_pdf_pages(data),
+                                 sort_keys=True, default=str)
+                assert got == base_cells, (mode, style)
+                doc = PdfDocument(data)
+                assert doc.outline() == base_outline, (mode, style)
+            finally:
+                settings.reset()
+            # env-friendly string form, with a decoy key first
+            settings.configure(
+                "pdf", pubsec_keys=f"{PUBSEC_RSA_N - 2:x}:3,"
+                f"{PUBSEC_RSA_N:x}:{PUBSEC_RSA_D:x}")
+            try:
+                got = json.dumps(parse_pdf_pages(data),
+                                 sort_keys=True, default=str)
+                assert got == base_cells, (mode, style)
+            finally:
+                settings.reset()
+
+
+def test_pubsec_plaintext_not_in_file_and_total():
+    from docling_ray.stages.pdf_bytes import extract_pdf_bytes_unit
+
+    data = pages_to_pdf_bytes(_simple_pages(), encrypt="pubsec",
+                              content_filter="ahx")
+    assert b"A Title Here" not in data
+    assert "A Title Here".encode().hex().encode() not in data.lower()
+    # corruption anywhere yields failure spans, never an exception
+    for pos in range(50, len(data), 211):
+        mut = bytearray(data)
+        mut[pos] ^= 0x55
+        b64 = base64.b64encode(bytes(mut)).decode()
+        spans, _pno, _score, err = extract_pdf_bytes_unit(b64)
+        assert isinstance(spans, list)

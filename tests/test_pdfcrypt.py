@@ -158,3 +158,83 @@ def test_cbc_decrypt_int_and_numpy_paths_agree():
             pt = bytes(rng.randrange(256) for _ in range(16 * nblocks))
             ct = aes_cbc_encrypt(key, iv, pt)
             assert aes_cbc_decrypt(key, iv, ct) == pt, (klen, nblocks)
+
+
+# ----------------------------------------------------------------------
+# CMS / RSA / DER primitives (functions/cms.py) for the PubSec handler
+# ----------------------------------------------------------------------
+
+def test_der_oid_roundtrip_rfc_vector():
+    from docling_ray.functions.cms import DerReader, der_oid, parse_oid
+
+    # the X.690 example: 2.100.3 encodes as 06 03 81 34 03
+    assert der_oid("2.100.3") == bytes.fromhex("0603813403")
+    for dotted in ("1.2.840.113549.1.7.3", "2.16.840.1.101.3.4.1.2",
+                   "2.5.4.3"):
+        assert parse_oid(DerReader(der_oid(dotted))) == dotted
+
+
+def test_der_long_form_length():
+    from docling_ray.functions.cms import DerReader, der_octets
+
+    blob = der_octets(b"x" * 300)
+    assert blob[1] == 0x82 and blob[2:4] == (300).to_bytes(2, "big")
+    r = DerReader(blob).expect(0x04)
+    assert r.bytes() == b"x" * 300
+
+
+def test_rsa_pkcs1_roundtrip_and_reject():
+    from docling_ray.functions.cms import (pkcs1_v15_decrypt,
+                                           pkcs1_v15_encrypt)
+    from docling_ray.synth import (PUBSEC_RSA_D, PUBSEC_RSA_E,
+                                   PUBSEC_RSA_N)
+
+    msg = bytes(range(16))
+    ct = pkcs1_v15_encrypt(msg, PUBSEC_RSA_N, PUBSEC_RSA_E, ps=b"\x07\x3a")
+    assert len(ct) == 128
+    assert pkcs1_v15_decrypt(ct, PUBSEC_RSA_N, PUBSEC_RSA_D) == msg
+    # tampered ciphertext or the wrong key must NOT round-trip to msg
+    bad = bytes([ct[0] ^ 1]) + ct[1:]
+    assert pkcs1_v15_decrypt(bad, PUBSEC_RSA_N, PUBSEC_RSA_D) != msg
+    assert pkcs1_v15_decrypt(ct, PUBSEC_RSA_N, PUBSEC_RSA_D + 2) != msg
+    # padding structure: 00 02 <nonzero PS >= 8> 00 <msg>
+    em = pow(int.from_bytes(ct, "big"), PUBSEC_RSA_D,
+             PUBSEC_RSA_N).to_bytes(128, "big")
+    assert em[:2] == b"\x00\x02" and 0 not in em[2:-(len(msg) + 1)]
+    assert em[-(len(msg) + 1)] == 0
+
+
+def test_enveloped_data_roundtrip_and_wrong_key():
+    from docling_ray.functions.cms import (build_enveloped_data,
+                                           open_enveloped_data)
+    from docling_ray.synth import (PUBSEC_RSA_D, PUBSEC_RSA_E,
+                                   PUBSEC_RSA_N)
+
+    content = hashlib.sha256(b"seed").digest()[:20] + b"\xff\xff\xff\xfc"
+    blob = build_enveloped_data(
+        cek=b"K" * 16, content=content, iv=b"I" * 16,
+        rsa_n=PUBSEC_RSA_N, rsa_e=PUBSEC_RSA_E, serial=7, ps=b"\x55")
+    assert open_enveloped_data(
+        blob, [(PUBSEC_RSA_N, PUBSEC_RSA_D)]) == content
+    # a non-matching key yields None (not an exception)
+    assert open_enveloped_data(blob, [(PUBSEC_RSA_N, 3)]) is None
+    assert open_enveloped_data(blob, []) is None
+    # 32-byte CEK variant (aes256-CBC OID)
+    blob2 = build_enveloped_data(
+        cek=b"L" * 32, content=content, iv=b"J" * 16,
+        rsa_n=PUBSEC_RSA_N, rsa_e=PUBSEC_RSA_E, serial=9, ps=b"\x01\x02")
+    assert open_enveloped_data(
+        blob2, [(PUBSEC_RSA_N, PUBSEC_RSA_D)]) == content
+
+
+def test_pubsec_file_key_is_the_spec_digest():
+    from docling_ray.functions.cms import pubsec_file_key
+
+    seed = bytes(range(20))
+    r1, r2 = b"recipient-one", b"recipient-two"
+    assert pubsec_file_key(seed, [r1, r2], 16) == \
+        hashlib.sha1(seed + r1 + r2).digest()[:16]
+    assert pubsec_file_key(seed, [r1], 16, encrypt_metadata=False) == \
+        hashlib.sha1(seed + r1 + b"\xff\xff\xff\xff").digest()[:16]
+    assert pubsec_file_key(seed, [r1], 32, sha256=True) == \
+        hashlib.sha256(seed + r1).digest()
