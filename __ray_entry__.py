@@ -357,6 +357,33 @@ def _dsir_weights(sf_dir: str):
     return dsir_weights(ds).sort("doc_id")
 
 
+def _bpe_vocab(sf_dir: str):
+    """Distributed word-count table that feeds BPE training: top-256
+    words by (count desc, word asc) — the bounded-gather cut."""
+    import pyarrow as pa
+
+    from docling_ray.stages.tokenizer import corpus_word_counts
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    wc = corpus_word_counts(ds, vocab_topk=256)
+    return pa.table({
+        "word": pa.array([w for w, _ in wc], pa.string()),
+        "c": pa.array([c for _, c in wc], pa.int64()),
+    })
+
+
+def _bpe_token_counts(sf_dir: str):
+    """Train BPE merges on the corpus, then encode it (rows-only: the
+    iterative merge loop has no SQL analogue; the trainer is pinned to
+    the published Sennrich 2016 example in tests/test_bpe.py)."""
+    from docling_ray.stages.tokenizer import bpe_encode, bpe_train
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=128, vocab_topk=4096)
+    return bpe_encode(ds, merges).select_columns(
+        ["doc_id", "n_bpe_tokens"]).sort("doc_id")
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -890,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
+        "bpe_vocab": _bpe_vocab,
+        "bpe_token_counts": _bpe_token_counts,
         "lm_score": _lm_score,
         "dsir_weights": _dsir_weights,
         "source_quality_report": _source_quality_report,
@@ -2008,6 +2037,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "
             "coalesce(s.weight, 0)::BIGINT AS weight "
             "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "bpe_vocab": (
+            # top-256 (count desc, word asc) corpus word counts — the
+            # bounded cut that feeds BPE training
+            "WITH tk AS (SELECT "
+            f"{_TOKS} AS toks FROM documents), "
+            "t AS (SELECT unnest(toks) AS word FROM tk) "
+            "SELECT word, count(*)::BIGINT AS c FROM t GROUP BY word "
+            "ORDER BY c DESC, word ASC LIMIT 256"
         ),
         "tfidf_topk": (
             # linear-idf TF-IDF: score = tf * N * 1e6 // df (integer
