@@ -384,6 +384,17 @@ def _bpe_token_counts(sf_dir: str):
         ["doc_id", "n_bpe_tokens"]).sort("doc_id")
 
 
+def _nb_classify(sf_dir: str):
+    """fastText-style supervised classifier: train per-lang pruned
+    token models on the corpus, classify every doc (integer floor
+    scoring — oracle-exact)."""
+    from docling_ray.stages.classify import nb_classify
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "lang"])
+    return nb_classify(ds).sort("doc_id")
+
+
 def _tfidf_topk(sf_dir: str):
     from docling_ray.stages.text_quality import tfidf_topk
 
@@ -919,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _tfidf_topk,
         "bpe_vocab": _bpe_vocab,
         "bpe_token_counts": _bpe_token_counts,
+        "nb_classify": _nb_classify,
         "lm_score": _lm_score,
         "dsir_weights": _dsir_weights,
         "source_quality_report": _source_quality_report,
@@ -2037,6 +2049,38 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "
             "coalesce(s.weight, 0)::BIGINT AS weight "
             "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "nb_classify": (
+            # supervised NB-shape classifier: per-class token counts
+            # pruned (c >= 2, top-K by c desc / token asc), totals over
+            # the PRUNED model; each token occurrence contributes
+            # c * 1e6 // total (floor); argmax with ties -> class asc;
+            # empty docs predict the lex-min class at score 0
+            "WITH tk AS (SELECT doc_id, lang, unnest("
+            f"{_TOKS}) AS token FROM documents), "
+            "cnt AS (SELECT lang, token, count(*)::BIGINT AS c "
+            "FROM tk GROUP BY 1, 2), "
+            "pruned AS (SELECT lang, token, c FROM cnt WHERE c >= 2 "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY c DESC, token ASC) <= 65536), "
+            "tot AS (SELECT lang, sum(c)::BIGINT AS tot "
+            "FROM pruned GROUP BY 1), "
+            "classes AS (SELECT DISTINCT lang AS cls FROM documents), "
+            "contrib AS (SELECT tk.doc_id, cl.cls, "
+            "coalesce(sum(p.c * 1000000 // t.tot), 0)::BIGINT AS score "
+            "FROM tk CROSS JOIN classes cl "
+            "LEFT JOIN pruned p ON p.lang = cl.cls AND p.token = tk.token "
+            "JOIN tot t ON t.lang = cl.cls GROUP BY 1, 2), "
+            "alldocs AS (SELECT d.doc_id, cl.cls, "
+            "coalesce(c.score, 0)::BIGINT AS score "
+            "FROM documents d CROSS JOIN classes cl "
+            "LEFT JOIN contrib c ON c.doc_id = d.doc_id "
+            "AND c.cls = cl.cls), "
+            "best AS (SELECT doc_id, cls, score, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn "
+            "FROM alldocs) "
+            "SELECT doc_id, cls AS pred, score FROM best WHERE rn = 1 "
+            "ORDER BY doc_id"
         ),
         "bpe_vocab": (
             # top-256 (count desc, word asc) corpus word counts — the
