@@ -402,6 +402,47 @@ def _tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5).sort(["doc_id", "rank"])
 
 
+def _c4_filters(sf_dir: str):
+    """C4-style quality filters (stages/text_quality.c4_signals_batch).
+    The documents table is single-line word salad, so — like pii_scrub /
+    contamination — the query first derives a deterministic lined doc
+    (6-word lines; '.' appended to lines ending in a vowel; 'lorem
+    ipsum' / '{' boilerplate appended for doc_id % 31 / % 29 == 0) with
+    the SAME derivation arithmetic in the SQL oracle, then runs the
+    REAL vectorized filter kernel over the derived text."""
+    import polars as pl
+    import pyarrow as pa
+
+    from docling_ray.stages.text_quality import c4_signals_batch
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        doc = (pl.col("text").str.to_lowercase()
+               .str.extract_all(r"[a-z0-9]+").list.join(" ")
+               .str.replace_all(r"((?:\S+ ){5}\S+) ", "${1}\n")
+               .str.replace_all(r"([aeiou])(\n|$)", "${1}.${2}"))
+        doc = pl.when(pl.col("doc_id") % 31 == 0) \
+                .then(doc + pl.lit("\nlorem ipsum dolor")).otherwise(doc)
+        doc = pl.when(pl.col("doc_id") % 29 == 0) \
+                .then(doc + pl.lit("\nfunction() { var x; }")).otherwise(doc)
+        out = df.select(pl.col("doc_id"), doc.alias("text")).to_arrow()
+        return out.set_column(0, "doc_id", out["doc_id"].combine_chunks()
+                              .cast(batch["doc_id"].type))
+
+    return ds.map_batches(derive, batch_format="pyarrow") \
+             .map_batches(c4_signals_batch, batch_format="pyarrow") \
+             .sort("doc_id")
+
+
+def _phrase_detect(sf_dir: str):
+    from docling_ray.stages.text_quality import phrase_detect
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_detect(ds, min_count=5, delta=1, threshold_x1000=2000)
+
+
 def _quality(sf_dir: str):
     import ray
 
@@ -928,6 +969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
         "tfidf_topk": _tfidf_topk,
+        "c4_filters": _c4_filters,
+        "phrase_detect": _phrase_detect,
         "bpe_vocab": _bpe_vocab,
         "bpe_token_counts": _bpe_token_counts,
         "nb_classify": _nb_classify,
@@ -1028,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_counts": A.customer_urgent_counts,
         "rollup_revenue": A.rollup_revenue,
         "user_running_value": A.user_running_value,
+        "event_rank_windows": A.event_rank_windows,
     }
 
 
@@ -2240,6 +2284,77 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS running_x100 FROM events ORDER BY event_id"
+        ),
+        "event_rank_windows": (
+            "WITH b AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents "
+            "FROM events), "
+            "r AS (SELECT event_id, user_id, ts, cents, "
+            "rank() OVER (PARTITION BY user_id ORDER BY cents) AS rnk, "
+            "COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM b) "
+            "SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS row_num, "
+            "dense_rank() OVER (PARTITION BY user_id ORDER BY cents) "
+            "AS dense_rank_cents, "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS ntile4, "
+            "CASE WHEN cnt = 1 THEN 0 "
+            "ELSE ((rnk - 1) * 1000000) // (cnt - 1) END AS pct_rank_ppm "
+            "FROM r ORDER BY event_id"
+        ),
+        "c4_filters": (
+            # derivation mirrors _c4_filters.derive, then the signal
+            # arithmetic mirrors stages/text_quality.c4_signals_batch
+            "WITH base AS (SELECT doc_id, array_to_string("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm "
+            "FROM documents), "
+            "d1 AS (SELECT doc_id, regexp_replace(norm, "
+            "'((?:\\S+ ){5}\\S+) ', '\\1' || chr(10), 'g') AS s FROM base), "
+            "d2 AS (SELECT doc_id, regexp_replace(s, "
+            "'([aeiou])(' || chr(10) || '|$)', '\\1.\\2', 'g') AS s FROM d1), "
+            "doc AS (SELECT doc_id, s || "
+            "CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'lorem ipsum dolor' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'function() { var x; }' "
+            "ELSE '' END AS s FROM d2), "
+            "sig AS (SELECT doc_id, s, string_split(s, chr(10)) AS ls, "
+            "len(regexp_extract_all(lower(s), '[a-z0-9]+'))::BIGINT AS nw "
+            "FROM doc) "
+            "SELECT doc_id, len(ls)::BIGINT AS n_lines, "
+            "len(list_filter(ls, x -> regexp_matches(x, '[.!?\"]$')))::BIGINT "
+            "AS term_lines, "
+            "len(list_filter(ls, x -> len(regexp_extract_all(lower(x), "
+            "'[a-z0-9]+')) < 5))::BIGINT AS short_lines, "
+            "nw AS n_words, "
+            "CAST(contains(lower(s), 'lorem ipsum') AS BIGINT) AS has_lorem, "
+            "CAST(contains(s, '{') AS BIGINT) AS has_brace, "
+            "CAST(NOT contains(lower(s), 'lorem ipsum') "
+            "AND NOT contains(s, '{') AND nw >= 30 "
+            "AND 3 * len(list_filter(ls, x -> regexp_matches(x, "
+            "'[.!?\"]$'))) >= len(ls) AS BIGINT) AS keep "
+            "FROM sig ORDER BY doc_id"
+        ),
+        "phrase_detect": (
+            # word2vec phrase score in the same floor-integer arithmetic
+            # as stages/text_quality.phrase_detect
+            "WITH tok AS (SELECT regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS toks FROM documents), "
+            "n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM tok), "
+            "uni AS (SELECT w, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(toks) AS w FROM tok) GROUP BY w), "
+            "bi AS (SELECT g, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(list_transform(generate_series(1, "
+            "len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS g "
+            "FROM tok WHERE len(toks) >= 2) GROUP BY g) "
+            "SELECT g AS phrase, bi.c AS pair_count, "
+            "((bi.c - 1) * n.n * 1000) // (ua.c * ub.c) AS score_x1000, "
+            "CAST(((bi.c - 1) * n.n * 1000) // (ua.c * ub.c) >= 2000 "
+            "AS BIGINT) AS is_phrase "
+            "FROM bi "
+            "JOIN uni ua ON ua.w = split_part(g, ' ', 1) "
+            "JOIN uni ub ON ub.w = split_part(g, ' ', 2) CROSS JOIN n "
+            "WHERE bi.c >= 5 ORDER BY phrase"
         ),
         "events_hourly": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "

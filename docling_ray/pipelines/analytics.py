@@ -960,6 +960,100 @@ def user_running_value(sf_dir: str, num_buckets: int = 64):
              .sort("event_id")
 
 
+def event_rank_windows(sf_dir: str, num_buckets: int = 64):
+    """Ranking window functions in one pass — ROW_NUMBER / DENSE_RANK /
+    NTILE(4) / PERCENT_RANK per user partition (the full SQL ranking
+    family; lag/running-sum live in their own queries). Time order is
+    ``(ts, event_id)``; value ranks are over exact integer cents (same
+    quantization as the oracle). PERCENT_RANK is emitted as
+    ``(rank-1)*1e6 // (n-1)`` ppm so both engines compare integers.
+
+    Same scale shape as :func:`user_running_value`: ``hash(user) % B``
+    buckets co-locate a user's events, then ONE mergesort + vectorized
+    numpy segment arithmetic serves every user in the bucket — no
+    per-user Python, bucket count scales with volume."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        keys = pc.cast(batch["user_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pa.array(cents),
+        })
+
+    def per_bucket(group) -> pa.Table:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = len(g)
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "row_num": pa.array([], pa.int64()),
+            "dense_rank_cents": pa.array([], pa.int64()),
+            "ntile4": pa.array([], pa.int64()),
+            "pct_rank_ppm": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        idx = np.arange(n, dtype=np.int64)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        pos = idx - start                       # 0-based within user
+        bounds = np.flatnonzero(first)
+        lens = np.diff(np.r_[bounds, n])
+        n_user = np.repeat(lens, lens)
+        row_num = pos + 1
+        # NTILE(4): first (n mod 4) tiles get ceil(n/4) rows
+        q, r = n_user // 4, n_user % 4
+        cutoff = r * (q + 1)
+        ntile = np.where(
+            pos < cutoff,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - cutoff) // np.maximum(q, 1)) + 1
+        # value ranks: re-sort each user segment by cents (global idx
+        # keeps max.accumulate monotone across user boundaries)
+        o = np.lexsort((cents, uid))
+        uid2, cents2 = uid[o], cents[o]
+        first2 = np.r_[True, uid2[1:] != uid2[:-1]]
+        newval = first2 | np.r_[False, cents2[1:] != cents2[:-1]]
+        idx2 = np.arange(n, dtype=np.int64)
+        start2 = np.maximum.accumulate(np.where(first2, idx2, 0))
+        cnv = np.cumsum(newval)
+        dense2 = cnv - np.maximum.accumulate(
+            np.where(first2, cnv - 1, 0))
+        first_occ = np.maximum.accumulate(np.where(newval, idx2, 0))
+        rank2 = first_occ - start2 + 1
+        dense = np.empty(n, dtype=np.int64)
+        rank = np.empty(n, dtype=np.int64)
+        dense[o] = dense2
+        rank[o] = rank2
+        pct = np.where(n_user > 1,
+                       (rank - 1) * 1_000_000 // np.maximum(n_user - 1, 1),
+                       0)
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "row_num": pa.array(row_num, pa.int64()),
+            "dense_rank_cents": pa.array(dense, pa.int64()),
+            "ntile4": pa.array(ntile, pa.int64()),
+            "pct_rank_ppm": pa.array(pct, pa.int64()),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          batch_size=65536) \
+             .groupby("bucket") \
+             .map_groups(per_bucket, batch_format="pandas") \
+             .sort("event_id")
+
+
 def stratified_sample(sf_dir: str, en_pct: int = 20, other_pct: int = 10):
     """Deterministic stratified corpus sample — the training-data mixing
     primitive (per-stratum rates without a shuffle or an RNG): a doc is

@@ -607,3 +607,130 @@ def dsir_weights(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def c4_signals_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_words: int = 30) -> pa.Table:
+    """C4/FineWeb-style document quality signals (Raffel et al. 2020
+    §2.2, arXiv:1910.10683; the reference has no corpus-filter stage —
+    this belongs to the LLM-training-data op set): per document the
+    line-level terminal-punctuation counts, short-line count (<5 words —
+    C4 drops them), total word count, and the classic boilerplate
+    markers (``lorem ipsum``; ``{`` = C4's javascript/code rule), plus
+    the integer-exact keep decision: no markers, ``>= min_words`` words,
+    and terminal-punctuated lines at least a third of all lines
+    (``3*term_lines >= n_lines``; C4 keeps punctuation-terminated lines
+    — we grade the whole doc by that ratio so the op stays a row-level
+    signal table a downstream filter consumes).
+
+    Fully vectorized (polars string/list kernels — no per-row Python);
+    all outputs int64 so the DuckDB oracle compares exact integers.
+    Stateless map stage: scales as a pure streaming pass."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+    ls = pl.col(text_col).str.split("\n")
+    sig = df.select(
+        pl.col(id_col),
+        ls.list.len().cast(pl.Int64).alias("n_lines"),
+        ls.list.eval(
+            pl.element().str.contains(r'[.!?"]$').cast(pl.Int64)
+        ).list.sum().alias("term_lines"),
+        ls.list.eval(
+            (pl.element().str.to_lowercase()
+             .str.count_matches(r"[a-z0-9]+") < 5).cast(pl.Int64)
+        ).list.sum().alias("short_lines"),
+        pl.col(text_col).str.to_lowercase()
+        .str.count_matches(r"[a-z0-9]+").cast(pl.Int64).alias("n_words"),
+        pl.col(text_col).str.to_lowercase()
+        .str.contains("lorem ipsum", literal=True)
+        .cast(pl.Int64).alias("has_lorem"),
+        pl.col(text_col).str.contains("{", literal=True)
+        .cast(pl.Int64).alias("has_brace"),
+    ).with_columns(
+        ((pl.col("has_lorem") == 0) & (pl.col("has_brace") == 0)
+         & (pl.col("n_words") >= min_words)
+         & (3 * pl.col("term_lines") >= pl.col("n_lines")))
+        .cast(pl.Int64).alias("keep")
+    )
+    out = sig.to_arrow()
+    # polars may emit large_string/compat types — pin the id column type
+    return out.set_column(0, id_col, out[id_col].combine_chunks().cast(
+        batch[id_col].type))
+
+
+def phrase_detect(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 5,
+    delta: int = 1,
+    threshold_x1000: int = 2000,
+    vocab_topk: int = LM_VOCAB_TOPK,
+) -> "ray.data.Dataset":
+    """Corpus-level phrase detection (word2vec phrase pass, Mikolov et
+    al. 2013 §4, arXiv:1310.4546): bigrams whose corpus count is high
+    relative to their parts' counts are collocations. Score is the
+    paper's ``(count(ab) - delta) * N / (count(a) * count(b))`` kept in
+    floor-integer arithmetic (``*1000 //``) so the DuckDB oracle
+    matches exactly; ``is_phrase`` = score >= threshold.
+
+    Scale shape: counting reuses the bigram-LM tagged partial (one row
+    per distinct gram per batch, then ONE vocabulary-sized groupby);
+    the unigram side ships as the same hard-bounded digest model as
+    :func:`lm_train` (min_count=1 here so, below the top-K cap, pruning
+    is a no-op and the SQL oracle needs no mirror — above it, top-K is
+    the documented scale bound); scoring then streams over the
+    *aggregated bigram rows*, never re-reading text. int64 scores hold
+    to ~1e18: fine for any corpus this engine oracles; a true 1e14-token
+    run would switch the score column to float64 (comparison only,
+    no equality contract). Output: (phrase, pair_count, score_x1000,
+    is_phrase) sorted by phrase."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        _lm_counts_partial, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col},
+    ).groupby("key").aggregate(Sum("c", alias_name="c")).materialize()
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["key"], pattern="u\x1f")
+        s = pc.sum(pc.filter(t["c"], m))
+        return pa.table({"n": pa.array(
+            [s.as_py() or 0], pa.int64())})
+
+    n_total = int(counts.map_batches(
+        uni_partial, batch_format="pyarrow").sum("n"))
+    uk, uc = _topk_counts(counts, "u\x1f", vocab_topk, 1)
+    model = ray.put((uk, uc, n_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.starts_with(t["key"], pattern="b\x1f"),
+            pc.greater_equal(t["c"], min_count)))
+        keys, counts_np = (t["key"].to_pylist(),
+                           t["c"].to_numpy(zero_copy_only=False))
+        uk_, uc_, n_ = ray.get(model)
+        parts = [k[2:].split("\x1f", 1) for k in keys]
+        pa_dig = np.frombuffer(
+            b"".join(_gram_digest("u\x1f" + p[0]) for p in parts) or b"",
+            dtype="S16")
+        pb_dig = np.frombuffer(
+            b"".join(_gram_digest("u\x1f" + p[1]) for p in parts) or b"",
+            dtype="S16")
+        fa, ca = _lookup_counts(uk_, uc_, pa_dig)
+        fb, cb = _lookup_counts(uk_, uc_, pb_dig)
+        ok = fa & fb
+        sc = (counts_np - delta) * n_ * 1000 // (ca * cb)
+        phrases = np.array([p[0] + " " + p[1] for p in parts], dtype=object)
+        return pa.table({
+            "phrase": pa.array(phrases[ok], pa.string()),
+            "pair_count": pa.array(counts_np[ok], pa.int64()),
+            "score_x1000": pa.array(sc[ok], pa.int64()),
+            "is_phrase": pa.array(
+                (sc[ok] >= threshold_x1000).astype(np.int64), pa.int64()),
+        })
+
+    return counts.map_batches(score, batch_format="pyarrow").sort("phrase")

@@ -573,3 +573,92 @@ def test_semantic_dedup_prunes_planted_neardups(ray_session):
     ids = set(kept.vec_id)
     assert set(range(60)) <= ids            # every original survives
     assert ids.isdisjoint(dup_of)           # every near-copy pruned
+
+
+def test_c4_signals_literal(ray_session):
+    """Hand-computed C4 signal values on a literal multi-line doc."""
+    import pyarrow as pa
+
+    from docling_ray.stages.text_quality import c4_signals_batch
+
+    good = ("the quick brown fox jumps over the lazy dog today.\n"
+            "a second full sentence with plenty of words here too!\n"
+            "short line\n"
+            "and one more properly terminated sentence closes the doc.")
+    bad = "call function() { var x = 1; } now\nlorem ipsum dolor sit"
+    out = c4_signals_batch(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([good, bad]),
+    })).to_pydict()
+    # doc 1: 4 lines, 3 terminal, 1 short (<5 words), 31 words, keep
+    assert out["n_lines"] == [4, 2]
+    assert out["term_lines"] == [3, 0]
+    assert out["short_lines"] == [1, 1]
+    assert out["n_words"] == [31, 10]
+    assert out["has_lorem"] == [0, 1]
+    assert out["has_brace"] == [0, 1]
+    assert out["keep"] == [1, 0]
+
+
+def test_event_rank_windows_semantics(ray_session):
+    """row_number / dense_rank / ntile / percent_rank on a literal
+    7-event user: values [5,5,3,9,9,9,1] in time order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from docling_ray.pipelines import analytics as A
+
+    cents = [500, 500, 300, 900, 900, 900, 100]
+    t = pa.table({
+        "event_id": pa.array(np.arange(7, dtype=np.int64)),
+        "user_id": pa.array([7] * 7, pa.int64()),
+        "ts": pa.array(pd.to_datetime(np.arange(7), unit="s")),
+        "value": pa.array([c / 100.0 for c in cents], pa.float64()),
+    })
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, f"{d}/events.parquet")
+        out = A.event_rank_windows(d).to_pandas().sort_values("event_id")
+    assert out["row_num"].tolist() == [1, 2, 3, 4, 5, 6, 7]
+    # cents ranks: 100→1, 300→2, 500→3, 900→4
+    assert out["dense_rank_cents"].tolist() == [3, 3, 2, 4, 4, 4, 1]
+    # ntile(4) over 7 rows: sizes 2,2,2,1
+    assert out["ntile4"].tolist() == [1, 1, 2, 2, 3, 3, 4]
+    # rank(): 100→1, 300→2, 500→3(x2), 900→5(x3); ppm = (rank-1)*1e6//6
+    assert out["pct_rank_ppm"].tolist() == [
+        (3 - 1) * 1_000_000 // 6, (3 - 1) * 1_000_000 // 6,
+        (2 - 1) * 1_000_000 // 6, (5 - 1) * 1_000_000 // 6,
+        (5 - 1) * 1_000_000 // 6, (5 - 1) * 1_000_000 // 6, 0]
+
+
+def test_phrase_detect_planted_collocation(ray_session):
+    """'new york' always co-occurs → high score; 'of the' (the reverse
+    ordering inside the filler run) is frequent but scores below the
+    threshold. Exact integer scores checked against the formula."""
+    import pyarrow as pa
+    import ray
+
+    from docling_ray.stages.text_quality import phrase_detect
+
+    docs = ["new york " + "the of " * 5] * 8
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(docs),
+    }))
+    out = phrase_detect(ds, min_count=5, delta=1,
+                        threshold_x1000=2000).to_pandas()
+    rows = {r.phrase: r for r in out.itertuples()}
+    n_total = 8 * 12  # 12 tokens per doc
+    ny = rows["new york"]
+    assert ny.pair_count == 8
+    assert ny.score_x1000 == (8 - 1) * n_total * 1000 // (8 * 8)
+    assert ny.is_phrase == 1
+    # 'of the' occurs 4x/doc = 32 pairs, parts occur 40x each
+    to = rows["of the"]
+    assert to.pair_count == 32
+    assert to.score_x1000 == (32 - 1) * n_total * 1000 // (40 * 40)
+    assert to.is_phrase == 0
