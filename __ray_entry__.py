@@ -46,6 +46,39 @@ def read_sf_table(sf_dir: str, table: str, columns=None, **kwargs):
 _STOP_SQL = "['the','and','of','a','to','in','is','for','on','with']"
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# Supervised NB-shape classifier prediction, shared by the nb_classify
+# oracle and (as a subquery) classifier_eval: per-class token counts
+# pruned (c >= 2, top-K by c desc / token asc), totals over the PRUNED
+# model; each token occurrence contributes c * 1e6 // total (floor);
+# argmax with ties -> class asc; empty docs predict the lex-min class
+# at score 0.
+_NB_PRED_SQL = (
+    "WITH tk AS (SELECT doc_id, lang, unnest("
+    f"{_TOKS}) AS token FROM documents), "
+    "cnt AS (SELECT lang, token, count(*)::BIGINT AS c "
+    "FROM tk GROUP BY 1, 2), "
+    "pruned AS (SELECT lang, token, c FROM cnt WHERE c >= 2 "
+    "QUALIFY row_number() OVER (PARTITION BY lang "
+    "ORDER BY c DESC, token ASC) <= 65536), "
+    "tot AS (SELECT lang, sum(c)::BIGINT AS tot "
+    "FROM pruned GROUP BY 1), "
+    "classes AS (SELECT DISTINCT lang AS cls FROM documents), "
+    "contrib AS (SELECT tk.doc_id, cl.cls, "
+    "coalesce(sum(p.c * 1000000 // t.tot), 0)::BIGINT AS score "
+    "FROM tk CROSS JOIN classes cl "
+    "LEFT JOIN pruned p ON p.lang = cl.cls AND p.token = tk.token "
+    "JOIN tot t ON t.lang = cl.cls GROUP BY 1, 2), "
+    "alldocs AS (SELECT d.doc_id, cl.cls, "
+    "coalesce(c.score, 0)::BIGINT AS score "
+    "FROM documents d CROSS JOIN classes cl "
+    "LEFT JOIN contrib c ON c.doc_id = d.doc_id "
+    "AND c.cls = cl.cls), "
+    "best AS (SELECT doc_id, cls, score, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn "
+    "FROM alldocs) "
+    "SELECT doc_id, cls AS pred, score FROM best WHERE rn = 1"
+)
+
 
 def entry() -> Any:
     """Flagship: interleaved corpus derived from sf0.001 (stored once with
@@ -393,6 +426,19 @@ def _nb_classify(sf_dir: str):
     ds = read_sf_table(sf_dir, "documents",
                        columns=["doc_id", "text", "lang"])
     return nb_classify(ds).sort("doc_id")
+
+
+def _classifier_eval(sf_dir: str):
+    """Evaluation report for the supervised classifier: per-class
+    tp/fp/fn + precision/recall/F1 in integer ppm. The oracle chains
+    the nb_classify SQL as a subquery and recomputes the confusion
+    arithmetic independently."""
+    from docling_ray.stages.classify import classification_report, nb_classify
+
+    ds = read_sf_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "lang"])
+    return classification_report(
+        nb_classify(ds, emit_label=True)).sort("label")
 
 
 def _tfidf_topk(sf_dir: str):
@@ -974,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": _bpe_vocab,
         "bpe_token_counts": _bpe_token_counts,
         "nb_classify": _nb_classify,
+        "classifier_eval": _classifier_eval,
         "lm_score": _lm_score,
         "dsir_weights": _dsir_weights,
         "source_quality_report": _source_quality_report,
@@ -2094,37 +2141,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(s.weight, 0)::BIGINT AS weight "
             "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
         ),
-        "nb_classify": (
-            # supervised NB-shape classifier: per-class token counts
-            # pruned (c >= 2, top-K by c desc / token asc), totals over
-            # the PRUNED model; each token occurrence contributes
-            # c * 1e6 // total (floor); argmax with ties -> class asc;
-            # empty docs predict the lex-min class at score 0
-            "WITH tk AS (SELECT doc_id, lang, unnest("
-            f"{_TOKS}) AS token FROM documents), "
-            "cnt AS (SELECT lang, token, count(*)::BIGINT AS c "
-            "FROM tk GROUP BY 1, 2), "
-            "pruned AS (SELECT lang, token, c FROM cnt WHERE c >= 2 "
-            "QUALIFY row_number() OVER (PARTITION BY lang "
-            "ORDER BY c DESC, token ASC) <= 65536), "
-            "tot AS (SELECT lang, sum(c)::BIGINT AS tot "
-            "FROM pruned GROUP BY 1), "
-            "classes AS (SELECT DISTINCT lang AS cls FROM documents), "
-            "contrib AS (SELECT tk.doc_id, cl.cls, "
-            "coalesce(sum(p.c * 1000000 // t.tot), 0)::BIGINT AS score "
-            "FROM tk CROSS JOIN classes cl "
-            "LEFT JOIN pruned p ON p.lang = cl.cls AND p.token = tk.token "
-            "JOIN tot t ON t.lang = cl.cls GROUP BY 1, 2), "
-            "alldocs AS (SELECT d.doc_id, cl.cls, "
-            "coalesce(c.score, 0)::BIGINT AS score "
-            "FROM documents d CROSS JOIN classes cl "
-            "LEFT JOIN contrib c ON c.doc_id = d.doc_id "
-            "AND c.cls = cl.cls), "
-            "best AS (SELECT doc_id, cls, score, row_number() OVER ("
-            "PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn "
-            "FROM alldocs) "
-            "SELECT doc_id, cls AS pred, score FROM best WHERE rn = 1 "
-            "ORDER BY doc_id"
+        "nb_classify": _NB_PRED_SQL + " ORDER BY doc_id",
+        "classifier_eval": (
+            # chain the nb_classify prediction SQL, join truth, and
+            # recompute the confusion arithmetic independently
+            "WITH predn AS (SELECT p.doc_id, p.pred, d.lang AS label "
+            f"FROM ({_NB_PRED_SQL}) p "
+            "JOIN documents d USING (doc_id)), "
+            "conf AS (SELECT label, pred, count(*)::BIGINT AS n "
+            "FROM predn GROUP BY 1, 2), "
+            "cls AS (SELECT DISTINCT lang AS c FROM documents), "
+            "per AS (SELECT cl.c AS label, "
+            "coalesce(sum(CASE WHEN conf.label = cl.c "
+            "AND conf.pred = cl.c THEN n END), 0)::BIGINT AS tp, "
+            "coalesce(sum(CASE WHEN conf.label <> cl.c "
+            "AND conf.pred = cl.c THEN n END), 0)::BIGINT AS fp, "
+            "coalesce(sum(CASE WHEN conf.label = cl.c "
+            "AND conf.pred <> cl.c THEN n END), 0)::BIGINT AS fn "
+            "FROM cls cl LEFT JOIN conf "
+            "ON (conf.label = cl.c OR conf.pred = cl.c) GROUP BY 1) "
+            "SELECT label, tp, fp, fn, "
+            "CASE WHEN tp + fp = 0 THEN 0 "
+            "ELSE tp * 1000000 // (tp + fp) END AS precision_ppm, "
+            "CASE WHEN tp + fn = 0 THEN 0 "
+            "ELSE tp * 1000000 // (tp + fn) END AS recall_ppm, "
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 "
+            "ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm "
+            "FROM per ORDER BY label"
         ),
         "bpe_vocab": (
             # top-256 (count desc, word asc) corpus word counts — the

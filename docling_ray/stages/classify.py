@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -158,11 +159,13 @@ def nb_classify(
     id_col: str = "doc_id",
     min_count: int = NB_MIN_COUNT,
     topk: int = NB_TOPK,
+    emit_label: bool = False,
 ) -> "ray.data.Dataset":
     """Train on (text, label) and classify every document: output
-    ``(doc_id, pred, score)``. The model ships once via ``ray.put``
-    (object-store read per task, not per batch shipment); scoring
-    streams with no shuffle."""
+    ``(doc_id, pred, score)`` (+ ``label`` passthrough when
+    ``emit_label`` — saves the truth-join for evaluation). The model
+    ships once via ``ray.put`` (object-store read per task, not per
+    batch shipment); scoring streams with no shuffle."""
     import ray
 
     model_ref = ray.put(nb_train(ds, text_col, label_col,
@@ -171,10 +174,64 @@ def nb_classify(
     def score(batch: pa.Table) -> pa.Table:
         m = ray.get(model_ref)
         pred, s = nb_score_texts(m, batch[text_col].to_pylist())
-        return pa.table({
+        cols = {
             "doc_id": batch[id_col],
             "pred": pa.array(pred, pa.string()),
             "score": pa.array(s, type=pa.int64()),
-        })
+        }
+        if emit_label:
+            cols["label"] = batch[label_col]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def classification_report(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> "ray.data.Dataset":
+    """Per-class evaluation of a classifier's predictions — the
+    train-pipeline QA stage that closes the classify loop: confusion
+    counts → tp/fp/fn → precision/recall/F1, all in floor-integer ppm
+    so the DuckDB oracle compares exactly.
+
+    Scale shape: per-batch (label, pred) partial counts, then ONE
+    class²-sized groupby — the report itself is class-count-sized, so
+    the driver materialization is bounded by the label alphabet (the
+    source_quality_report rule), never by corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([label_col, pred_col]).group_by(
+            [label_col, pred_col]).aggregate([([], "count_all")])
+        return pa.table({
+            "label": g[label_col],
+            "pred": g[pred_col],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    conf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "pred"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    classes = sorted(set(conf["label"]) | set(conf["pred"]))
+    rows = []
+    for c in classes:
+        tp = int(conf[(conf["label"] == c) & (conf["pred"] == c)]["n"].sum())
+        fp = int(conf[(conf["label"] != c) & (conf["pred"] == c)]["n"].sum())
+        fn = int(conf[(conf["label"] == c) & (conf["pred"] != c)]["n"].sum())
+        rows.append({
+            "label": c, "tp": tp, "fp": fp, "fn": fn,
+            "precision_ppm": tp * 1_000_000 // (tp + fp) if tp + fp else 0,
+            "recall_ppm": tp * 1_000_000 // (tp + fn) if tp + fn else 0,
+            "f1_ppm": (2 * tp * 1_000_000 // (2 * tp + fp + fn)
+                       if 2 * tp + fp + fn else 0),
+        })
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        k: pa.array([r[k] for r in rows],
+                    pa.string() if k == "label" else pa.int64())
+        for k in ("label", "tp", "fp", "fn",
+                  "precision_ppm", "recall_ppm", "f1_ppm")}))

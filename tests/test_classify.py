@@ -85,3 +85,46 @@ def test_topk_caps_model_size(ray_session):
     model = nb_train(ds, topk=4)
     keys, cnts, total = model["en"]
     assert len(keys) == 4 and total == 8  # 4 words x count 2
+
+
+def test_classification_report_hand_confusion(ray_session):
+    import ray
+
+    from docling_ray.stages.classify import classification_report
+
+    # predictions fixed by hand: en truth {tp 2, fn 1 (pred fr)},
+    # fr truth {tp 1, fn 1 (pred en)}
+    t = pa.table({
+        "label": pa.array(["en", "en", "en", "fr", "fr"], pa.string()),
+        "pred": pa.array(["en", "en", "fr", "fr", "en"], pa.string()),
+    })
+    rep = classification_report(ray.data.from_arrow(t)) \
+        .to_pandas().set_index("label")
+    # en: tp=2 fp=1 fn=1 -> precision 2/3, recall 2/3, f1 2*2/(4+2)
+    assert rep.loc["en", ["tp", "fp", "fn"]].tolist() == [2, 1, 1]
+    assert rep.loc["en", "precision_ppm"] == 2 * 1_000_000 // 3
+    assert rep.loc["en", "recall_ppm"] == 2 * 1_000_000 // 3
+    assert rep.loc["en", "f1_ppm"] == 4 * 1_000_000 // 6
+    # fr: tp=1 fp=1 fn=1 -> 500000 across the board
+    assert rep.loc["fr", ["tp", "fp", "fn"]].tolist() == [1, 1, 1]
+    assert (rep.loc["fr", ["precision_ppm", "recall_ppm",
+                           "f1_ppm"]] == 500_000).all()
+
+
+def test_classification_report_absent_class_zero_division(ray_session):
+    import ray
+
+    from docling_ray.stages.classify import classification_report
+
+    # class 'de' never predicted: tp=0, fp=0 -> precision 0 (no raise);
+    # class 'en' never a true label: tp=0, fn=0 -> recall 0
+    t = pa.table({
+        "label": pa.array(["de", "de"], pa.string()),
+        "pred": pa.array(["en", "en"], pa.string()),
+    })
+    rep = classification_report(ray.data.from_arrow(t)) \
+        .to_pandas().set_index("label")
+    assert rep.loc["de", ["tp", "fp", "fn"]].tolist() == [0, 0, 2]
+    assert rep.loc["de", ["precision_ppm", "f1_ppm"]].tolist() == [0, 0]
+    assert rep.loc["en", ["tp", "fp", "fn"]].tolist() == [0, 2, 0]
+    assert rep.loc["en", ["recall_ppm", "f1_ppm"]].tolist() == [0, 0]
