@@ -568,6 +568,77 @@ def _hyperlinks(sf_dir: str):
                  .sort(["doc_id", "link_idx"])
 
 
+def _webgraph_edges(sf_dir: str):
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.webgraph import host_edges
+
+    return host_edges(derive_corpus(sf_dir, seed=SEED))
+
+
+def _host_graph(sf_dir: str):
+    """Weighted host-level link graph from the extracted hyperlink stream
+    (stages/webgraph.py): canonical-URL host → outlink host, aggregated.
+    The canonical⋈outlink join is local to each document row — the only
+    shuffle is the final (src, dst) sum."""
+    return _webgraph_edges(sf_dir).sort(["src_host", "dst_host"])
+
+
+def _host_degree(sf_dir: str):
+    """Per-host degree dashboard over the aggregated host graph: total
+    out/in link weight + distinct out/in neighbor counts."""
+    from docling_ray.stages.webgraph import host_degree
+
+    return host_degree(_webgraph_edges(sf_dir)).sort("host")
+
+
+def _host_anchor_terms(sf_dir: str):
+    """Anchor-text term frequencies per target host — the classic web
+    signal (anchor terms describe the linked page; used for retrieval and
+    corpus quality weighting)."""
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.webgraph import host_anchor_terms
+
+    return host_anchor_terms(derive_corpus(sf_dir, seed=SEED)) \
+        .sort(["host", "term"])
+
+
+def _pagerank_hosts(sf_dir: str):
+    """Integer-exact PageRank over the host graph (8 iterations, damping
+    85/100, ranks in parts-per-10^12) — bit-identical to the loop-unrolled
+    DuckDB oracle because every step is int64 floor arithmetic."""
+    from docling_ray.stages.webgraph import pagerank_hosts
+
+    return pagerank_hosts(_webgraph_edges(sf_dir)).sort("host")
+
+
+def _hits_hosts(sf_dir: str):
+    """Integer-exact HITS hubs & authorities over the host graph (4
+    iterations, scores max-normalized to parts-per-10^6) — link-analysis
+    companion to PageRank (stages/webgraph.py)."""
+    from docling_ray.stages.webgraph import hits_hosts
+
+    return hits_hosts(_webgraph_edges(sf_dir)).sort("host")
+
+
+def _doc_link_quality(sf_dir: str):
+    """Graph signal joined back to documents: each doc's canonical-host
+    PageRank as a per-doc quality feature (the web-curation weight that
+    feeds mixture/curation pipelines)."""
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.webgraph import doc_link_quality
+
+    return doc_link_quality(derive_corpus(sf_dir, seed=SEED)).sort("doc_id")
+
+
+def _host_components(sf_dir: str):
+    """Undirected connected components over the host graph (site
+    clusters), labels = lexicographic-min member host; string-labeled
+    min-label propagation (stages/webgraph.py)."""
+    from docling_ray.stages.webgraph import host_components
+
+    return host_components(_webgraph_edges(sf_dir)).sort("host")
+
+
 def _form_fields(sf_dir: str):
     """DOM form-field pairs from every html input span (the reference's
     GraphData key-value regions, html_backend.py:3827,4303) — oracle =
@@ -1057,6 +1128,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chart_tables": _chart_tables,
         "kv_pairs": _kv_pairs,
         "hyperlinks": _hyperlinks,
+        "host_graph": _host_graph,
+        "host_degree": _host_degree,
+        "host_anchor_terms": _host_anchor_terms,
+        "pagerank_hosts": _pagerank_hosts,
+        "hits_hosts": _hits_hosts,
+        "doc_link_quality": _doc_link_quality,
+        "host_components": _host_components,
         "form_fields": _form_fields,
         "formatting": _formatting,
         "list_markers": _list_markers,
@@ -1331,6 +1409,137 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             'SELECT doc_id, "offset", media_ref, chart_type, data '
             f"FROM read_parquet('{exp}/chart_tables.parquet') "
             'ORDER BY doc_id, "offset"'
+        ),
+        **_webgraph_sql(exp),
+    }
+
+
+# host() in SQL — mirrors functions/urls.py:url_host byte for byte
+_HOST_RE_SQL = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_ABS_HTTP_SQL = "regexp_matches(href, '^[hH][tT][tT][pP][sS]?://')"
+
+
+def _webgraph_sql(exp: str) -> dict[str, str]:
+    """Web-graph oracles, all derived from the expected hyperlinks table
+    with the same edge rule as stages/webgraph.py: src host = host of the
+    doc's canonical URL, dst hosts = hosts of its absolute http(s)
+    outlinks; anchor terms aggregate over all absolute links."""
+    cte = (
+        "links AS (SELECT doc_id, text, href, region "
+        f"FROM read_parquet('{exp}/hyperlinks.parquet')), "
+        "canon AS (SELECT doc_id, lower(regexp_extract(href, "
+        f"'{_HOST_RE_SQL}', 1)) AS src_host FROM links "
+        "WHERE region = 'canonical'), "
+        "out_links AS (SELECT doc_id, text, lower(regexp_extract(href, "
+        f"'{_HOST_RE_SQL}', 1)) AS dst_host FROM links "
+        f"WHERE region <> 'canonical' AND {_ABS_HTTP_SQL}), "
+        "edges AS MATERIALIZED (SELECT src_host, dst_host, "
+        "COUNT(*)::BIGINT AS n_links "
+        "FROM canon JOIN out_links USING (doc_id) "
+        "WHERE src_host <> '' AND dst_host <> '' GROUP BY 1, 2)"
+    )
+    # loop-unrolled integer PageRank: r0 = SCALE // N; each iteration
+    # r_{t+1} = base + (85 * Σ (r_t(src) // ow(src)) * w) // 100, all
+    # floor integer division — bit-identical to the Ray implementation
+    pr = (
+        ", nodes AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host "
+        "FROM edges UNION ALL SELECT dst_host FROM edges)), "
+        "ow AS MATERIALIZED (SELECT src_host AS host, "
+        "SUM(n_links)::BIGINT AS w FROM edges GROUP BY 1), "
+        "nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS c FROM nodes), "
+        "r0 AS (SELECT host, (SELECT 1000000000000 // c FROM nn) AS r "
+        "FROM nodes)"
+    )
+    for i in range(1, 9):
+        pr += (
+            f", r{i} AS (SELECT nodes.host, CAST("
+            "(SELECT (15 * (1000000000000 // c)) // 100 FROM nn) "
+            "+ (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r FROM nodes "
+            "LEFT JOIN (SELECT e.dst_host AS host, "
+            "SUM((r.r // o.w) * e.n_links) AS s FROM edges e "
+            f"JOIN r{i - 1} r ON e.src_host = r.host "
+            "JOIN ow o ON e.src_host = o.host GROUP BY 1) s "
+            "ON nodes.host = s.host)"
+        )
+    # loop-unrolled integer HITS: per half-iteration a weighted sum then a
+    # max-normalization x' = (x * 1e6) // max(x) — all floor integer ops
+    hits = (
+        ", nodes AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host "
+        "FROM edges UNION ALL SELECT dst_host FROM edges)), "
+        "h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS x FROM nodes)"
+    )
+    for i in range(1, 5):
+        for tgt, prev, jk, ek in (
+                (f"a{i}", f"h{i - 1}", "src_host", "dst_host"),
+                (f"h{i}", f"a{i}", "dst_host", "src_host")):
+            # AS MATERIALIZED: DuckDB inlines single-use CTEs, and this
+            # chain re-expands each level into the previous ones —
+            # exponential plan growth without it
+            hits += (
+                f", {tgt}s AS MATERIALIZED (SELECT e.{ek} AS host, "
+                f"SUM(p.x * e.n_links) AS s FROM edges e "
+                f"JOIN {prev} p ON e.{jk} = p.host GROUP BY 1), "
+                f"{tgt}m AS MATERIALIZED (SELECT MAX(s) AS m FROM {tgt}s), "
+                f"{tgt} AS MATERIALIZED (SELECT n.host, CAST(COALESCE("
+                f"(s.s * 1000000) // (SELECT m FROM {tgt}m), 0) AS BIGINT) "
+                f"AS x FROM nodes n LEFT JOIN {tgt}s s ON n.host = s.host)"
+            )
+    return {
+        "host_graph": (
+            f"WITH {cte} SELECT src_host, dst_host, n_links FROM edges "
+            "ORDER BY src_host, dst_host"
+        ),
+        "hits_hosts": (
+            f"WITH {cte}{hits} "
+            "SELECT n.host, h.x AS hub_scaled, a.x AS authority_scaled "
+            "FROM nodes n JOIN h4 h ON n.host = h.host "
+            "JOIN a4 a ON n.host = a.host ORDER BY n.host"
+        ),
+        "host_degree": (
+            f"WITH {cte}, "
+            "o AS (SELECT src_host AS host, SUM(n_links)::BIGINT AS "
+            "out_links, COUNT(*)::BIGINT AS out_hosts FROM edges "
+            "GROUP BY 1), "
+            "i AS (SELECT dst_host AS host, SUM(n_links)::BIGINT AS "
+            "in_links, COUNT(*)::BIGINT AS in_hosts FROM edges "
+            "GROUP BY 1) "
+            "SELECT COALESCE(o.host, i.host) AS host, "
+            "COALESCE(out_links, 0)::BIGINT AS out_links, "
+            "COALESCE(out_hosts, 0)::BIGINT AS out_hosts, "
+            "COALESCE(in_links, 0)::BIGINT AS in_links, "
+            "COALESCE(in_hosts, 0)::BIGINT AS in_hosts "
+            "FROM o FULL OUTER JOIN i ON o.host = i.host ORDER BY host"
+        ),
+        "host_anchor_terms": (
+            f"WITH {cte} "
+            "SELECT host, term, COUNT(*)::BIGINT AS n FROM ("
+            "SELECT dst_host AS host, "
+            "unnest(string_split(lower(text), ' ')) AS term "
+            "FROM out_links WHERE dst_host <> '') "
+            "WHERE term <> '' GROUP BY 1, 2 ORDER BY host, term"
+        ),
+        "pagerank_hosts": (
+            f"WITH {cte}{pr} "
+            "SELECT host, r AS rank_scaled FROM r8 ORDER BY host"
+        ),
+        "doc_link_quality": (
+            f"WITH {cte}{pr} "
+            "SELECT c.doc_id, c.src_host AS host, r.r AS rank_scaled "
+            "FROM canon c JOIN r8 r ON c.src_host = r.host "
+            "WHERE c.src_host <> '' ORDER BY c.doc_id"
+        ),
+        "host_components": (
+            f"WITH RECURSIVE {cte}, "
+            "e AS (SELECT src_host AS a, dst_host AS b FROM edges "
+            "UNION SELECT dst_host, src_host FROM edges "
+            "UNION SELECT src_host, src_host FROM edges "
+            "UNION SELECT dst_host, dst_host FROM edges), "
+            "reach AS (SELECT a, b FROM e "
+            "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a) "
+            "SELECT a AS host, min(b) AS component FROM reach GROUP BY a "
+            "ORDER BY host"
         ),
     }
 

@@ -155,6 +155,12 @@ def run_bench() -> dict:
 
     timed("training_corpus",
           lambda: training_corpus_survivors(docs_ds()).count())
+    # web-graph composite: extract links → host edges → integer PageRank
+    from docling_ray.stages.webgraph import host_edges, pagerank_hosts
+
+    timed("pagerank_hosts", lambda: pagerank_hosts(host_edges(
+        read_corpus(path, columns=["doc_id", "spans"],
+                    parallelism=par))).count())
     timed("ann_topk", lambda: A.ann_brute_topk(SF_DIR).to_pandas())
     timed("events_hourly", lambda: A.events_hourly_window(SF_DIR).to_pandas())
     timed("q1_lineitem_agg", lambda: A.q1_lineitem_agg(SF_DIR).to_pandas())

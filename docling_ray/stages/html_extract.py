@@ -518,11 +518,32 @@ def extract_links(
     annotation stream. ``region`` classifies where the link lives using
     the SAME rules as the extractor: "boilerplate" (nav / link-farm
     subtrees the body strip removes), "furniture" (pre-first-heading
-    region or footer), "body" (everything the span pipeline keeps)."""
+    region or footer), "body" (everything the span pipeline keeps).
+    A document-level ``<link rel="canonical" href=...>`` (normally in
+    ``<head>``, which the body walk skips via _DROP) is emitted FIRST
+    as ``("", href, "canonical")`` — the page's self-identity and the
+    src-host anchor of the link graph (stages/webgraph.py)."""
     ex = extractor or HtmlExtractor()
     dom = build_dom(html)
     in_body = not (ex.infer_furniture and ex._subtree_has_heading(dom))
     out: list[tuple[str, str, str]] = []
+
+    def find_canonical(node: _Node) -> str:
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == "link" \
+                    and c.attrs.get("rel", "").lower() == "canonical" \
+                    and c.attrs.get("href"):
+                return c.attrs["href"]
+            got = find_canonical(c)
+            if got:
+                return got
+        return ""
+
+    canonical = find_canonical(dom)
+    if canonical:
+        out.append(("", canonical, "canonical"))
 
     def walk(node: _Node, boiler: bool, furn: bool) -> None:
         nonlocal in_body

@@ -71,6 +71,15 @@ def _para_text(rng: random.Random, pool: list[str], n_sent: int | None = None) -
 # HTML document
 # ======================================================================
 
+def _site_host(rng: random.Random) -> str:
+    """Skewed host pick for the synthetic web graph: 24 sites, quadratic
+    bias toward the low indices so the host-level in-degree distribution
+    has real hubs (the skew the PageRank / host-graph pipelines must
+    survive)."""
+    k = min(int(rng.random() ** 2 * 24), 23)
+    return f"site{k:02d}.example"
+
+
 def build_html_doc(
     rng: random.Random, pool: list[str], doc_id: str
 ) -> tuple[str, list[Span], list[tuple[str, str, str]],
@@ -78,10 +87,19 @@ def build_html_doc(
     """Render one HTML document + its expected span sequence + expected
     hyperlink, inline-formatting and form-field annotations, each in
     document order."""
-    frags: list[str] = ["<html><head><title>Ignored head title</title>",
-                       "<style>body{color:#000}</style></head><body>"]
     exp: list[Span] = []
     links_exp: list[tuple[str, str, str]] = []
+    # ~85% of pages declare a canonical URL in <head> — the extractor
+    # emits it FIRST as ("", url, "canonical"); it assigns the page its
+    # host in the link graph (docs without one never become src nodes)
+    canon_tag = ""
+    if rng.random() < 0.85:
+        canon_url = f"https://{_site_host(rng)}/{doc_id}"
+        canon_tag = f'<link rel="canonical" href="{canon_url}"/>'
+        links_exp.append(("", canon_url, "canonical"))
+    frags: list[str] = ["<html><head><title>Ignored head title</title>",
+                       canon_tag,
+                       "<style>body{color:#000}</style></head><body>"]
     fmt_exp: list[tuple[str, str, str]] = []
     marker_exp: list[tuple[str, str]] = []
     fields_exp: list[tuple[str, str, str]] = []
@@ -197,6 +215,16 @@ def build_html_doc(
             clean = "Café menu - \"daily\" 'special' cooperate zip..."
             frags.append(f"<p>{raw}</p>")
             exp.append(("text", clean, ""))
+    # cross-site outlinks: absolute https URLs onto the 24-host synthetic
+    # web (skewed via _site_host) — the edges of the host link graph
+    if rng.random() < 0.8:
+        for _ in range(rng.randint(1, 4)):
+            w = rng.choice(pool)
+            out_url = f"https://{_site_host(rng)}/{w}"
+            pre = _sentence(rng, pool)
+            frags.append(f'<p>{pre} See <a href="{out_url}">{w} docs</a>.</p>')
+            exp.append(("text", f"{pre} See {w} docs.", ""))
+            links_exp.append((f"{w} docs", out_url, "body"))
     # form region: DOM-structural key-value fields (the extractor's
     # _handle_form consumes the whole subtree — loose widget text never
     # leaks; expectations here are hand-computed, reading-order)

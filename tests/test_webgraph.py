@@ -1,0 +1,239 @@
+"""Web-graph operators: URL primitives, canonical-link extraction, edge
+derivation, integer PageRank (local vs distributed path equality), and
+string-labeled connected components."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_ray.functions.urls import is_absolute_http, normalize_url, url_host
+
+
+# ---------------------------------------------------------------------------
+# URL primitives (literal pins — mirrored byte for byte by the DuckDB
+# regexp in __ray_entry__._webgraph_sql)
+# ---------------------------------------------------------------------------
+
+def test_url_host_literals():
+    assert url_host("https://site01.example/doc") == "site01.example"
+    assert url_host("http://EXAMPLE.com/Path?q=1#f") == "example.com"
+    assert url_host("https://user:pw@host.org:8443/x") == "host.org"
+    assert url_host("https://host.org:8443") == "host.org"
+    assert url_host("ftp://files.example/x") == "files.example"
+    assert url_host("/relative/path") == ""
+    assert url_host("mailto:user@example.com") == ""  # no ://
+    assert url_host("") == ""
+    assert url_host("https://") == ""
+
+
+def test_is_absolute_http():
+    assert is_absolute_http("https://a.example/")
+    assert is_absolute_http("HTTP://a.example")
+    assert not is_absolute_http("ftp://a.example")
+    assert not is_absolute_http("/w")
+    assert not is_absolute_http("")
+
+
+def test_normalize_url():
+    assert normalize_url("HTTPS://Host.Example:443/A/b?Q=1#frag") == \
+        "https://host.example/A/b?Q=1"
+    assert normalize_url("http://h.example:80/") == "http://h.example"
+    assert normalize_url("http://h.example:8080/x") == \
+        "http://h.example:8080/x"
+    assert normalize_url("not a url") == "not a url"
+
+
+# ---------------------------------------------------------------------------
+# canonical <link> extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_links_canonical_first():
+    from docling_ray.stages.html_extract import extract_links
+
+    html = ('<html><head><title>t</title>'
+            '<link rel="canonical" href="https://s.example/p1"/>'
+            '</head><body><h1>T</h1>'
+            '<p>see <a href="https://t.example/x">x docs</a></p>'
+            '</body></html>')
+    links = extract_links(html)
+    assert links[0] == ("", "https://s.example/p1", "canonical")
+    assert links[1] == ("x docs", "https://t.example/x", "body")
+
+
+def test_extract_links_no_canonical_unchanged():
+    from docling_ray.stages.html_extract import extract_links
+
+    html = '<html><body><p><a href="/w">w</a></p></body></html>'
+    assert extract_links(html) == [("w", "/w", "body")]
+
+
+def test_canonical_first_only():
+    from docling_ray.stages.html_extract import extract_links
+
+    html = ('<head><link rel="canonical" href="https://a.example/1"/>'
+            '<link rel="canonical" href="https://b.example/2"/></head>'
+            '<body><p>x</p></body>')
+    links = extract_links(html)
+    assert links == [("", "https://a.example/1", "canonical")]
+
+
+# ---------------------------------------------------------------------------
+# edge derivation (map-side, per-doc canonical ⋈ outlinks)
+# ---------------------------------------------------------------------------
+
+def _doc_row(doc_id: str, html: str) -> dict:
+    return {"doc_id": doc_id,
+            "spans": [{"kind": "html", "text": html, "media_ref": "",
+                       "offset": 0}]}
+
+
+def test_edge_partials_batch():
+    from docling_ray.stages.webgraph import edge_partials_batch
+
+    with_canon = ('<head><link rel="canonical" '
+                  'href="https://src.example/p"/></head><body><h1>T</h1>'
+                  '<p><a href="https://a.example/1">one</a>'
+                  '<a href="https://a.example/2">two</a>'
+                  '<a href="https://b.example/3">three</a>'
+                  '<a href="/rel">rel skipped</a>'
+                  '<a href="ftp://c.example/4">non-http skipped</a></p>'
+                  '</body>')
+    no_canon = ('<body><p><a href="https://z.example/9">orphan</a></p>'
+                '</body>')
+    batch = pa.Table.from_pylist([
+        _doc_row("d1", with_canon), _doc_row("d2", no_canon)])
+    out = edge_partials_batch(batch).to_pylist()
+    assert out == [
+        {"src_host": "src.example", "dst_host": "a.example", "n_links": 2},
+        {"src_host": "src.example", "dst_host": "b.example", "n_links": 1},
+    ]
+
+
+# ---------------------------------------------------------------------------
+# PageRank: local path pinned against the distributed join-shaped path
+# ---------------------------------------------------------------------------
+
+def _toy_edges():
+    # a skewed 6-host graph with a dangling host (f) and a self-loop
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1),
+            ("d", "c", 5), ("d", "f", 1), ("e", "e", 2), ("e", "c", 1)]
+    return pa.table({
+        "src_host": pa.array([r[0] for r in rows]),
+        "dst_host": pa.array([r[1] for r in rows]),
+        "n_links": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def test_pagerank_paths_identical(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import pagerank_hosts
+
+    edges1 = ray.data.from_arrow(_toy_edges())
+    edges2 = ray.data.from_arrow(_toy_edges())
+    local = pagerank_hosts(edges1, iters=4).take_all()
+    dist = pagerank_hosts(edges2, iters=4, num_partitions=4,
+                          driver_max_edges=0).take_all()
+    key = lambda r: r["host"]  # noqa: E731
+    assert sorted(local, key=key) == sorted(dist, key=key)
+    # total mass conserved within truncation loss, every rank positive
+    for r in local:
+        assert r["rank_scaled"] > 0
+
+
+def test_pagerank_rank_ordering(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import pagerank_hosts
+
+    out = {r["host"]: r["rank_scaled"]
+           for r in pagerank_hosts(ray.data.from_arrow(_toy_edges()),
+                                   iters=8).take_all()}
+    # d has no in-links → exactly the base term: (15 * (SCALE//N)) // 100
+    assert out["d"] == (15 * (10 ** 12 // 6)) // 100
+    # a and c dominate (c collects 4 hosts' mass, a collects all of c's);
+    # dangling f sees only d's trickle
+    top2 = sorted(out, key=out.get, reverse=True)[:2]
+    assert set(top2) == {"a", "c"}
+    assert out["f"] < out["b"] < out["c"]
+
+
+# ---------------------------------------------------------------------------
+# connected components over string host ids
+# ---------------------------------------------------------------------------
+
+def test_host_components(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import host_components
+
+    edges = pa.table({
+        "src_host": ["b", "c", "x", "q"],
+        "dst_host": ["a", "b", "y", "q"],
+        "n_links": pa.array([1, 1, 1, 1], pa.int64())})
+    out = {r["host"]: r["component"]
+           for r in host_components(
+               ray.data.from_arrow(edges), num_partitions=4).take_all()}
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "q": "q"}
+
+
+def test_hits_paths_identical(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import hits_hosts
+
+    local = hits_hosts(ray.data.from_arrow(_toy_edges()),
+                       iters=3).take_all()
+    dist = hits_hosts(ray.data.from_arrow(_toy_edges()), iters=3,
+                      num_partitions=4, driver_max_edges=0).take_all()
+    key = lambda r: r["host"]  # noqa: E731
+    assert sorted(local, key=key) == sorted(dist, key=key)
+
+
+def test_hits_scores_sane(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import HITS_SCALE, hits_hosts
+
+    out = {r["host"]: r for r in hits_hosts(
+        ray.data.from_arrow(_toy_edges())).take_all()}
+    # c has the heaviest in-weight → the top authority (max-normalized)
+    assert out["c"]["authority_scaled"] == HITS_SCALE
+    # d points at the top authority with weight 5 → the top hub
+    assert out["d"]["hub_scaled"] == HITS_SCALE
+    # dangling f links to nothing → zero hub score
+    assert out["f"]["hub_scaled"] == 0
+
+
+def test_doc_link_quality(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import (
+        doc_link_quality, host_edges, pagerank_hosts)
+
+    a = ('<head><link rel="canonical" href="https://a.example/p"/></head>'
+         '<body><h1>T</h1><p><a href="https://b.example/x">x</a></p></body>')
+    b = ('<head><link rel="canonical" href="https://b.example/q"/></head>'
+         '<body><h1>T</h1><p><a href="https://a.example/y">y</a></p></body>')
+    corpus = ray.data.from_items([_doc_row("d1", a), _doc_row("d2", b)])
+    out = {r["doc_id"]: r for r in doc_link_quality(
+        corpus, num_partitions=2).take_all()}
+    assert out["d1"]["host"] == "a.example"
+    assert out["d2"]["host"] == "b.example"
+    # ranks agree with the standalone pagerank over the same corpus
+    corpus2 = ray.data.from_items([_doc_row("d1", a), _doc_row("d2", b)])
+    ranks = {r["host"]: r["rank_scaled"] for r in pagerank_hosts(
+        host_edges(corpus2)).take_all()}
+    assert out["d1"]["rank_scaled"] == ranks["a.example"]
+    assert out["d2"]["rank_scaled"] == ranks["b.example"]
+
+
+def test_host_degree(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import host_degree
+
+    out = {r["host"]: r for r in host_degree(
+        ray.data.from_arrow(_toy_edges())).take_all()}
+    assert out["c"]["in_links"] == 9 and out["c"]["in_hosts"] == 4
+    assert out["a"]["out_links"] == 4 and out["a"]["out_hosts"] == 2
+    assert out["f"]["out_links"] == 0 and out["f"]["in_links"] == 1
