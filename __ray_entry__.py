@@ -351,6 +351,42 @@ def _mixture_sample(sf_dir: str):
     return mixture_sample(ds, quotas=_MIX_QUOTAS)
 
 
+def _approx_quantiles(sf_dir: str):
+    """KLL-sketched per-group quantiles (rows-only: the sketch has no SQL
+    twin; rank error pinned ≤1% vs the exact sort in tests/test_sketches).
+    Same output shape as the exact ``event_quantiles`` so the two are
+    directly comparable — but only O(k log n) state per group shuffles,
+    never the values themselves."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from docling_ray.stages.sketches import kll_aggregate
+
+    ev = read_sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"event_type": t["event_type"], "v": v})
+
+    agg = ev.map_batches(to_int, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Count(), kll_aggregate("v", qs=(0.5, 0.95)))
+
+    def fin(t: pa.Table) -> pa.Table:
+        qs = t["kll(v)"].to_pylist()
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["count()"], pa.int64()),
+            "p50_x100": pa.array([int(x[0]) for x in qs], pa.int64()),
+            "p95_x100": pa.array([int(x[1]) for x in qs], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("event_type")
+
+
 def _approx_distinct(sf_dir: str):
     """Sketched cardinalities (rows-only: approximations have no SQL
     twin; error bounds + merge-exactness pinned in tests/test_sketches)."""
@@ -1085,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _sample_bottomk,
         "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
+        "approx_quantiles": _approx_quantiles,
         "tfidf_topk": _tfidf_topk,
         "c4_filters": _c4_filters,
         "phrase_detect": _phrase_detect,

@@ -303,3 +303,122 @@ def kmv_distinct(ds: "ray.data.Dataset", col: str,
         return len(hashes)
     frac = int(hashes[k - 1][:16], 16) / float(1 << 64)
     return int(round((k - 1) / frac))
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (deterministic compaction)
+# ---------------------------------------------------------------------------
+
+class KLLSketch:
+    """Mergeable quantile sketch in the KLL compactor-hierarchy shape
+    (Karnin-Lang-Liberty 2016): level i holds values each representing
+    2^i inputs; a full level sorts and promotes every other element to
+    level i+1. One deliberate departure from the paper: the compactor
+    offset ALTERNATES deterministically per level instead of a random
+    coin, so two runs over the same blocks (and the pytest pins) are
+    bit-identical. The alternation keeps the error centered in practice
+    (pinned ≤ 1% rank error in tests/test_sketches.py); the paper's
+    probabilistic worst-case bound formally needs the coin. Memory is
+    O(k·log(n/k)) values regardless of n; merge concatenates levels then
+    recompacts, so the tree combine never grows past the cap."""
+
+    __slots__ = ("k", "levels", "parity", "n")
+
+    def __init__(self, k: int = 512):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lvl = self.levels[i]
+            if len(lvl) <= self.k:
+                i += 1
+                continue
+            srt = np.sort(lvl)
+            off = self.parity[i] & 1
+            self.parity[i] ^= 1
+            promoted = srt[off::2]
+            # the classic compactor: half promotes, half drops, the
+            # level empties (each promoted value now weighs 2^(i+1))
+            self.levels[i] = srt[:0]
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.int64))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], promoted])
+            i += 1
+
+    def add_block(self, values: np.ndarray) -> None:
+        if not len(values):
+            return
+        self.n += len(values)
+        self.levels[0] = np.concatenate(
+            [self.levels[0], values.astype(np.int64)])
+        self._compact()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        out = KLLSketch(self.k)
+        out.n = self.n + other.n
+        h = max(len(self.levels), len(other.levels))
+        out.levels = []
+        out.parity = []
+        for i in range(h):
+            a = self.levels[i] if i < len(self.levels) \
+                else np.empty(0, np.int64)
+            b = other.levels[i] if i < len(other.levels) \
+                else np.empty(0, np.int64)
+            out.levels.append(np.concatenate([a, b]))
+            pa_ = self.parity[i] if i < len(self.parity) else 0
+            pb = other.parity[i] if i < len(other.parity) else 0
+            out.parity.append(pa_ ^ pb)
+        out._compact()
+        return out
+
+    def quantile(self, q: float) -> int:
+        """Smallest value whose weighted rank reaches ceil(q*n) (the
+        event_quantiles rank convention)."""
+        vals = []
+        wts = []
+        for i, lvl in enumerate(self.levels):
+            if len(lvl):
+                vals.append(lvl)
+                wts.append(np.full(len(lvl), 1 << i, np.int64))
+        if not vals:
+            raise ValueError("empty sketch")
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        idx = int(np.searchsorted(cum, target))
+        return int(v[min(idx, len(v) - 1)])
+
+
+def kll_aggregate(col: str, qs: "tuple[float, ...]" = (0.5, 0.95),
+                  k: int = 512) -> "AggregateFn":
+    """Ray ``AggregateFn`` producing approximate quantiles of an int64
+    column via one KLLSketch per partition (map side folds whole Arrow
+    blocks; merge is the sketch merge, exact under any partitioning
+    tree). Finalize emits the list of quantile values for ``qs``.
+    O(k log n) state per group — nothing value-proportional shuffles,
+    unlike the exact sort-based event_quantiles."""
+
+    def acc_block(sk: KLLSketch, block) -> KLLSketch:
+        t = block if isinstance(block, pa.Table) else pa.Table \
+            .from_pandas(block)
+        sk.add_block(t[col].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        return sk
+
+    return AggregateFn(
+        init=lambda _k: KLLSketch(k),
+        merge=lambda a, b: a.merge(b),
+        accumulate_block=acc_block,
+        finalize=lambda sk: [sk.quantile(q) for q in qs] if sk.n
+        else [0] * len(qs),
+        name=f"kll({col})",
+    )

@@ -159,3 +159,88 @@ def test_heavy_hitters_guarantee():
             assert w <= c and c - w <= n / k, (item, w, c)
     # the three planted heavy items lead the report
     assert set(out.item[:3]) == {"7", "13", "21"}
+
+
+def test_kll_rank_error():
+    """KLL quantile values land within 1% rank error of exact, across
+    three distributions, purely deterministic (two runs identical)."""
+    import numpy as np
+
+    from docling_ray.stages.sketches import KLLSketch
+
+    rng = np.random.RandomState(7)
+    dists = {
+        "uniform": rng.randint(0, 1_000_000, 50_000),
+        "zipfy": (1_000.0 / (rng.pareto(1.5, 50_000) + 1)).astype(int),
+        "steps": np.repeat(np.arange(100), 500),
+    }
+    for name, vals in dists.items():
+        vals = vals.astype(np.int64)
+        sk = KLLSketch(k=512)
+        for chunk in np.array_split(vals, 23):
+            sk.add_block(chunk)
+        srt = np.sort(vals)
+        n = len(vals)
+        for q in (0.1, 0.5, 0.9, 0.95, 0.99):
+            got = sk.quantile(q)
+            # rank of the returned value in the exact data
+            lo = np.searchsorted(srt, got, side="left") / n
+            hi = np.searchsorted(srt, got, side="right") / n
+            assert lo - 0.01 <= q <= hi + 0.01, (name, q, got, lo, hi)
+
+
+def test_kll_merge_matches_single():
+    """Merging two half-sketches stays within the pinned error too, and
+    the merge is deterministic."""
+    import numpy as np
+
+    from docling_ray.stages.sketches import KLLSketch
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 10_000, 40_000).astype(np.int64)
+    a, b = KLLSketch(256), KLLSketch(256)
+    a.add_block(vals[:20_000])
+    b.add_block(vals[20_000:])
+    m1 = a.merge(b)
+    m2 = a.merge(b)
+    assert m1.n == 40_000
+    assert [m1.quantile(q) for q in (0.25, 0.5, 0.75)] == \
+        [m2.quantile(q) for q in (0.25, 0.5, 0.75)]
+    srt = np.sort(vals)
+    n = len(vals)
+    for q in (0.25, 0.5, 0.75):
+        got = m1.quantile(q)
+        lo = np.searchsorted(srt, got, "left") / n
+        hi = np.searchsorted(srt, got, "right") / n
+        assert lo - 0.02 <= q <= hi + 0.02
+
+
+def test_approx_quantiles_vs_exact(ray_session):
+    """The registry query's KLL output tracks the exact event_quantiles
+    within 1% rank error per group at sf0.001."""
+    import importlib.util
+
+    import numpy as np
+    import pyarrow as pa
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    approx = mod.queries()["approx_quantiles"](sf).to_pandas()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ev = con.sql("SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT) v "
+                 "FROM events").df()
+    for _, row in approx.iterrows():
+        grp = np.sort(ev[ev.event_type == row.event_type].v.values)
+        n = len(grp)
+        assert row.n_events == n
+        for q, col in ((0.5, "p50_x100"), (0.95, "p95_x100")):
+            got = row[col]
+            lo = np.searchsorted(grp, got, "left") / n
+            hi = np.searchsorted(grp, got, "right") / n
+            assert lo - 0.01 <= q <= hi + 0.01, (row.event_type, q)
