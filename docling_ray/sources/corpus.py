@@ -76,9 +76,31 @@ def read_corpus(
     kwargs = {}
     if parallelism:
         kwargs["override_num_blocks"] = parallelism
+    if path.rstrip("/").endswith(".lance"):
+        return _read_lance(path, columns, filter, kwargs)
     if filter is not None:
         kwargs["filter"] = filter
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def _read_lance(path: str, columns, filter, kwargs) -> "ray.data.Dataset":
+    """Lance-format corpus source (the north rule's native table format):
+    delegates to ``ray.data.read_lance`` with the same column pruning and
+    pushdown filter as the parquet path. Gated behind the optional
+    ``pylance`` dependency — absent in this sandbox, so the parquet path
+    is the tested stand-in; the seam is the extension point (same schema
+    either way)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "corpus path ends in .lance but the 'pylance' package is not "
+            "installed in this environment; store the corpus as parquet "
+            "(write_corpus) or install pylance") from exc
+    if filter is not None:
+        # read_lance pushes string predicates, not pyarrow expressions
+        kwargs["filter"] = str(filter)
+    return ray.data.read_lance(path, columns=columns, **kwargs)
 
 
 def derive_corpus_stored(

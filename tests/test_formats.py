@@ -121,3 +121,20 @@ def test_all_formats_through_document_kernel():
     ])
     kinds = [s["kind"] for s in out["spans"]]
     assert kinds == ["text", "title", "text"] and out["status"] == "success"
+
+
+def test_read_corpus_lance_gate():
+    """.lance corpus paths route to the Lance source; without pylance in
+    the env the gate raises the documented NotImplementedError (parquet
+    is the tested stand-in, same schema)."""
+    import pytest
+
+    from docling_ray.sources.corpus import read_corpus
+
+    try:
+        import lance  # noqa: F401
+        pytest.skip("pylance present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pylance"):
+        read_corpus("/tmp/nonexistent_corpus.lance")
