@@ -333,6 +333,16 @@ def _substring_dup(sf_dir: str):
     return substring_dup(ds, k=5, min_docs=2).sort("doc_id")
 
 
+def _substring_dedup_removal(sf_dir: str):
+    """Duplicated-substring REMOVAL (Lee et al. 2022 action for the
+    substring_dup profile): drop every token covered by a cross-doc
+    duplicated 5-gram window, rejoin the survivors."""
+    from docling_ray.stages.dedup import substring_dedup_removal
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dedup_removal(ds, k=5, min_docs=2).sort("doc_id")
+
+
 def _sample_bottomk(sf_dir: str):
     from docling_ray.stages.sketches import bottomk_sample
 
@@ -1118,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "line_dedup": _line_dedup,
         "substring_dup": _substring_dup,
+        "substring_dedup_removal": _substring_dedup_removal,
         "sample_bottomk": _sample_bottomk,
         "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
@@ -2225,6 +2236,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
             "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
             "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "substring_dedup_removal": (
+            # every token covered by a cross-doc duplicated 5-gram is
+            # dropped; overlapping windows merge via DISTINCT positions
+            "WITH t AS MATERIALIZED (SELECT doc_id, "
+            f"{_TOKS} AS toks FROM documents), "
+            "g0 AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 4)) AS i FROM t), "
+            "g AS MATERIALIZED (SELECT doc_id, i, "
+            "array_to_string(toks[i:i+4], ' ') AS gram FROM g0), "
+            "common AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "covered AS (SELECT DISTINCT doc_id, p FROM ("
+            "SELECT d.doc_id, unnest(generate_series(d.i, d.i + 4)) AS p "
+            "FROM g d WHERE d.gram IN (SELECT gram FROM common))), "
+            "pos AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks))) AS p FROM t), "
+            "kept AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok "
+            "FROM pos LEFT JOIN covered c "
+            "ON pos.doc_id = c.doc_id AND pos.p = c.p WHERE c.p IS NULL), "
+            "recon AS (SELECT doc_id, count(*)::BIGINT AS n_kept, "
+            "string_agg(tok, ' ' ORDER BY p) AS text_clean "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, "
+            "(len(t.toks) - coalesce(recon.n_kept, 0))::BIGINT "
+            "AS n_removed, coalesce(recon.text_clean, '') AS text_clean "
+            "FROM t LEFT JOIN recon USING (doc_id) ORDER BY t.doc_id"
         ),
         "curated_corpus": (
             # full curation recipe end to end: quality gate → bigram-LM

@@ -682,6 +682,28 @@ def _gram_df_partial(batch: pa.Table, k: int,
     })
 
 
+def _common_gram_ref(
+    ds: "ray.data.Dataset", k: int, min_docs: int, text_col: str,
+):
+    """Pass 1 shared by the substring-dup profile and removal operators:
+    distinct-per-doc gram hashes → partial counts → cross-doc gram set,
+    broadcast once via ``ray.put``. Bounded by grams that REPEAT across
+    documents (see the scale note on line_dedup; Bloom fallback applies
+    identically)."""
+    from ray.data.aggregate import Sum
+
+    df = ds.map_batches(
+        _gram_df_partial, batch_format="pyarrow",
+        fn_kwargs={"k": k, "text_col": text_col},
+    ).groupby("gram_hash").aggregate(Sum("ndocs", alias_name="ndocs"))
+    common = df.filter(expr=f"ndocs >= {int(min_docs)}") \
+               .select_columns(["gram_hash"])
+    common_set = frozenset(
+        h for b in common.iter_batches(batch_format="pyarrow")
+        for h in b["gram_hash"].to_numpy(zero_copy_only=False).tolist())
+    return ray.put(common_set)
+
+
 def substring_dup(
     ds: "ray.data.Dataset",
     k: int = 5,
@@ -710,20 +732,9 @@ def substring_dup(
 
     Output: (doc_id, n_windows, dup_windows).
     """
-    from ray.data.aggregate import Sum
-
     from docling_ray.functions.hashing import tokenize
 
-    df = ds.map_batches(
-        _gram_df_partial, batch_format="pyarrow",
-        fn_kwargs={"k": k, "text_col": text_col},
-    ).groupby("gram_hash").aggregate(Sum("ndocs", alias_name="ndocs"))
-    common = df.filter(expr=f"ndocs >= {int(min_docs)}") \
-               .select_columns(["gram_hash"])
-    common_set = frozenset(
-        h for b in common.iter_batches(batch_format="pyarrow")
-        for h in b["gram_hash"].to_numpy(zero_copy_only=False).tolist())
-    common_ref = ray.put(common_set)
+    common_ref = _common_gram_ref(ds, k, min_docs, text_col)
 
     def profile(batch: pa.Table) -> pa.Table:
         commons = ray.get(common_ref)  # object-store read, once per task
@@ -743,3 +754,55 @@ def substring_dup(
         })
 
     return ds.map_batches(profile, batch_format="pyarrow")
+
+
+def substring_dedup_removal(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-document duplicated-substring REMOVAL — the action behind
+    the :func:`substring_dup` profile (Lee et al. 2022 remove duplicated
+    spans of >= k tokens from the training text; this is the window-hash
+    variant of their suffix-array construction): every token covered by
+    ANY k-gram window that occurs in >= ``min_docs`` distinct documents
+    is dropped, overlapping duplicate windows merge naturally, and the
+    survivors are rejoined with single spaces.
+
+    Same two-pass shape as the profile — pass 1 is SHARED
+    (:func:`_common_gram_ref`): only (hash, count) pairs shuffle, pass 2
+    is a stateless map over the broadcast cross-doc gram set. The DuckDB
+    oracle recomputes the exact same coverage from the gram STRINGS, so
+    a stable_hash64 collision would surface as a hash mismatch.
+
+    Output: (doc_id, n_tokens, n_removed, text_clean).
+    """
+    from docling_ray.functions.hashing import tokenize
+
+    common_ref = _common_gram_ref(ds, k, min_docs, text_col)
+
+    def remove(batch: pa.Table) -> pa.Table:
+        commons = ray.get(common_ref)  # object-store read, once per task
+        n_tokens = np.empty(batch.num_rows, np.int64)
+        n_removed = np.empty(batch.num_rows, np.int64)
+        cleaned: list[str] = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = tokenize(t or "")
+            n = len(toks)
+            covered = np.zeros(n, bool)
+            for j in range(max(n - k + 1, 0)):
+                if stable_hash64(" ".join(toks[j:j + k])) in commons:
+                    covered[j:j + k] = True
+            n_tokens[i] = n
+            n_removed[i] = int(covered.sum())
+            cleaned.append(" ".join(
+                tok for tok, c in zip(toks, covered) if not c))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_removed": pa.array(n_removed),
+            "text_clean": pa.array(cleaned, pa.string()),
+        })
+
+    return ds.map_batches(remove, batch_format="pyarrow")

@@ -662,3 +662,31 @@ def test_phrase_detect_planted_collocation(ray_session):
     assert to.pair_count == 32
     assert to.score_x1000 == (32 - 1) * n_total * 1000 // (40 * 40)
     assert to.is_phrase == 0
+
+
+def test_substring_dedup_removal(ray_session):
+    """Tokens covered by a cross-doc duplicated 5-gram are dropped;
+    overlapping duplicate windows merge; non-duplicated docs pass
+    through untouched."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.stages.dedup import substring_dedup_removal
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 toks → 2 windows
+    docs = pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": [f"one two {shared} three",
+                 f"{shared} nine ten eleven twelve thirteen",
+                 "clean text with no duplicated windows at all"],
+    })
+    out = {r["doc_id"]: r for r in substring_dedup_removal(
+        ray.data.from_arrow(docs), k=5, min_docs=2).take_all()}
+    # the 6 shared tokens vanish from both docs (2 overlapping windows)
+    assert out["a"]["n_removed"] == 6
+    assert out["a"]["text_clean"] == "one two three"
+    assert out["b"]["n_removed"] == 6
+    assert out["b"]["text_clean"] == "nine ten eleven twelve thirteen"
+    assert out["c"]["n_removed"] == 0
+    assert out["c"]["text_clean"] == docs["text"][2].as_py()
+    assert out["a"]["n_tokens"] == 9
