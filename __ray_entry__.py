@@ -343,6 +343,15 @@ def _substring_dedup_removal(sf_dir: str):
     return substring_dedup_removal(ds, k=5, min_docs=2).sort("doc_id")
 
 
+def _funnel_counts(sf_dir: str):
+    """Ordered view→click→purchase funnel: users reaching each step,
+    every step the first event of its type strictly after the previous
+    step (pipelines/analytics.py funnel_counts)."""
+    from docling_ray.pipelines import analytics as A
+
+    return A.funnel_counts(sf_dir)
+
+
 def _sample_bottomk(sf_dir: str):
     from docling_ray.stages.sketches import bottomk_sample
 
@@ -1244,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_counts": A.customer_urgent_counts,
         "rollup_revenue": A.rollup_revenue,
         "user_running_value": A.user_running_value,
+        "funnel_counts": _funnel_counts,
         "event_rank_windows": A.event_rank_windows,
     }
 
@@ -2604,6 +2614,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "EXCEPT SELECT DISTINCT user_id FROM events "
             "WHERE event_type = 'purchase' AND value > 99 "
             "ORDER BY user_id"
+        ),
+        "funnel_counts": (
+            # chained min-ts self-joins: each step is the first event of
+            # its type STRICTLY after the previous step's time
+            "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT * FROM (VALUES "
+            "(1::BIGINT, 'view', (SELECT count(*)::BIGINT FROM v)), "
+            "(2::BIGINT, 'click', (SELECT count(*)::BIGINT FROM c)), "
+            "(3::BIGINT, 'purchase', (SELECT count(*)::BIGINT FROM p))"
+            ") AS t(step, event_type, n_users) ORDER BY step"
         ),
         "user_running_value": (
             "SELECT event_id, user_id, "

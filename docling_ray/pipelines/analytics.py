@@ -3165,3 +3165,55 @@ def pack_sequences(sf_dir: str, budget: int = 2048, num_buckets: int = 64):
     return toks.groupby("bucket").map_groups(per_bucket,
                                              batch_format="pandas") \
         .sort("doc_id")
+
+
+def funnel_counts(sf_dir: str, num_buckets: int = 64):
+    """Ordered-funnel analysis: how many users reach view → click →
+    purchase, each step the FIRST event of its type strictly after the
+    previous step's time (the classic product-analytics funnel; DuckDB
+    mirrors it as chained min-ts self-joins). Bucketed like sessionize:
+    ``user % B`` co-locates a user's events, each bucket resolves its
+    users' step times with three vectorized pandas merges (no per-user
+    Python), and only per-bucket step COUNTS shuffle to the final sum."""
+    steps = ("view", "click", "purchase")
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array(steps))
+        t = batch.filter(mask)
+        keys = pc.cast(t["user_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1),
+                              pa.int32()),
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+        })
+
+    def per_bucket(group) -> pa.Table:
+        cur = None  # DataFrame(user_id, t): users alive at this step
+        counts = []
+        for step in steps:
+            ev = group[group["event_type"] == step][["user_id", "ts"]]
+            if cur is None:
+                nxt = ev.groupby("user_id", as_index=False)["ts"].min()
+            else:
+                m = ev.merge(cur, on="user_id")
+                m = m[m["ts"] > m["t"]]
+                nxt = m.groupby("user_id", as_index=False)["ts"].min()
+            nxt = nxt.rename(columns={"ts": "t"})
+            counts.append(len(nxt))
+            cur = nxt
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(list(steps), pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=65536) \
+                 .groupby("bucket") \
+                 .map_groups(per_bucket, batch_format="pandas")
+    return partials.groupby(["step", "event_type"]).aggregate(
+        Sum("n_users", alias_name="n_users")).sort("step")

@@ -690,3 +690,39 @@ def test_substring_dedup_removal(ray_session):
     assert out["c"]["n_removed"] == 0
     assert out["c"]["text_clean"] == docs["text"][2].as_py()
     assert out["a"]["n_tokens"] == 9
+
+
+def test_funnel_counts_strict_order(ray_session):
+    """Funnel steps require strictly-later first occurrences: a click
+    BEFORE the first view doesn't count, equal timestamps don't count."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    import docling_ray.pipelines.analytics as A
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return {"user_id": uid, "event_type": typ,
+                "ts": t0 + dt.timedelta(minutes=minutes)}
+
+    rows = [
+        # u1 completes the funnel in order
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        # u2 clicks BEFORE viewing → stops at view
+        ev(2, "click", 0), ev(2, "view", 5),
+        # u3 view then click at the SAME ts → strict > excludes the click
+        ev(3, "view", 0), ev(3, "click", 0),
+        # u4 views only
+        ev(4, "view", 1),
+        # u5 purchase with no view → never enters
+        ev(5, "purchase", 2),
+    ]
+    import tempfile, os, pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="funnel_")
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "events.parquet"))
+    out = {r["step"]: r["n_users"]
+           for r in A.funnel_counts(d, num_buckets=4).take_all()}
+    assert out == {1: 4, 2: 1, 3: 1}
