@@ -343,6 +343,17 @@ def _substring_dedup_removal(sf_dir: str):
     return substring_dedup_removal(ds, k=5, min_docs=2).sort("doc_id")
 
 
+def _extracted_training_corpus(sf_dir: str):
+    """Extraction → markdown export → token gate → exact dedup, the
+    document-conversion-to-training-data chain in one streaming
+    composite (pipelines/training_data.py)."""
+    from docling_ray.pipelines.training_data import extracted_training_corpus
+    from docling_ray.sources.corpus import derive_corpus
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    return extracted_training_corpus(corpus).sort("doc_id")
+
+
 def _funnel_counts(sf_dir: str):
     """Ordered view→click→purchase funnel: users reaching each step,
     every step the first event of its type strictly after the previous
@@ -1254,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": A.rollup_revenue,
         "user_running_value": A.user_running_value,
         "funnel_counts": _funnel_counts,
+        "extracted_training_corpus": _extracted_training_corpus,
         "event_rank_windows": A.event_rank_windows,
     }
 
@@ -1382,6 +1394,19 @@ def _expected_table_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]
             "SELECT doc_id, content "
             f"FROM read_parquet('{exp}/export_markdown.parquet') "
             "ORDER BY doc_id"
+        ),
+        "extracted_training_corpus": (
+            # same token gate + exact dedup over the EXPECTED markdown
+            # exports: min doc_id per distinct content survives
+            "WITH m AS (SELECT doc_id, content "
+            f"FROM read_parquet('{exp}/export_markdown.parquet')), "
+            "q AS (SELECT doc_id, content, "
+            "len(regexp_extract_all(lower(content), '[a-z0-9]+'))::BIGINT "
+            "AS n_tokens FROM m), "
+            "k AS (SELECT * FROM q WHERE n_tokens >= 30), "
+            "d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content) "
+            "SELECT k.doc_id, k.n_tokens FROM k JOIN d USING (doc_id) "
+            "ORDER BY k.doc_id"
         ),
         "detect_format": (
             'SELECT doc_id, "offset", kind '

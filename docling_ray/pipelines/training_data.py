@@ -168,3 +168,55 @@ def curated_corpus(
     final_in = merged.filter(expr="tags == 3") \
         .select_columns(["doc_id", "source"])
     return mixture_sample(final_in, quotas=quotas)
+
+
+def extracted_training_corpus(
+    corpus: "ray.data.Dataset",
+    min_tokens: int = 30,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """The full document→training-data story in one composite: run the
+    extraction engine, render each document to markdown, gate on token
+    count, exact-dedup the rendered text (min doc_id per content
+    survives) — the Docling-convert-then-curate chain a pre-training
+    pipeline actually runs, expressed as one streaming Dataset chain
+    (extract → export → map → groupby → join; nothing driver-side).
+
+    The DuckDB oracle replays the SAME gate and dedup over the
+    generator's expected markdown exports, so this also transitively
+    re-verifies the extraction+export path end to end. Output:
+    (doc_id, n_tokens) for surviving docs, ordered by doc_id.
+    """
+    from ray.data.aggregate import Min
+
+    from docling_ray.functions.hashing import content_md5, tokenize
+    from docling_ray.pipelines.extract import extract_corpus
+    from docling_ray.stages.export import export_corpus
+
+    md = export_corpus(extract_corpus(corpus, mode="fast"),
+                       fmt="markdown")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids, hs, nt = [], [], []
+        for did, content in zip(batch["doc_id"].to_pylist(),
+                                batch["content"].to_pylist()):
+            n = len(tokenize(content or ""))
+            if n >= min_tokens:
+                ids.append(did)
+                hs.append(content_md5(content or ""))
+                nt.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "h": pa.array(hs, pa.string()),
+            "n_tokens": pa.array(nt, pa.int64()),
+        })
+
+    kept = md.map_batches(gate, batch_format="pyarrow").materialize()
+    survivors = kept.groupby("h") \
+        .aggregate(Min("doc_id", alias_name="doc_id")) \
+        .select_columns(["doc_id"]) \
+        .repartition(num_partitions).materialize()
+    return kept.select_columns(["doc_id", "n_tokens"]) \
+        .repartition(num_partitions) \
+        .join(survivors, join_type="inner",
+              num_partitions=num_partitions, on=("doc_id",))
