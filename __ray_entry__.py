@@ -354,6 +354,17 @@ def _extracted_training_corpus(sf_dir: str):
     return extracted_training_corpus(corpus).sort("doc_id")
 
 
+def _web_curated_corpus(sf_dir: str):
+    """Link-graph-gated curation: extraction→markdown gate+dedup
+    survivors whose canonical host earned PageRank mass
+    (pipelines/training_data.py web_curated_corpus)."""
+    from docling_ray.pipelines.training_data import web_curated_corpus
+    from docling_ray.sources.corpus import derive_corpus
+
+    corpus = derive_corpus(sf_dir, seed=SEED)
+    return web_curated_corpus(corpus).sort("doc_id")
+
+
 def _funnel_counts(sf_dir: str):
     """Ordered view→click→purchase funnel: users reaching each step,
     every step the first event of its type strictly after the previous
@@ -1266,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": A.user_running_value,
         "funnel_counts": _funnel_counts,
         "extracted_training_corpus": _extracted_training_corpus,
+        "web_curated_corpus": _web_curated_corpus,
         "event_rank_windows": A.event_rank_windows,
     }
 
@@ -1612,6 +1624,29 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
             "SELECT c.doc_id, c.src_host AS host, r.r AS rank_scaled "
             "FROM canon c JOIN r8 r ON c.src_host = r.host "
             "WHERE c.src_host <> '' ORDER BY c.doc_id"
+        ),
+        "web_curated_corpus": (
+            # extraction→markdown gate+dedup survivors ∩ docs whose
+            # canonical host EARNED rank (strictly above the base term)
+            f"WITH {cte}{pr}, "
+            "m AS (SELECT doc_id, content "
+            f"FROM read_parquet('{exp}/export_markdown.parquet')), "
+            "q AS (SELECT doc_id, content, "
+            "len(regexp_extract_all(lower(content), '[a-z0-9]+'))::BIGINT "
+            "AS n_tokens FROM m), "
+            "k AS (SELECT * FROM q WHERE n_tokens >= 30), "
+            "d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content), "
+            "surv AS (SELECT k.doc_id, k.n_tokens FROM k "
+            "JOIN d USING (doc_id)), "
+            "base AS (SELECT (15 * (1000000000000 // c)) // 100 AS b "
+            "FROM nn), "
+            "docrank AS (SELECT c.doc_id, r.r FROM canon c "
+            "JOIN r8 r ON c.src_host = r.host WHERE c.src_host <> '' "
+            "AND r.r > (SELECT b FROM base)) "
+            "SELECT s.doc_id, s.n_tokens, "
+            "CAST(dr.r AS BIGINT) AS rank_scaled "
+            "FROM surv s JOIN docrank dr USING (doc_id) "
+            "ORDER BY s.doc_id"
         ),
         "host_components": (
             f"WITH RECURSIVE {cte}, "

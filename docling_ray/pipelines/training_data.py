@@ -220,3 +220,43 @@ def extracted_training_corpus(
         .repartition(num_partitions) \
         .join(survivors, join_type="inner",
               num_partitions=num_partitions, on=("doc_id",))
+
+
+def web_curated_corpus(
+    corpus: "ray.data.Dataset",
+    min_tokens: int = 30,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """RefinedWeb-style curation where the LINK GRAPH gates the data:
+    extraction → markdown render → token gate → exact dedup
+    (:func:`extracted_training_corpus`), then keep only documents whose
+    canonical host EARNED PageRank mass (rank strictly above the
+    dangling-host base term — i.e. the host has real in-links). The
+    graph side reuses the one-pass union kernel
+    (webgraph.ranks_and_doc_hosts); the doc→rank attachment and the
+    survivor∩ranked intersection are distributed hash joins.
+
+    Output: (doc_id, n_tokens, rank_scaled) ordered by doc_id.
+    """
+    from docling_ray.stages.webgraph import PR_SCALE, ranks_and_doc_hosts
+
+    surv = extracted_training_corpus(corpus, min_tokens, num_partitions)
+    ranks, docs, n_nodes = ranks_and_doc_hosts(corpus, num_partitions)
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "rank_scaled": pa.array([], pa.int64())}))
+    base = (15 * (PR_SCALE // n_nodes)) // 100
+
+    def earned(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["rank_scaled"], base))
+
+    ranked_docs = docs.join(
+        ranks.map_batches(earned, batch_format="pyarrow")
+             .repartition(num_partitions).materialize(),
+        join_type="inner", num_partitions=num_partitions, on=("host",))
+    return surv.join(
+        ranked_docs.select_columns(["doc_id", "rank_scaled"])
+                   .repartition(num_partitions).materialize(),
+        join_type="inner", num_partitions=num_partitions, on=("doc_id",))

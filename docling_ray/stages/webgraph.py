@@ -505,16 +505,14 @@ def _edges_and_docs_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([edge_part, doc_part])
 
 
-def doc_link_quality(
+def ranks_and_doc_hosts(
     corpus: "ray.data.Dataset", num_partitions: int = 16,
-) -> "ray.data.Dataset":
-    """Per-document link-based quality signal: each doc's host PageRank
-    joined back on the canonical host — the classic web-curation feature
-    (link authority as a corpus quality weight, joinable into
-    curated_corpus-style mixtures). The corpus is walked ONCE (union
-    kernel), the link-scale result is materialized, and the doc→rank
-    attachment is a distributed hash join; the rank table is
-    host-count-sized and never broadcast."""
+) -> "tuple[ray.data.Dataset, ray.data.Dataset, int]":
+    """One corpus pass (union kernel) → the host PageRank table (every
+    graph node), the per-doc canonical-host table, and the node count
+    (for reconstructing the base term downstream). The link-scale
+    combined table is materialized once; the rank table stays a
+    distributed Dataset."""
     combined = corpus.map_batches(_edges_and_docs_batch,
                                   batch_format="pyarrow").materialize()
 
@@ -532,6 +530,20 @@ def doc_link_quality(
     ranks = pagerank_hosts(edges).repartition(num_partitions).materialize()
     docs = combined.map_batches(doc_rows, batch_format="pyarrow") \
                    .repartition(num_partitions)
+    return ranks, docs, ranks.count()
+
+
+def doc_link_quality(
+    corpus: "ray.data.Dataset", num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document link-based quality signal: each doc's host PageRank
+    joined back on the canonical host — the classic web-curation feature
+    (link authority as a corpus quality weight, joinable into
+    curated_corpus-style mixtures). The corpus is walked ONCE (union
+    kernel), the link-scale result is materialized, and the doc→rank
+    attachment is a distributed hash join; the rank table is
+    host-count-sized and never broadcast."""
+    ranks, docs, _n = ranks_and_doc_hosts(corpus, num_partitions)
     return docs.join(ranks, join_type="inner",
                      num_partitions=num_partitions, on=("host",))
 
