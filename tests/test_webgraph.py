@@ -237,3 +237,41 @@ def test_host_degree(ray_session):
     assert out["c"]["in_links"] == 9 and out["c"]["in_hosts"] == 4
     assert out["a"]["out_links"] == 4 and out["a"]["out_hosts"] == 2
     assert out["f"]["out_links"] == 0 and out["f"]["in_links"] == 1
+
+
+# ---------------------------------------------------------------------------
+# fuzz: the URL primitives and canonical scan are total functions
+# ---------------------------------------------------------------------------
+
+def test_url_functions_total():
+    import random
+
+    from docling_ray.functions.urls import (
+        is_absolute_http, normalize_url, url_host)
+
+    rng = random.Random(5)
+    pool = "htps:/?#@a.bZ09%\x00é 😀[]()"
+    for _ in range(3000):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+        h = url_host(s)
+        assert isinstance(h, str)
+        assert h == h.lower()
+        is_absolute_http(s)
+        normalize_url(s)
+
+
+def test_canonical_scan_on_garbage_html():
+    import random
+
+    from docling_ray.stages.html_extract import extract_links
+
+    rng = random.Random(9)
+    frags = ['<link rel="canonical"', 'href="https://x.example/p"',
+             "<head>", "</head>", "<a href=", '">', "<", ">", "&#x27;",
+             "plain text", '<link rel="stylesheet" href="/css">']
+    for _ in range(300):
+        doc = "".join(rng.choice(frags)
+                      for _ in range(rng.randrange(0, 12)))
+        out = extract_links(doc)   # must never raise
+        for text, href, region in out:
+            assert isinstance(href, str) and isinstance(region, str)
