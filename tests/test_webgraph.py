@@ -275,3 +275,36 @@ def test_canonical_scan_on_garbage_html():
         out = extract_links(doc)   # must never raise
         for text, href, region in out:
             assert isinstance(href, str) and isinstance(region, str)
+
+
+def test_webgraph_job_script(tmp_path, ray_session):
+    """The ray-job-submit entrypoint writes all four artifact tables
+    from a stored corpus."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.sources.corpus import write_corpus
+    from docling_ray.synth import make_corpus
+
+    inp, _exp = make_corpus(60, seed=17)
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(ray.data.from_arrow(inp), corpus_dir)
+    out_dir = str(tmp_path / "wg")
+    # run in-process is impossible (owns its Ray session) — subprocess
+    r = subprocess.run(
+        [sys.executable, "jobs/webgraph_job.py", "--input", corpus_dir,
+         "--output", out_dir, "--num-cpus", "4", "--parallelism", "8"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.parquet as pq
+    edges = pq.read_table(out_dir + "/edges")
+    ranks = pq.read_table(out_dir + "/ranks")
+    degs = pq.read_table(out_dir + "/degrees")
+    comps = pq.read_table(out_dir + "/components")
+    hosts = set(ranks["host"].to_pylist())
+    assert edges.num_rows > 0 and len(hosts) > 0
+    assert set(comps["host"].to_pylist()) == hosts
+    assert set(degs["host"].to_pylist()) == hosts
