@@ -374,6 +374,39 @@ def _funnel_counts(sf_dir: str):
     return A.funnel_counts(sf_dir)
 
 
+def _incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against a persisted hash index
+    (stages/dedup.py exact_dedup_against_index): the even-doc_id half of
+    the table plays the previously-admitted index, the odd half is the
+    incoming batch; admitted = odd docs whose content the index never
+    saw, first per hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docling_ray.functions.hashing import content_md5
+    from docling_ray.stages.dedup import exact_dedup_against_index
+
+    docs = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), 1),
+                parity)
+            return t.filter(keep)
+        return f
+
+    new_docs = docs.map_batches(split(1), batch_format="pyarrow")
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(
+            [content_md5(x or "") for x in t["text"].to_pylist()])})
+
+    index = docs.map_batches(split(0), batch_format="pyarrow") \
+                .map_batches(index_rows, batch_format="pyarrow")
+    return exact_dedup_against_index(new_docs, index).sort("doc_id")
+
+
 def _sample_bottomk(sf_dir: str):
     from docling_ray.stages.sketches import bottomk_sample
 
@@ -1160,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _line_dedup,
         "substring_dup": _substring_dup,
         "substring_dedup_removal": _substring_dedup_removal,
+        "incremental_dedup": _incremental_dedup,
         "sample_bottomk": _sample_bottomk,
         "mixture_sample": _mixture_sample,
         "approx_distinct": _approx_distinct,
@@ -2306,6 +2340,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GREATEST(len(t.toks) - 4, 0)::BIGINT AS n_windows, "
             "coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows "
             "FROM t LEFT JOIN dup USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "incremental_dedup": (
+            # even-doc_id half = the persisted index, odd half = the
+            # incoming batch; admit first-per-hash unseen content
+            "WITH idx AS (SELECT md5(text) AS h FROM documents "
+            "WHERE CAST(doc_id AS BIGINT) % 2 = 0), "
+            "nw AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "WHERE CAST(doc_id AS BIGINT) % 2 = 1) "
+            "SELECT min(doc_id) AS doc_id, h FROM nw "
+            "WHERE h NOT IN (SELECT h FROM idx) "
+            "GROUP BY h ORDER BY doc_id"
         ),
         "substring_dedup_removal": (
             # every token covered by a cross-doc duplicated 5-gram is

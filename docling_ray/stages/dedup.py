@@ -806,3 +806,66 @@ def substring_dedup_removal(
         })
 
     return ds.map_batches(remove, batch_format="pyarrow")
+
+
+def exact_dedup_against_index(
+    new_docs: "ray.data.Dataset",
+    index: "ray.data.Dataset",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Incremental exact dedup: admit only new documents whose content
+    hash is absent from a persisted index of previously-admitted hashes
+    (column ``h``), first (min doc_id) per hash within the new batch —
+    the production shape for continuously-ingested corpora (the batch
+    :func:`exact_dedup_survivors` is the index-less special case).
+
+    Tag co-group, no broadcast: union(index rows tag=1, new rows tag=0)
+    → one groupby(h) with Sum(tag) + Min(doc_id) → keep groups the index
+    never touched. Index rows carry a sentinel doc_id above any real id
+    so Min always returns a real new-doc id. Only (hash, tag) pairs
+    shuffle — text never leaves its block; the index side is
+    hash-column-only and may be read straight from parquet.
+
+    Output: (doc_id, h) of admitted documents. Appending the admitted
+    ``h`` column back to the index parquet is the caller's commit step
+    (atomic-rename like pipelines/checkpoint.py).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from docling_ray.functions.hashing import content_md5
+
+    # sentinel doc_id for index rows: sorts after every real id of the
+    # new side's id type, so Min always returns a real new-doc id
+    sch = new_docs.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc_id"]
+    if pa.types.is_integer(id_type):
+        sentinel, sentinel_type = (1 << 63) - 1, pa.int64()
+    else:
+        sentinel, sentinel_type = "\x7f", pa.string()
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array([content_md5(t or "")
+                           for t in batch[text_col].to_pylist()]),
+            "doc_id": pc.cast(batch["doc_id"], sentinel_type),
+            "tag": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": batch["h"],
+            "doc_id": pa.array([sentinel] * batch.num_rows, sentinel_type),
+            "tag": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    both = new_docs.map_batches(new_rows, batch_format="pyarrow").union(
+        index.map_batches(index_rows, batch_format="pyarrow"))
+    agg = both.groupby("h").aggregate(
+        Sum("tag", alias_name="tag"),
+        Min("doc_id", alias_name="doc_id"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.equal(t["tag"], 0))
+        return pa.table({"doc_id": k["doc_id"], "h": k["h"]})
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -726,3 +726,33 @@ def test_funnel_counts_strict_order(ray_session):
     out = {r["step"]: r["n_users"]
            for r in A.funnel_counts(d, num_buckets=4).take_all()}
     assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_exact_dedup_against_index(ray_session):
+    """Incremental dedup: index hashes block re-admission; within-batch
+    duplicates keep the min doc_id; works for string AND int ids."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_against_index
+
+    idx = ray.data.from_arrow(pa.table({
+        "h": pa.array([hashlib.md5(b"seen").hexdigest()], pa.string())}))
+    # string ids
+    new_s = ray.data.from_arrow(pa.table({
+        "doc_id": ["b", "a", "c", "d"],
+        "text": ["fresh", "fresh", "seen", "other"]}))
+    out = sorted(r["doc_id"] for r in
+                 exact_dedup_against_index(new_s, idx).take_all())
+    assert out == ["a", "d"]
+    # int ids (sentinel must be numeric)
+    idx2 = ray.data.from_arrow(pa.table({
+        "h": pa.array([hashlib.md5(b"seen").hexdigest()], pa.string())}))
+    new_i = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7, 3, 9, 11], pa.int64()),
+        "text": ["fresh", "fresh", "seen", "other"]}))
+    out = sorted(r["doc_id"] for r in
+                 exact_dedup_against_index(new_i, idx2).take_all())
+    assert out == [3, 11]
