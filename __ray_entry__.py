@@ -2617,11 +2617,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY doc_id, chunk_idx"
         ),
         "ann_topk": (
-            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
-            "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
-            "CAST(e.embedding AS DOUBLE[]), q.qv) * 1000000.0) AS BIGINT) AS sim_e6 "
-            "FROM embeddings e, q "
-            "ORDER BY sim_e6 DESC, e.vec_id LIMIT 10"
+            # x1000-quantized vectors → exact integer dots/norms →
+            # floor(dot/sqrt(na*nb)*1e6): three correctly-rounded IEEE
+            # ops, bit-identical to numpy (list_cosine_similarity's
+            # float summation order diverged by one ulp at sf0.1)
+            "WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> floor(x * 1000.0 + 0.5)) AS qv "
+            "FROM embeddings WHERE vec_id = 0), "
+            "ev AS (SELECT vec_id, list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> floor(x * 1000.0 + 0.5)) "
+            "AS v FROM embeddings), "
+            "s AS (SELECT ev.vec_id, "
+            "list_dot_product(ev.v, q.qv) AS dot, "
+            "list_dot_product(ev.v, ev.v) AS na, "
+            "list_dot_product(q.qv, q.qv) AS nb FROM ev, q) "
+            "SELECT vec_id, CAST(CASE WHEN na * nb = 0 "
+            "THEN -1000000000 "
+            "ELSE floor(dot / sqrt(na * nb) * 1000000.0) END AS BIGINT) "
+            "AS sim_e6 FROM s ORDER BY sim_e6 DESC, vec_id LIMIT 10"
         ),
         "embedding_norms": (
             "SELECT label, count(*) AS n, "
@@ -2640,8 +2653,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY l_returnflag, l_linestatus"
         ),
         "order_priority_revenue": (
+            # per-row x10000 quantization INSIDE the sum (integer sums
+            # thereafter) — round-after-float-sum diverged at sf0.1
             "SELECT o_orderpriority, "
-            "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000.0, 0) AS BIGINT) AS revenue_x10000, "
+            "SUM(CAST(round(l_extendedprice * (1 - l_discount) "
+            "* 10000.0, 0) AS BIGINT))::BIGINT AS revenue_x10000, "
             "count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"

@@ -382,10 +382,18 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 
 
 def ann_brute_topk(sf_dir: str, k: int = 10):
-    """Exact cosine top-k vs the vec_id=0 query, floor-scaled sims."""
-    from docling_ray.stages.similarity import _cosine_scores, _to_matrix
+    """Exact cosine top-k vs the vec_id=0 query, floor-scaled sims over
+    x1000-QUANTIZED vectors: each dim becomes floor(x*1000 + 0.5) (an
+    integer-valued double), so the dot products and norms are EXACT
+    integer sums (64 dims × ≤1e3 per dim, far under 2^53) and the final
+    ``floor(dot / sqrt(na*nb) * 1e6)`` is the same three correctly-
+    rounded IEEE ops in numpy and DuckDB — bit-identical, association-
+    free. The previous unquantized cosine differed from DuckDB's
+    list_cosine_similarity by one ulp at sf0.1 (different summation
+    order), flipping the floor at the e6 boundary."""
+    from docling_ray.stages.similarity import _to_matrix
 
-    q = _query_vector(sf_dir)
+    q = np.floor(_query_vector(sf_dir) * 1000.0 + 0.5)
     q_ref = ray.put(q)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -393,10 +401,18 @@ def ann_brute_topk(sf_dir: str, k: int = 10):
         from docling_ray.state.broadcast import read_broadcast
 
         qv = read_broadcast(q_ref)
-        mat = _to_matrix(batch["embedding"])
-        sims = _cosine_scores(mat, qv)
-        sim_e6 = np.floor(sims * 1_000_000.0).astype(np.int64)
-        n = min(k, len(sims))
+        mat = np.floor(
+            _to_matrix(batch["embedding"]).astype(np.float64)
+            * 1000.0 + 0.5)
+        dot = mat @ qv
+        na = (mat * mat).sum(axis=1)
+        nb = float(qv @ qv)
+        prod = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dot / np.sqrt(prod) * 1_000_000.0
+        sim_e6 = np.where(prod == 0, -1_000_000_000,
+                          np.floor(sims)).astype(np.int64)
+        n = min(k, len(sim_e6))
         order = np.lexsort((batch["vec_id"].to_numpy(), -sim_e6))[:n]
         return pa.table({
             "vec_id": batch["vec_id"].take(pa.array(order)).combine_chunks(),
@@ -445,9 +461,13 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     is pre-aggregated per (bucket, key) inside ``map_batches`` first, so the
     shuffle carries one row per orderkey per batch, not one per line item.
 
-    Revenue uses x10000 integers: l_extendedprice (2 decimals) times
-    (1 - l_discount) (2 decimals) has exactly 4 decimals, so the scaled sum
-    is an exact integer in both engines."""
+    Revenue quantizes PER ROW to x10000 int64 (l_extendedprice ×
+    (1 - l_discount) is an exact 4-decimal value, so the per-row float
+    product rounds to the same integer in both engines) and every
+    downstream sum is integer arithmetic — rounding AFTER the float sum
+    diverged from DuckDB by one ulp at sf0.1 magnitudes (three float
+    summation stages here vs DuckDB's one; the SQL mirrors the per-row
+    quantization inside SUM)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                       "o_orderpriority"])
     lineitem = _read(sf_dir, "lineitem",
@@ -459,13 +479,15 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
             "bucket": pc.cast(pc.bit_wise_and(keys, num_buckets - 1), pa.int32()),
             "key": keys,
             "priority": batch["o_orderpriority"],
-            "rev": pa.nulls(batch.num_rows, pa.float64()),
+            "rev": pa.nulls(batch.num_rows, pa.int64()),
             "n": pa.nulls(batch.num_rows, pa.int64()),
         })
 
     def lineitem_partials(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(1.0, batch["l_discount"]))
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(1.0, batch["l_discount"])),
+            10000.0)), pa.int64())
         t = pa.table({"key": batch["l_orderkey"], "rev": rev})
         g = pa.TableGroupBy(t, "key").aggregate(
             [("rev", "sum"), ("rev", "count")])
@@ -491,14 +513,14 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
         li = group[~is_order]
         if li.empty:
             return pa.table({"o_orderpriority": pa.array([], pa.string()),
-                             "rev": pa.array([], pa.float64()),
+                             "rev": pa.array([], pa.int64()),
                              "n_items": pa.array([], pa.int64())})
         li = li.assign(o_orderpriority=li["key"].map(prio_by_key))
         g = li.groupby("o_orderpriority", as_index=False).agg(
             rev=("rev", "sum"), n_items=("n", "sum"))
         return pa.table({
             "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
-            "rev": pa.array(g["rev"], pa.float64()),
+            "rev": pa.array(g["rev"], pa.int64()),
             "n_items": pa.array(g["n_items"], pa.int64()),
         })
 
@@ -509,8 +531,8 @@ def order_priority_revenue(sf_dir: str, num_buckets: int = 64):
     return agg.map_batches(
         lambda t: pa.table({
             "o_orderpriority": t["o_orderpriority"],
-            "revenue_x10000": pc.round(pc.multiply(t["rev"], 10_000.0), 0).cast(pa.int64()),
-            "n_items": pc.round(pc.cast(t["n_items"], pa.float64()), 0).cast(pa.int64()),
+            "revenue_x10000": pc.cast(t["rev"], pa.int64()),
+            "n_items": pc.cast(t["n_items"], pa.int64()),
         }),
         batch_format="pyarrow",
     ).sort("o_orderpriority")
