@@ -231,6 +231,37 @@ def _machine_capacity(n: int) -> float:
     return sum(res) / single
 
 
+def _membw_worker(n_iters: int) -> float:
+    import time as _t
+
+    import numpy as _np
+
+    buf = _np.frombuffer(os.urandom(64 * 1024 * 1024), dtype=_np.uint8)
+    t0 = _t.perf_counter()
+    sink = 0
+    for _ in range(n_iters):
+        c = buf.copy()  # stream 64 MiB through memory
+        sink += int(c[::1024][:4].sum())
+    return n_iters * 64.0 / (_t.perf_counter() - t0)
+
+
+def _machine_membw(n: int, n_iters: int = 20) -> float:
+    """Aggregate n-way memory-copy bandwidth (MiB/s). Extraction is
+    allocation/string heavy, so SHARED MEMORY BANDWIDTH — not CPU
+    headroom — can be the binding ceiling at higher worker counts; the
+    pure-python spin probe cannot see it (one window read ~4.0x spin
+    capacity but only ~3.1x copy bandwidth for 2→8, matching the
+    pipeline's 2.95-3.0x). CAVEAT: on this hypervisor-shared host the
+    probe itself swings several-fold between minutes — read it as a
+    contention indicator next to the spin probe, not a precise
+    ceiling."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n) as p:
+        res = p.map(_membw_worker, [n_iters] * n)
+    return sum(res)
+
+
 def run_scaling() -> dict:
     # lo/hi sit in the host's linear CPU region (see _machine_capacity);
     # the N vs 4N cluster-size criterion maps to num_cpus = N, 4N.
@@ -259,6 +290,9 @@ def run_scaling() -> dict:
     cap_lo = _machine_capacity(lo)
     cap_hi = _machine_capacity(hi)
     machine_ratio = cap_hi / cap_lo
+    bw_lo = _machine_membw(lo)
+    bw_hi = _machine_membw(hi)
+    bw_ratio = bw_hi / bw_lo
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -274,6 +308,12 @@ def run_scaling() -> dict:
         "machine_capacity_ratio": round(machine_ratio, 2),
         "efficiency_vs_machine_ceiling": round(
             (t_lo / t_hi) / machine_ratio, 3
+        ),
+        "membw_mib_s_lo": round(bw_lo),
+        "membw_mib_s_hi": round(bw_hi),
+        "membw_speedup": round(bw_ratio, 2),
+        "efficiency_vs_membw_ceiling": round(
+            (t_lo / t_hi) / bw_ratio, 3
         ),
         "sf": SF_DIR,
     }
