@@ -721,6 +721,15 @@ def _pagerank_hosts(sf_dir: str):
     return pagerank_hosts(_webgraph_edges(sf_dir)).sort("host")
 
 
+def _trustrank_hosts(sf_dir: str):
+    """Integer-exact TrustRank: teleport confined to the top-in-degree
+    seed hosts; spam/orphan neighborhoods receive zero trust
+    (stages/webgraph.py trustrank_hosts)."""
+    from docling_ray.stages.webgraph import trustrank_hosts
+
+    return trustrank_hosts(_webgraph_edges(sf_dir)).sort("host")
+
+
 def _hits_hosts(sf_dir: str):
     """Integer-exact HITS hubs & authorities over the host graph (4
     iterations, scores max-normalized to parts-per-10^6) — link-analysis
@@ -1246,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_anchor_terms": _host_anchor_terms,
         "pagerank_hosts": _pagerank_hosts,
         "hits_hosts": _hits_hosts,
+        "trustrank_hosts": _trustrank_hosts,
         "doc_link_quality": _doc_link_quality,
         "host_components": _host_components,
         "form_fields": _form_fields,
@@ -1615,10 +1625,47 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
                 f"(s.s * 1000000) // (SELECT m FROM {tgt}m), 0) AS BIGINT) "
                 f"AS x FROM nodes n LEFT JOIN {tgt}s s ON n.host = s.host)"
             )
+    # loop-unrolled integer TrustRank: teleport mass confined to the
+    # top-in-degree seed hosts; non-seeds have a ZERO base term
+    seed_case = (
+        "CASE WHEN nodes.host IN (SELECT host FROM seeds) "
+        "THEN (SELECT (15 * (1000000000000 // s)) // 100 FROM ns) "
+        "ELSE 0 END"
+    )
+    tr = (
+        ", nodes AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host FROM edges "
+        "UNION ALL SELECT dst_host FROM edges)), "
+        "ow AS MATERIALIZED (SELECT src_host AS host, "
+        "SUM(n_links)::BIGINT AS w FROM edges GROUP BY 1), "
+        "indeg AS MATERIALIZED (SELECT dst_host AS host, "
+        "SUM(n_links)::BIGINT AS w FROM edges GROUP BY 1), "
+        "seeds AS MATERIALIZED (SELECT host FROM indeg "
+        "ORDER BY w DESC, host LIMIT 4), "
+        "ns AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS s FROM seeds), "
+        "t0 AS (SELECT nodes.host, CAST(CASE WHEN nodes.host IN "
+        "(SELECT host FROM seeds) "
+        "THEN (SELECT 1000000000000 // s FROM ns) ELSE 0 END AS BIGINT) "
+        "AS r FROM nodes)"
+    )
+    for i in range(1, 9):
+        tr += (
+            f", t{i} AS MATERIALIZED (SELECT nodes.host, CAST("
+            f"{seed_case} + (85 * COALESCE(sq.s2, 0)) // 100 AS BIGINT) "
+            "AS r FROM nodes LEFT JOIN (SELECT e.dst_host AS host, "
+            "SUM((r.r // o.w) * e.n_links) AS s2 FROM edges e "
+            f"JOIN t{i - 1} r ON e.src_host = r.host "
+            "JOIN ow o ON e.src_host = o.host GROUP BY 1) sq "
+            "ON nodes.host = sq.host)"
+        )
     return {
         "host_graph": (
             f"WITH {cte} SELECT src_host, dst_host, n_links FROM edges "
             "ORDER BY src_host, dst_host"
+        ),
+        "trustrank_hosts": (
+            f"WITH {cte}{tr} "
+            "SELECT host, r AS trust_scaled FROM t8 ORDER BY host"
         ),
         "hits_hosts": (
             f"WITH {cte}{hits} "

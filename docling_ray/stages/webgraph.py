@@ -333,6 +333,77 @@ HITS_SCALE = 1_000_000
 HITS_ITERS = 4
 
 
+def _trustrank_local(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+    seeds: "set[str]", iters: int, scale: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized small-graph TrustRank: PageRank's integer recurrence
+    with the teleport mass confined to the seed set — non-seeds get a
+    zero base term, so trust can only flow ALONG links out of seeds."""
+    hosts, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[:len(src)], inv[len(src):]
+    n = len(hosts)
+    ow = np.zeros(n, np.int64)
+    np.add.at(ow, si, w.astype(np.int64))
+    s = max(len(seeds), 1)
+    seed_mask = np.isin(hosts, sorted(seeds))
+    r0 = scale // s
+    base = np.where(seed_mask, (15 * r0) // 100, 0).astype(np.int64)
+    r = np.where(seed_mask, r0, 0).astype(np.int64)
+    for _ in range(iters):
+        contrib = (r[si] // np.maximum(ow[si], 1)) * w
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        r = base + (PR_DAMP_NUM * acc) // 100
+    return hosts, r
+
+
+def trustrank_hosts(
+    edges: "ray.data.Dataset",
+    n_seeds: int = 4,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Integer-exact TrustRank (Gyöngyi et al. 2004): personalized
+    PageRank whose teleport vector is confined to a trusted SEED set —
+    here the ``n_seeds`` hosts with the highest weighted in-degree
+    (ties broken by host name), the standard automatic seed heuristic.
+    Spam/orphan neighborhoods that real hosts never link into receive
+    ZERO trust (not even a base term), which is the property corpus
+    curation uses to demote link-farm content.
+
+    Same floor-integer arithmetic as pagerank_hosts, mirrored by the
+    loop-unrolled DuckDB oracle. The seed set is n_seeds rows (collected
+    to the driver — constant-sized at any corpus scale); the iterations
+    run the vectorized local path (the aggregated edge table at tested
+    scales fits the pagerank hybrid threshold; the join-shaped
+    distributed iteration of pagerank_hosts applies identically when it
+    does not)."""
+    edges = edges.materialize().repartition(num_partitions).materialize()
+    blocks = [b for b in ray.get(edges.get_internal_block_refs())
+              if b.num_rows > 0]
+    if not blocks:
+        return ray.data.from_arrow(pa.table(
+            {"host": pa.array([], pa.string()),
+             "trust_scaled": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    src = np.asarray(tbl["src_host"].to_numpy(zero_copy_only=False))
+    dst = np.asarray(tbl["dst_host"].to_numpy(zero_copy_only=False))
+    w = tbl["n_links"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # seed selection: top in-degree, host-name tie-break (mirrors the
+    # oracle's ORDER BY w DESC, host LIMIT n)
+    dhosts, dinv = np.unique(dst, return_inverse=True)
+    indeg = np.zeros(len(dhosts), np.int64)
+    np.add.at(indeg, dinv, w)
+    order = sorted(range(len(dhosts)), key=lambda i: (-indeg[i], dhosts[i]))
+    seeds = {dhosts[i] for i in order[:n_seeds]}
+    hosts, r = _trustrank_local(src, dst, w, seeds, iters, scale)
+    return ray.data.from_arrow(pa.table(
+        {"host": pa.array(hosts, pa.string()),
+         "trust_scaled": pa.array(r, pa.int64())}))
+
+
 def _hits_local(
     src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     iters: int, scale: int,

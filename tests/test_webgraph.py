@@ -308,3 +308,23 @@ def test_webgraph_job_script(tmp_path, ray_session):
     assert edges.num_rows > 0 and len(hosts) > 0
     assert set(comps["host"].to_pylist()) == hosts
     assert set(degs["host"].to_pylist()) == hosts
+
+
+def test_trustrank_zero_for_unreached(ray_session):
+    """Hosts no seed can reach get ZERO trust; seeds carry the base."""
+    import ray.data
+
+    from docling_ray.stages.webgraph import trustrank_hosts
+
+    # hub 'a' (in-degree 9 via b,c) is the only seed at n_seeds=1;
+    # isolated pair x->y is unreachable from a's out-edges
+    edges = pa.table({
+        "src_host": ["b", "c", "a", "x"],
+        "dst_host": ["a", "a", "b", "y"],
+        "n_links": pa.array([5, 4, 1, 7], pa.int64())})
+    out = {r["host"]: r["trust_scaled"] for r in trustrank_hosts(
+        ray.data.from_arrow(edges), n_seeds=1).take_all()}
+    assert out["x"] == 0 and out["y"] == 0
+    assert out["a"] > 0 and out["b"] > 0
+    # c has no in-links from the seed component → zero
+    assert out["c"] == 0
