@@ -721,6 +721,14 @@ def _pagerank_hosts(sf_dir: str):
     return pagerank_hosts(_webgraph_edges(sf_dir)).sort("host")
 
 
+def _cocitation_hosts(sf_dir: str):
+    """Co-citation pairs: hosts linked by >= 2 common source hosts
+    (stages/webgraph.py cocitation_pairs)."""
+    from docling_ray.stages.webgraph import cocitation_pairs
+
+    return cocitation_pairs(_webgraph_edges(sf_dir)).sort(["a", "b"])
+
+
 def _trustrank_hosts(sf_dir: str):
     """Integer-exact TrustRank: teleport confined to the top-in-degree
     seed hosts; spam/orphan neighborhoods receive zero trust
@@ -1256,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _pagerank_hosts,
         "hits_hosts": _hits_hosts,
         "trustrank_hosts": _trustrank_hosts,
+        "cocitation_hosts": _cocitation_hosts,
         "doc_link_quality": _doc_link_quality,
         "host_components": _host_components,
         "form_fields": _form_fields,
@@ -1666,6 +1675,15 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
         "trustrank_hosts": (
             f"WITH {cte}{tr} "
             "SELECT host, r AS trust_scaled FROM t8 ORDER BY host"
+        ),
+        "cocitation_hosts": (
+            # unordered dst pairs sharing >= 2 distinct linking sources
+            f"WITH {cte} "
+            "SELECT e1.dst_host AS a, e2.dst_host AS b, "
+            "COUNT(*)::BIGINT AS n_common "
+            "FROM edges e1 JOIN edges e2 ON e1.src_host = e2.src_host "
+            "AND e1.dst_host < e2.dst_host "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"
         ),
         "hits_hosts": (
             f"WITH {cte}{hits} "

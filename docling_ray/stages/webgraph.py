@@ -538,6 +538,38 @@ def hits_hosts(
             Sum("authority_scaled", alias_name="authority_scaled"))
 
 
+def cocitation_pairs(
+    edges: "ray.data.Dataset", min_common: int = 2,
+) -> "ray.data.Dataset":
+    """Co-citation analysis (Small 1973): unordered host pairs linked BY
+    the same source hosts — (host_a < host_b, n_common) where n_common
+    counts the distinct src hosts linking to both. Hosts cited together
+    are topically related; curation uses it to expand trusted seed
+    neighborhoods. Shape: one per-src-group pair expansion (bounded by
+    out-degree², and the edge table is already (src, dst)-aggregated) →
+    one (a, b) count groupby; ties to the dedup pair machinery's
+    contract — the pairs output is exact, no sampling."""
+    from ray.data.aggregate import Count
+
+    def pairs(group) -> pa.Table:
+        dsts = sorted(set(group["dst_host"]))
+        a_out, b_out = [], []
+        for i in range(len(dsts)):
+            for j in range(i + 1, len(dsts)):
+                a_out.append(dsts[i])
+                b_out.append(dsts[j])
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    p = edges.groupby("src_host").map_groups(pairs, batch_format="pandas")
+    agg = p.groupby(["a", "b"]).aggregate(Count(alias_name="n_common"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_common"], min_common))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
 def doc_hosts_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, host) from each document's canonical URL — the doc→host
     assignment used to join graph-level signals back onto documents."""

@@ -328,3 +328,17 @@ def test_trustrank_zero_for_unreached(ray_session):
     assert out["a"] > 0 and out["b"] > 0
     # c has no in-links from the seed component → zero
     assert out["c"] == 0
+
+
+def test_cocitation_pairs(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import cocitation_pairs
+
+    # s1 and s2 both link to {x, y}; s3 links to {x, z} only
+    edges = pa.table({
+        "src_host": ["s1", "s1", "s2", "s2", "s3", "s3"],
+        "dst_host": ["x", "y", "x", "y", "x", "z"],
+        "n_links": pa.array([1, 2, 3, 1, 1, 1], pa.int64())})
+    out = cocitation_pairs(ray.data.from_arrow(edges)).take_all()
+    assert out == [{"a": "x", "b": "y", "n_common": 2}]
