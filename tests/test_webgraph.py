@@ -342,3 +342,38 @@ def test_cocitation_pairs(ray_session):
         "n_links": pa.array([1, 2, 3, 1, 1, 1], pa.int64())})
     out = cocitation_pairs(ray.data.from_arrow(edges)).take_all()
     assert out == [{"a": "x", "b": "y", "n_common": 2}]
+
+
+def test_webgraph_queries_match_duckdb(ray_session):
+    """Every webgraph registry query vs its DuckDB oracle at sf0.001 —
+    the in-suite version of the check_oracles harness (which re-runs
+    them at sf0.01/sf0.1)."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    sf = "/root/testdata/sf0.001"
+    qs, sqls = E.queries(), E.oracle_sql(sf)
+    con = duckdb.connect()
+    for name in ("host_graph", "host_degree", "pagerank_hosts",
+                 "hits_hosts", "trustrank_hosts", "host_components",
+                 "cocitation_hosts", "doc_link_quality"):
+        res = qs[name](sf)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        ora = con.sql(sqls[name]).df()
+        assert sorted(df.columns) == sorted(ora.columns), name
+        cols = sorted(df.columns)
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = ora[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b), name
+        for c in cols:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind in "fiu" or bv.dtype.kind in "fiu":
+                av = av.astype("int64")
+                bv = bv.astype("int64")
+            assert (av == bv).all(), f"{name}.{c}"
