@@ -721,6 +721,14 @@ def _pagerank_hosts(sf_dir: str):
     return pagerank_hosts(_webgraph_edges(sf_dir)).sort("host")
 
 
+def _host_graph_stats(sf_dir: str):
+    """One-row host-graph health summary (nodes/edges/links, self-loops,
+    reciprocal edges) — stages/webgraph.py host_graph_stats."""
+    from docling_ray.stages.webgraph import host_graph_stats
+
+    return host_graph_stats(_webgraph_edges(sf_dir))
+
+
 def _cocitation_hosts(sf_dir: str):
     """Co-citation pairs: hosts linked by >= 2 common source hosts
     (stages/webgraph.py cocitation_pairs)."""
@@ -1265,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _hits_hosts,
         "trustrank_hosts": _trustrank_hosts,
         "cocitation_hosts": _cocitation_hosts,
+        "host_graph_stats": _host_graph_stats,
         "doc_link_quality": _doc_link_quality,
         "host_components": _host_components,
         "form_fields": _form_fields,
@@ -1675,6 +1684,23 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
         "trustrank_hosts": (
             f"WITH {cte}{tr} "
             "SELECT host, r AS trust_scaled FROM t8 ORDER BY host"
+        ),
+        "host_graph_stats": (
+            # reciprocal = ordered edges whose reverse edge exists
+            # (self-loops are their own reverse)
+            f"WITH {cte}, "
+            "r AS (SELECT COUNT(*)::BIGINT AS c FROM edges e1 "
+            "JOIN edges e2 ON e1.src_host = e2.dst_host "
+            "AND e1.dst_host = e2.src_host), "
+            "n AS (SELECT COUNT(*)::BIGINT AS c FROM "
+            "(SELECT src_host AS h FROM edges "
+            "UNION SELECT dst_host FROM edges)), "
+            "t AS (SELECT COUNT(*)::BIGINT AS e, "
+            "SUM(n_links)::BIGINT AS l, "
+            "SUM(CASE WHEN src_host = dst_host THEN 1 ELSE 0 "
+            "END)::BIGINT AS s FROM edges) "
+            "SELECT n.c AS n_hosts, t.e AS n_edges, t.l AS n_links, "
+            "t.s AS n_self_loops, r.c AS n_reciprocal_edges FROM n, t, r"
         ),
         "cocitation_hosts": (
             # unordered dst pairs sharing >= 2 distinct linking sources

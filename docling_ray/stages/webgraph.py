@@ -538,6 +538,69 @@ def hits_hosts(
             Sum("authority_scaled", alias_name="authority_scaled"))
 
 
+def host_graph_stats(edges: "ray.data.Dataset") -> pa.Table:
+    """One-row health summary of the host graph: node/edge/link counts,
+    self-loop edges, and reciprocal edges (both directions present) —
+    the sanity dashboard run before graph-derived signals are trusted.
+    Reciprocity via one self-join-shaped pass: edges keyed both ways,
+    groupby, count keys seen in both orientations. Returns a small
+    pyarrow Table (the result is a single row; the inputs stream)."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        fwd = pc.binary_join_element_wise(
+            t["src_host"], t["dst_host"], "\x00")
+        rev = pc.binary_join_element_wise(
+            t["dst_host"], t["src_host"], "\x00")
+        return pa.table({
+            "k": pa.concat_arrays([fwd.combine_chunks(),
+                                   rev.combine_chunks()]),
+            "fwd": pa.array(
+                np.concatenate([np.ones(t.num_rows, np.int64),
+                                np.zeros(t.num_rows, np.int64)])),
+            "rev": pa.array(
+                np.concatenate([np.zeros(t.num_rows, np.int64),
+                                np.ones(t.num_rows, np.int64)])),
+        })
+
+    both = edges.map_batches(key_rows, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("fwd", alias_name="fwd"),
+                                Sum("rev", alias_name="rev"))
+
+    def pair_flags(t: pa.Table) -> pa.Table:
+        recip = pc.and_(pc.greater(t["fwd"], 0), pc.greater(t["rev"], 0))
+        return pa.table({
+            "n_recip": pa.array(
+                [pc.sum(pc.cast(recip, pa.int64())).as_py() or 0]),
+        })
+
+    n_recip = both.map_batches(pair_flags, batch_format="pyarrow") \
+        .sum("n_recip")
+
+    def edge_flags(t: pa.Table) -> pa.Table:
+        self_loop = pc.equal(t["src_host"], t["dst_host"])
+        return pa.table({
+            "n_edges": pa.array([t.num_rows], pa.int64()),
+            "n_links": pa.array(
+                [pc.sum(t["n_links"]).as_py() or 0], pa.int64()),
+            "n_self": pa.array(
+                [pc.sum(pc.cast(self_loop, pa.int64())).as_py() or 0]),
+        })
+
+    tot = edges.map_batches(edge_flags, batch_format="pyarrow").sum(
+        ["n_edges", "n_links", "n_self"])
+    n_hosts = _nodes_with_outweight(edges).count()
+    return pa.table({
+        "n_hosts": pa.array([n_hosts], pa.int64()),
+        "n_edges": pa.array([tot["sum(n_edges)"]], pa.int64()),
+        "n_links": pa.array([tot["sum(n_links)"]], pa.int64()),
+        "n_self_loops": pa.array([tot["sum(n_self)"]], pa.int64()),
+        "n_reciprocal_edges": pa.array([int(n_recip or 0)], pa.int64()),
+    })
+
+
 def cocitation_pairs(
     edges: "ray.data.Dataset", min_common: int = 2,
 ) -> "ray.data.Dataset":

@@ -377,3 +377,17 @@ def test_webgraph_queries_match_duckdb(ray_session):
                 av = av.astype("int64")
                 bv = bv.astype("int64")
             assert (av == bv).all(), f"{name}.{c}"
+
+
+def test_host_graph_stats(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import host_graph_stats
+
+    edges = pa.table({
+        "src_host": ["a", "b", "c", "c"],
+        "dst_host": ["b", "a", "c", "d"],
+        "n_links": pa.array([2, 1, 5, 1], pa.int64())})
+    out = host_graph_stats(ray.data.from_arrow(edges)).to_pylist()[0]
+    assert out == {"n_hosts": 4, "n_edges": 4, "n_links": 9,
+                   "n_self_loops": 1, "n_reciprocal_edges": 3}
