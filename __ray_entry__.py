@@ -374,6 +374,16 @@ def _funnel_counts(sf_dir: str):
     return A.funnel_counts(sf_dir)
 
 
+def _neardup_best(sf_dir: str):
+    """Quality-aware near-dup survivor selection: per MinHash cluster
+    keep the member with the most tokens, tie → min doc_id
+    (stages/dedup.py neardup_best_survivors)."""
+    from docling_ray.stages.dedup import neardup_best_survivors
+
+    ds = read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup_best_survivors(ds, threshold=0.8).sort("rep_id")
+
+
 def _incremental_dedup(sf_dir: str):
     """Incremental exact dedup against a persisted hash index
     (stages/dedup.py exact_dedup_against_index): the even-doc_id half of
@@ -1235,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": _source_quality_report,
         "lang_id": _lang_id,
         "minhash_dedup": _minhash_dedup,
+        "neardup_best": _neardup_best,
         "simhash_dedup": _simhash_dedup,
         "jaccard_pairs": _jaccard_pairs,
         "training_corpus": _training_corpus,
@@ -2295,6 +2306,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"AND {_JACCARD_BAND} "
             f"WHERE {_JACCARD_EXPR} >= 0.8), "
             f"{_CC_SQL}"
+        ),
+        "neardup_best": (
+            # same clusters as minhash_dedup, then per-cluster argmax by
+            # token count (tie -> min doc_id)
+            f"WITH RECURSIVE {_SHINGLES_CTE}, "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            f"AND {_JACCARD_BAND} "
+            f"WHERE {_JACCARD_EXPR} >= 0.8), "
+            "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p "
+            "UNION SELECT a, a FROM p UNION SELECT b, b FROM p), "
+            "reach AS (SELECT a, b FROM e "
+            "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), "
+            "c AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach "
+            "GROUP BY a), "
+            f"tk AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens "
+            "FROM documents), "
+            "j AS (SELECT c.rep_id, c.doc_id, tk.n_tokens "
+            "FROM c JOIN tk USING (doc_id)) "
+            "SELECT j1.rep_id, min(j1.doc_id) AS kept_doc_id, "
+            "(SELECT count(*)::BIGINT FROM c WHERE c.rep_id = j1.rep_id) "
+            "AS n_members FROM j j1 "
+            "WHERE j1.n_tokens = (SELECT max(n_tokens) FROM j j2 "
+            "WHERE j2.rep_id = j1.rep_id) "
+            "GROUP BY j1.rep_id ORDER BY j1.rep_id"
         ),
         "jaccard_pairs": (
             f"WITH {_SHINGLES_CTE} "

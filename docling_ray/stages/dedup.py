@@ -869,3 +869,50 @@ def exact_dedup_against_index(
         return pa.table({"doc_id": k["doc_id"], "h": k["h"]})
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def neardup_best_survivors(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Quality-aware near-dup survivor selection: within each MinHash+LSH
+    cluster keep the member with the MOST tokens (tie → min doc_id) —
+    real curation keeps the best member, not the first; duplicates often
+    differ by truncation, and min-id picks arbitrarily. Clusters come
+    from :func:`minhash_lsh_clusters` (already distributed end to end);
+    token counts attach via a hash join; the per-cluster argmax runs
+    once per cluster (clusters are ≥2 members by construction — no
+    singleton ever reaches the Python kernel).
+
+    Output: (rep_id, kept_doc_id, n_members) per cluster."""
+    from docling_ray.functions.hashing import tokenize
+
+    clusters = minhash_lsh_clusters(ds, threshold=threshold) \
+        .repartition(num_partitions).materialize()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(
+                [len(tokenize(t or ""))
+                 for t in batch[text_col].to_pylist()], pa.int64()),
+        })
+
+    tk = ds.map_batches(counts, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    j = clusters.join(tk, join_type="inner",
+                      num_partitions=num_partitions, on=("doc_id",))
+
+    def best(group) -> pa.Table:
+        g = group.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True])
+        return pa.table({
+            "rep_id": pa.array([int(g["rep_id"].iloc[0])], pa.int64()),
+            "kept_doc_id": pa.array([int(g["doc_id"].iloc[0])],
+                                    pa.int64()),
+            "n_members": pa.array([len(g)], pa.int64()),
+        })
+
+    return j.groupby("rep_id").map_groups(best, batch_format="pandas")

@@ -756,3 +756,27 @@ def test_exact_dedup_against_index(ray_session):
     out = sorted(r["doc_id"] for r in
                  exact_dedup_against_index(new_i, idx2).take_all())
     assert out == [3, 11]
+
+
+def test_neardup_best_survivors(ray_session):
+    """Within a near-dup cluster the LONGEST member survives (tie -> min
+    doc_id), not the min-id member."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.stages.dedup import neardup_best_survivors
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    longer = base + " phi chi psi omega extra tokens that make it longest"
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 50], pa.int64()),
+        "text": [base, longer, base, "totally unrelated text here"],
+    })
+    out = neardup_best_survivors(
+        ray.data.from_arrow(docs), threshold=0.5).take_all()
+    assert len(out) == 1
+    row = out[0]
+    assert row["rep_id"] == 10          # min member id labels the cluster
+    assert row["kept_doc_id"] == 11     # but the LONGEST member survives
+    assert row["n_members"] == 3
