@@ -519,18 +519,39 @@ def _simhash_buckets_batch(
     })
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-element Python."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_clusters(
     ds: "ray.data.Dataset",
     max_hamming: int = 3,
     n_bands: int = 4,
     text_col: str = "text",
-    max_allpairs: int = 256,
+    max_allpairs: int = 16384,
 ) -> "ray.data.Dataset":
     """SimHash near-dup clusters, distributed end-to-end. Recall is exact:
     a pair within Hamming ``k < n_bands`` differs in ≤k bands, so ≥1 band
     matches (pigeonhole) and the pair is generated; Hamming verification
     inside the bucket kernel is exact, and connected components run
-    distributed. Output = clusters over ALL pairs with Hamming ≤ k."""
+    distributed. Output = clusters over ALL pairs with Hamming ≤ k.
+
+    Hamming verification is a vectorized xor+popcount, so the all-pairs
+    path is cheap and runs CHUNKED (bounded memory) up to
+    ``max_allpairs`` docs per bucket — a 291-doc degenerate bucket at
+    sf0.1 used to hit the 256 chain fallback and LOSE qualifying pairs
+    (under-clustering vs the oracle); now only truly pathological
+    buckets (> 16 k docs sharing one 16-bit band) chain, logged."""
     buckets = ds.map_batches(
         _simhash_buckets_batch, batch_format="pyarrow",
         fn_kwargs={"n_bands": n_bands, "text_col": text_col},
@@ -552,13 +573,30 @@ def simhash_clusters(
                   f"fallback over sig-sorted order")
             order = np.argsort(sigs, kind="stable")
             ids, sigs = ids[order], sigs[order]
-            ia, ib = np.arange(n - 1), np.arange(1, n)
-        else:
-            ia, ib = np.triu_indices(n, k=1)
-        x = sigs[ia] ^ sigs[ib]
-        ham = np.array([bin(v).count("1") for v in x])
-        keep = ham <= max_hamming
-        a, b = ids[ia[keep]], ids[ib[keep]]
+            x = sigs[:-1] ^ sigs[1:]
+            keep = _popcount64(x) <= max_hamming
+            a, b = ids[:-1][keep], ids[1:][keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+        # chunked all-pairs: CH×n xor matrix per block (bounded memory)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        ch = max(1, min(n, (1 << 22) // max(n, 1)))  # ≤ ~32 MB per block
+        jj = np.arange(n)
+        for s0 in range(0, n - 1, ch):
+            i_idx = np.arange(s0, min(s0 + ch, n))
+            x = sigs[i_idx][:, None] ^ sigs[None, :]
+            mask = (_popcount64(x) <= max_hamming) \
+                & (jj[None, :] > i_idx[:, None])
+            ii, js = np.nonzero(mask)
+            if len(ii):
+                out_a.append(ids[i_idx[ii]])
+                out_b.append(ids[js])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
 
