@@ -2350,15 +2350,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"{_CC_SQL}"
         ),
         "training_corpus": (
+            # q/s are referenced multiple times (and s twice in the
+            # self-join) — AS MATERIALIZED stops DuckDB's single-use
+            # inlining from re-evaluating the quality gate per reference
+            # (the HITS-chain lesson; sf0.1 went from hours to minutes)
             "WITH RECURSIVE "
-            "tk AS (SELECT doc_id, text, "
+            "tk AS MATERIALIZED (SELECT doc_id, text, "
             f"{_TOKS} AS toks FROM documents), "
-            "q AS (SELECT doc_id, text, toks FROM tk WHERE len(toks) >= 5 "
+            "q AS MATERIALIZED (SELECT doc_id, text, toks FROM tk "
+            "WHERE len(toks) >= 5 "
             "AND len(toks) <= 100000 AND floor(len(list_filter(toks, "
             f"x -> list_contains({_STOP_SQL}, x))) * 1000000.0 "
             "/ greatest(len(toks), 1)) >= 10000), "
             "ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)), "
-            "s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN "
+            "s AS MATERIALIZED (SELECT doc_id, CASE WHEN len(toks) < 3 THEN "
             "(CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
             "ELSE [] END) ELSE list_distinct(list_transform("
             "generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || "
