@@ -362,7 +362,8 @@ def test_webgraph_queries_match_duckdb(ray_session):
     con = duckdb.connect()
     for name in ("host_graph", "host_degree", "pagerank_hosts",
                  "hits_hosts", "trustrank_hosts", "host_components",
-                 "cocitation_hosts", "doc_link_quality"):
+                 "cocitation_hosts", "doc_link_quality",
+                 "host_graph_stats"):
         res = qs[name](sf)
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         ora = con.sql(sqls[name]).df()
