@@ -765,6 +765,16 @@ def _hits_hosts(sf_dir: str):
     return hits_hosts(_webgraph_edges(sf_dir)).sort("host")
 
 
+def _doc_trust_quality(sf_dir: str):
+    """Per-doc TrustRank join-back: the seed-propagated spam-demotion
+    feature (stages/webgraph.py doc_trust_quality)."""
+    from docling_ray.sources.corpus import derive_corpus
+    from docling_ray.stages.webgraph import doc_trust_quality
+
+    return doc_trust_quality(derive_corpus(sf_dir, seed=SEED)) \
+        .sort("doc_id")
+
+
 def _doc_link_quality(sf_dir: str):
     """Graph signal joined back to documents: each doc's canonical-host
     PageRank as a per-doc quality feature (the web-curation weight that
@@ -1286,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_hosts": _cocitation_hosts,
         "host_graph_stats": _host_graph_stats,
         "doc_link_quality": _doc_link_quality,
+        "doc_trust_quality": _doc_trust_quality,
         "host_components": _host_components,
         "form_fields": _form_fields,
         "formatting": _formatting,
@@ -1759,6 +1770,12 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
             f"WITH {cte}{pr} "
             "SELECT c.doc_id, c.src_host AS host, r.r AS rank_scaled "
             "FROM canon c JOIN r8 r ON c.src_host = r.host "
+            "WHERE c.src_host <> '' ORDER BY c.doc_id"
+        ),
+        "doc_trust_quality": (
+            f"WITH {cte}{tr} "
+            "SELECT c.doc_id, c.src_host AS host, t.r AS trust_scaled "
+            "FROM canon c JOIN t8 t ON c.src_host = t.host "
             "WHERE c.src_host <> '' ORDER BY c.doc_id"
         ),
         "web_curated_corpus": (

@@ -714,6 +714,36 @@ def doc_link_quality(
                      num_partitions=num_partitions, on=("host",))
 
 
+def doc_trust_quality(
+    corpus: "ray.data.Dataset", num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document TrustRank signal: each doc's canonical-host trust
+    joined back (doc_link_quality's sibling for the seed-propagated
+    score — the spam-demotion feature; docs on hosts no trusted seed
+    reaches carry trust 0). One corpus pass for edges+doc hosts, then
+    distributed hash joins."""
+    combined = corpus.map_batches(_edges_and_docs_batch,
+                                  batch_format="pyarrow").materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["dst_host"], "")) \
+            .select(["src_host", "dst_host", "n_links"])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t["dst_host"], ""))
+        return pa.table({"doc_id": t2["doc_id"], "host": t2["src_host"]})
+
+    edges = combined.map_batches(edge_rows, batch_format="pyarrow") \
+                    .groupby(["src_host", "dst_host"]) \
+                    .aggregate(Sum("n_links", alias_name="n_links"))
+    trust = trustrank_hosts(edges, num_partitions=num_partitions) \
+        .repartition(num_partitions).materialize()
+    docs = combined.map_batches(doc_rows, batch_format="pyarrow") \
+                   .repartition(num_partitions)
+    return docs.join(trust, join_type="inner",
+                     num_partitions=num_partitions, on=("host",))
+
+
 def host_components(
     edges: "ray.data.Dataset",
     max_rounds: int = 64,
