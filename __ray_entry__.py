@@ -739,6 +739,14 @@ def _host_graph_stats(sf_dir: str):
     return host_graph_stats(_webgraph_edges(sf_dir))
 
 
+def _coupling_hosts(sf_dir: str):
+    """Bibliographic-coupling pairs: source hosts sharing >= 2 distinct
+    targets (stages/webgraph.py coupling_pairs)."""
+    from docling_ray.stages.webgraph import coupling_pairs
+
+    return coupling_pairs(_webgraph_edges(sf_dir)).sort(["a", "b"])
+
+
 def _cocitation_hosts(sf_dir: str):
     """Co-citation pairs: hosts linked by >= 2 common source hosts
     (stages/webgraph.py cocitation_pairs)."""
@@ -1294,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _hits_hosts,
         "trustrank_hosts": _trustrank_hosts,
         "cocitation_hosts": _cocitation_hosts,
+        "coupling_hosts": _coupling_hosts,
         "host_graph_stats": _host_graph_stats,
         "doc_link_quality": _doc_link_quality,
         "doc_trust_quality": _doc_trust_quality,
@@ -1706,6 +1715,15 @@ def _webgraph_sql(exp: str) -> dict[str, str]:
         "trustrank_hosts": (
             f"WITH {cte}{tr} "
             "SELECT host, r AS trust_scaled FROM t8 ORDER BY host"
+        ),
+        "coupling_hosts": (
+            # unordered src pairs sharing >= 2 distinct targets
+            f"WITH {cte} "
+            "SELECT e1.src_host AS a, e2.src_host AS b, "
+            "COUNT(*)::BIGINT AS n_common "
+            "FROM edges e1 JOIN edges e2 ON e1.dst_host = e2.dst_host "
+            "AND e1.src_host < e2.src_host "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"
         ),
         "host_graph_stats": (
             # reciprocal = ordered edges whose reverse edge exists

@@ -714,6 +714,36 @@ def doc_link_quality(
                      num_partitions=num_partitions, on=("host",))
 
 
+def coupling_pairs(
+    edges: "ray.data.Dataset", min_common: int = 2,
+) -> "ray.data.Dataset":
+    """Bibliographic coupling (Kessler 1963) — co-citation's dual:
+    unordered SOURCE-host pairs that link to the same targets,
+    (host_a < host_b, n_common) counting distinct shared targets.
+    Coupled sources cover the same topics; with co-citation it
+    completes the classic relatedness pair. Same shape: per-dst-group
+    pair expansion (bounded by in-degree²) → one count groupby."""
+    from ray.data.aggregate import Count
+
+    def pairs(group) -> pa.Table:
+        srcs = sorted(set(group["src_host"]))
+        a_out, b_out = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                a_out.append(srcs[i])
+                b_out.append(srcs[j])
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string())})
+
+    p = edges.groupby("dst_host").map_groups(pairs, batch_format="pandas")
+    agg = p.groupby(["a", "b"]).aggregate(Count(alias_name="n_common"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_common"], min_common))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
 def doc_trust_quality(
     corpus: "ray.data.Dataset", num_partitions: int = 16,
 ) -> "ray.data.Dataset":

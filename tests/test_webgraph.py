@@ -392,3 +392,17 @@ def test_host_graph_stats(ray_session):
     out = host_graph_stats(ray.data.from_arrow(edges)).to_pylist()[0]
     assert out == {"n_hosts": 4, "n_edges": 4, "n_links": 9,
                    "n_self_loops": 1, "n_reciprocal_edges": 3}
+
+
+def test_coupling_pairs(ray_session):
+    import ray.data
+
+    from docling_ray.stages.webgraph import coupling_pairs
+
+    # s1 and s2 both link to x and y; s3 shares only x with them
+    edges = pa.table({
+        "src_host": ["s1", "s1", "s2", "s2", "s3"],
+        "dst_host": ["x", "y", "x", "y", "x"],
+        "n_links": pa.array([1, 1, 1, 1, 1], pa.int64())})
+    out = coupling_pairs(ray.data.from_arrow(edges)).take_all()
+    assert out == [{"a": "s1", "b": "s2", "n_common": 2}]
